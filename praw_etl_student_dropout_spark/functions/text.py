@@ -1,0 +1,161 @@
+"""Text expression library (SURVEY.md §2.8 F1-F8, §2.9 U1-U6).
+
+Everything here is built from native ``pyspark.sql.functions`` so the
+expressions stay inside Catalyst/whole-stage codegen — the reference's
+per-row pandas ``.apply`` UDFs (etl_pipeline.py:77-81) are exactly the
+interpreter-bound hot path this file eliminates. The only irreducible
+Python UDF in the engine is the swappable TextBlob sentiment backend in
+``udfs.py``; the default sentiment is a deterministic lexicon score that
+both Spark and an ANSI-SQL oracle can compute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference regexes (etl_pipeline.py:74,80). Java and RE2 agree on these.
+CLEAN_PATTERN = r"http\S+|www\S+|[^a-zA-Z\s]"
+DROPOUT_PATTERN = r"(?i)drop[\s-]?out|dropped out"
+
+# Deterministic sentiment lexicon (stands in for TextBlob polarity,
+# etl_pipeline.py:78, so the DuckDB oracle can reproduce scores exactly).
+POS_WORDS = ["fast", "small", "value", "spark", "good", "great"]
+NEG_WORDS = ["slow", "big", "dup", "error", "bad", "crash"]
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in"]
+
+
+def clean_text(col: Column) -> Column:
+    """F1+F2 — strip URLs + non-alpha, lowercase, trim (etl_pipeline.py:73-77).
+
+    Native regexp_replace replaces all occurrences (= re.sub); order
+    (replace → lower → strip) mirrors the reference.
+    """
+    return F.trim(F.lower(F.regexp_replace(col, CLEAN_PATTERN, "")))
+
+
+def tokens(col: Column) -> Column:
+    """U6 — whitespace tokenization → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """U6 — token count; 0 for empty/blank strings."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    """Occurrence count of lexicon words (duplicates counted)."""
+    vocab = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(vocab, t)))
+
+
+def sentiment_score(col: Column) -> Column:
+    """U2 (deterministic default) — lexicon polarity in [-1, 1].
+
+    (pos_hits - neg_hits) / max(token_count, 1); replaces TextBlob
+    (etl_pipeline.py:78) with an oracle-reproducible score. Swap in the
+    TextBlob pandas_udf from ``udfs.py`` for production parity.
+    """
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    return (_hits(toks, POS_WORDS) - _hits(toks, NEG_WORDS)) / n
+
+
+def sentiment_label(score: Column, pos_threshold: float = 0.1, neg_threshold: float = -0.1) -> Column:
+    """P7/U3 — 3-way CASE bucket (etl_pipeline.py:79,152-154)."""
+    return (
+        F.when(score > pos_threshold, F.lit("positive"))
+        .when(score < neg_threshold, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+
+
+def dropout_mentioned(col: Column) -> Column:
+    """P3 — regex flag with na=False semantics (etl_pipeline.py:80)."""
+    return F.coalesce(col.rlike(DROPOUT_PATTERN), F.lit(False))
+
+
+def quality_score(col: Column) -> Column:
+    """Text quality heuristic in [0, 1] for pretraining-data filtering.
+
+    Mean of three signals computed natively: (1) length sanity — token
+    count in [5, 5000]; (2) alphabetic ratio of non-space chars; (3)
+    stopword presence ratio bounded to [0, 0.5] then scaled (natural text
+    has some stopwords; token soup has none).
+    """
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    no_space = F.regexp_replace(col, r"\s+", "")
+    alpha = F.regexp_replace(no_space, r"[^a-zA-Z]", "")
+    alpha_ratio = F.when(
+        F.length(no_space) > 0, F.length(alpha) / F.length(no_space)
+    ).otherwise(F.lit(0.0))
+    stop_ratio = _hits(toks, STOPWORDS) / F.greatest(n_tok, F.lit(1))
+    stop_signal = F.least(stop_ratio, F.lit(0.5)) * 2.0
+    return F.round((len_ok + alpha_ratio + stop_signal) / 3.0, 6)
+
+
+# Character-frequency markers per language — a classic n-gram-profile
+# heuristic reduced to expressions: score each language by marker-token
+# and marker-character hits, pick argmax deterministically.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": [],  # CJK detected by codepoint range below
+}
+
+
+def lang_id(col: Column) -> Column:
+    """U6⊕ — n-gram-heuristic language ID.
+
+    CJK codepoints → zh; else argmax of marker-token hit counts with a
+    deterministic tiebreak (language code ascending); no hits → 'und'.
+    Pure expressions — at 100 TB this is a single narrow map stage.
+    """
+    toks = tokens(F.lower(col))
+    scores = []
+    for code, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        scores.append(F.struct(_hits(toks, markers).alias("hits"), F.lit(code).alias("code")))
+    # array_max on struct(hits, code desc?) — tiebreak: smallest code wins,
+    # so compare (hits, negated-rank) via sort: take max hits then min code.
+    arr = F.array(*scores)
+    best_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    best_code = F.array_min(
+        F.filter(arr, lambda s: s["hits"] == best_hits)
+    )["code"]
+    has_cjk = col.rlike(r"[一-鿿]")
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best_hits > 0, best_code)
+        .otherwise(F.lit("und"))
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """U6⊕ — order-insensitive document fingerprint.
+
+    md5 over the sorted token multiset of the cleaned text: identical
+    token bags → identical fingerprint regardless of word order. Exact
+    near-dup pass for D3's cheap first stage.
+    """
+    return F.md5(F.array_join(F.array_sort(tokens(clean_text(col))), " "))
+
+
+def rolling_hash(col: Column, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+    """U6⊕ — polynomial rolling hash over tokens (order-sensitive).
+
+    h = Σ h*base + xxhash64(token) (mod 2^61-1), folded left with
+    ``aggregate`` — stays in codegen, no UDF. Spark-only (the oracle
+    cannot reproduce xxhash64); tested by pytest invariants instead.
+    """
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % F.lit(mod),
+    )

@@ -1,0 +1,274 @@
+"""Document deduplication operators (SURVEY.md §2.7 D2/D3 ⊕).
+
+Training-data dedup at 100 TB, implemented natively (no Python UDFs in
+the hot path — every stage is exploded arrays + hash expressions +
+groupBy, all codegen'd):
+
+- ``exact_dedup``         hash-groupBy on a normalized fingerprint
+- ``minhash_dedup_pairs`` MinHash signatures + LSH banding → candidate
+                          pairs → exact-Jaccard verify (the classic
+                          shingle→minhash→band→bucket-join pipeline)
+- ``simhash_signatures``  64-bit SimHash + banded near-dup pairs
+- ``ngram_jaccard_pairs`` exact n-gram Jaccard via shingle inverted index
+- ``embedding_dup_pairs`` cosine near-dup over embeddings via
+                          random-hyperplane LSH buckets
+
+Scale notes: every pairwise step goes through an equi-join on a bucket
+key (band signature / LSH bucket), never an all-pairs product; candidate
+verification touches only bucket-collision pairs. Shingle-set columns
+stay with the doc (no driver collection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import clean_text, doc_fingerprint, tokens
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as array<string>.
+
+    Built with sequence+transform over the token array — pure codegen.
+    Texts shorter than n tokens yield one whole-text shingle.
+    """
+    toks = tokens(col)
+    k = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """D3 stage 0 — exact dedup on the order-insensitive fingerprint
+    (md5 of sorted cleaned tokens). Survivor = min id per fingerprint —
+    deterministic, one shuffle on the 128-bit hash (uniform, unskewed).
+    """
+    fp = doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    xxhash64(shingle, i). One explode + one groupBy; signature state is
+    ``num_hashes`` longs per doc regardless of doc length."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """D3 — near-dup pairs via MinHash + LSH banding, verified exactly.
+
+    bands×rows = num_hashes; a pair collides if any band signature
+    matches (P[collide] ≈ 1-(1-j^r)^b). Candidates then verify with the
+    TRUE Jaccard over distinct shingle sets, so output has no false
+    positives; recall is the LSH curve. Returns (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.posexplode(band_cols).alias("band", "band_sig"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    shingle_sets = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    verified = (
+        cands.join(shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over token hashes.
+
+    explode tokens → xxhash64 → 64 conditional sums → reassemble bits.
+    All native; the 64 aggregates are one partial-aggregated shuffle.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(clean_text(F.col(text_col)))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = bit_sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+                for i in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``bands`` chunks; any pair
+    within hamming d < bands must share at least one exact chunk →
+    equi-join per chunk, then exact popcount verify. No all-pairs scan.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via a shingle inverted index.
+
+    explode shingles → self-join on shingle (the inverted index) →
+    count shared shingles per pair → jaccard = shared/(|A|+|B|-shared).
+    Only pairs sharing ≥1 shingle are ever materialized. Hot shingles
+    fan out quadratically — at scale, drop shingles with document
+    frequency above a cap first (they can't certify high Jaccard alone).
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    shared = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding cosine near-dup via random-hyperplane LSH.
+
+    Signature bit i = sign(v · plane_i); docs sharing the full signature
+    land in one bucket; pairs verify with exact cosine. Planes are a
+    deterministic function of (seed, dim) so runs reproduce. For higher
+    recall lower num_planes (bigger buckets) or add banded multi-probe.
+    """
+    import numpy as np
+
+    from ..functions.arrays import cosine_similarity
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    vec = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(float(x)) for x in planes[i]]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(num_planes)
+    ]
+    sigs = df.select(F.col(id_col), F.col(vec_col), sum(bits, F.lit(0)).alias("bucket"))
+    l, r = sigs.alias("l"), sigs.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,75 @@
+"""Star-schema ETL operators (SURVEY.md §2.3 J2/J3, §3.2).
+
+Re-expresses the reference's Load stage (etl_pipeline.py:94-127) — per-key
+INSERT IGNORE + SELECT-back + iterrows key swap — as three distributed
+operators: dimension build (distinct + deterministic surrogate keys),
+incremental dimension upsert (anti-join append preserving existing keys),
+and fact build (broadcast-join key swap). No driver-side loops; the N+1
+per-key round-trip pattern becomes one job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_dim(df: DataFrame, natural_key: str, surrogate_name: str, key_name: str | None = None) -> DataFrame:
+    """Build a dimension from the distinct values of ``natural_key``.
+
+    Surrogate keys are ``dense_rank`` over the natural key order —
+    deterministic and reproducible (MySQL AUTO_INCREMENT order in the
+    reference depends on arrival order; a distributed engine needs the
+    ordering explicit). A single window over the distinct set is cheap:
+    dims are tiny by definition.
+    """
+    out_key = key_name or natural_key
+    w = Window.orderBy(F.col(natural_key))
+    return (
+        df.select(F.col(natural_key).alias(out_key))
+        .distinct()
+        .withColumn(surrogate_name, F.dense_rank().over(w).cast("int"))
+        .select(surrogate_name, out_key)
+    )
+
+
+def upsert_dim(existing: DataFrame, incoming: DataFrame, natural_key: str, surrogate_name: str) -> DataFrame:
+    """Incremental dimension load (INSERT IGNORE, etl_pipeline.py:97,106).
+
+    Existing rows keep their surrogate keys; new natural keys get keys
+    starting after max(existing). Deterministic: new keys assigned in
+    natural-key order.
+    """
+    new_keys = incoming.select(natural_key).distinct().join(
+        existing.select(natural_key), on=natural_key, how="left_anti"
+    )
+    max_key = existing.agg(F.coalesce(F.max(surrogate_name), F.lit(0)).alias("m"))
+    w = Window.orderBy(F.col(natural_key))
+    assigned = (
+        new_keys.withColumn("__rk", F.dense_rank().over(w))
+        .crossJoin(F.broadcast(max_key))
+        .withColumn(surrogate_name, (F.col("__rk") + F.col("m")).cast("int"))
+        .select(surrogate_name, natural_key)
+    )
+    return existing.select(surrogate_name, natural_key).unionByName(assigned)
+
+
+def build_fact(
+    facts: DataFrame,
+    dim_specs: list[tuple[DataFrame, str, str, str]],
+    select_cols: list[str],
+) -> DataFrame:
+    """Fact build via broadcast-join key swap (replaces iterrows + dict
+    lookups, etl_pipeline.py:112-119).
+
+    ``dim_specs``: (dim_df, fact_natural_col, dim_natural_col,
+    surrogate_col). Each dim is broadcast; the fact side is scanned once
+    and never shuffled.
+    """
+    out = facts
+    for dim, fact_col, dim_col, surrogate in dim_specs:
+        d = dim.select(F.col(dim_col).alias(f"__nk_{surrogate}"), F.col(surrogate))
+        out = out.join(F.broadcast(d), out[fact_col] == F.col(f"__nk_{surrogate}"), "left").drop(
+            f"__nk_{surrogate}"
+        )
+    return out.select(*select_cols)

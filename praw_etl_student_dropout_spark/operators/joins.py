@@ -1,0 +1,154 @@
+"""Join operators (SURVEY.md §2.3 J1-J4).
+
+The reference performs its one real join inside MySQL
+(etl_pipeline.py:144-149) and hand-rolls two more as driver-side dict
+lookups (J2, etl_pipeline.py:95-119) and INSERT IGNORE (J3,
+etl_pipeline.py:97,106,122). Here all three are Catalyst joins:
+
+- small dimension → ``broadcast()`` hint → BroadcastHashJoin, no shuffle
+  of the fact side;
+- large-large → sort-merge (Catalyst default) with AQE skew splitting;
+- idempotent load → left-anti join, the distributed INSERT IGNORE.
+
+At 100 TB the fact table never moves for dim joins; only genuinely
+large-large joins shuffle, and those shuffle on the join key so
+co-partitioned/bucketed layouts are reused across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def star_join(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, list[str] | F.Column]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """J1 — fact ⋈ dim ⋈ dim ... (etl_pipeline.py:144-149).
+
+    Each dim is (df, join_key). With ``broadcast_dims`` every dim gets a
+    broadcast hint: one scan of the fact side, zero fact shuffles —
+    the only plan that survives a 100 TB fact table with KB-sized dims.
+    """
+    out = fact
+    for dim, on in dims:
+        if broadcast_dims:
+            dim = F.broadcast(dim)
+        out = out.join(dim, on=on, how="inner")
+    return out
+
+
+def surrogate_key_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    natural_key: str,
+    surrogate_key: str,
+    fact_key: str | None = None,
+) -> DataFrame:
+    """J2 — natural→surrogate key swap via broadcast hash join.
+
+    Replaces the reference's driver-side dict + iterrows loop
+    (etl_pipeline.py:95-119) — the canonical anti-pattern at scale —
+    with a broadcast join that attaches ``surrogate_key`` and drops the
+    natural key. ``fact_key`` names the fact column when it differs from
+    the dim's natural key column.
+    """
+    fact_col = fact_key or natural_key
+    cond = facts[fact_col] == dim[natural_key]
+    out = facts.join(F.broadcast(dim.select(natural_key, surrogate_key)), cond, "left")
+    return out.drop(dim[natural_key]).drop(fact_col)
+
+
+def anti_join_new_keys(new_rows: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """J3 — rows of ``new_rows`` whose key is absent from ``existing``
+    (INSERT IGNORE, etl_pipeline.py:97,106,122). Left-anti join; Catalyst
+    broadcasts the smaller side or sort-merges on the keys."""
+    return new_rows.join(existing.select(*keys), on=keys, how="left_anti")
+
+
+def join_on_keys(left: DataFrame, right: DataFrame, keys: list[str], how: str = "inner") -> DataFrame:
+    """J4 — the full join family (inner/left/right/full/semi/anti) on
+    equi-keys. Thin declarative wrapper: Catalyst picks broadcast vs
+    sort-merge vs shuffled-hash from stats + AQE."""
+    return left.join(right, on=keys, how=how)
+
+
+def theta_join(left: DataFrame, right: DataFrame, condition: F.Column, how: str = "inner") -> DataFrame:
+    """J4 — non-equi (theta/range) join. Physically a
+    BroadcastNestedLoopJoin when one side is small; keep the small side
+    right and hint broadcast at the call site for big-small ranges."""
+    return left.join(right, condition, how)
+
+
+def range_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Scalable band join: |left_ts - right_ts| <= max_gap.
+
+    A naive theta join is O(n·m) nested-loop. Bucketing both sides to
+    ``max_gap``-sized epochs and equi-joining on (bucket, bucket±1)
+    turns it into a shuffle hash/sort-merge join with a cheap residual
+    filter — the standard interval-join decomposition used by stream
+    processors.
+    """
+    gap = F.lit(max_gap_seconds)
+    lb = (F.unix_timestamp(F.col(left_ts)) / gap).cast("long")
+    l2 = left.withColumn("__bucket", F.explode(F.array(lb - 1, lb, lb + 1)))
+    r2 = right.withColumn("__bucket", (F.unix_timestamp(F.col(right_ts)) / gap).cast("long"))
+    keys = ["__bucket"] + (extra_keys or [])
+    joined = l2.join(r2, on=keys, how="inner")
+    residual = F.abs(F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts))) <= gap
+    return joined.filter(residual).drop("__bucket")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts within the same ``on`` key.
+
+    Composition of existing ops (union + window) rather than a custom
+    operator: tag both sides, union, sort within key partitions, carry
+    the last right value forward with ``last(..., ignorenulls=True)``.
+    One shuffle on ``on`` — same cost as a sort-merge join, no
+    nested-loop blowup.
+    """
+    from pyspark.sql import Window as W
+
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = (
+        right.select(on, right_ts, *right_values)
+        .withColumn("__ts", F.col(right_ts))
+        .withColumn("__side", F.lit(0))
+    )
+    lt_aligned = lt.select(
+        *[F.col(c) for c in left.columns],
+        "__ts",
+        "__side",
+        *[F.lit(None).cast(rt.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+    )
+    rt_aligned = rt.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on else F.col(on) for c in left.columns],
+        "__ts",
+        "__side",
+        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+    )
+    unioned = lt_aligned.unionByName(rt_aligned)
+    w = W.partitionBy(on).orderBy("__ts", "__side").rowsBetween(W.unboundedPreceding, 0)
+    carried = unioned.select(
+        *unioned.columns,
+        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(v) for v in right_values],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__ts", "__side", *[f"__r_{v}" for v in right_values])

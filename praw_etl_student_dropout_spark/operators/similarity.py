@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9 U7 ⊕).
+
+Two paths:
+- ``brute_force_topk``: exact cosine top-k. The query set is broadcast
+  (queries are few; the corpus is the 100 TB side), scores are computed
+  with codegen'd ``zip_with``/``aggregate`` array math, and per-query
+  top-k goes through a window — the corpus is scanned once, never
+  collected.
+- ``ivf_topk``: IVF-style approximate search. Corpus vectors are
+  assigned to their nearest centroid ONCE (an O(n·k) narrow map with the
+  centroid table broadcast); queries probe only the ``nprobe`` nearest
+  centroid partitions, turning the scan into an equi-join on
+  centroid_id. This is the standard inverted-file ANN layout; at scale
+  the corpus would be written partitioned by centroid_id so probes
+  become partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_similarity, dot_product
+
+
+def _score(metric: str, q: F.Column, c: F.Column) -> F.Column:
+    if metric == "cosine":
+        return cosine_similarity(q, c)
+    if metric == "dot":
+        return dot_product(q, c)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k per query: broadcast(queries) × corpus → score →
+    window top-k with deterministic (score desc, corpus_id asc) order.
+    Returns (query_id, vec_id, score, rank)."""
+    scored = F.broadcast(queries).crossJoin(corpus).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        _score(metric, F.col(query_vec), F.col(corpus_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (argmax cosine).
+
+    Broadcast nested-loop over the (small) centroid table + window
+    rank=1 — a one-time index build, amortized over all queries.
+    """
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.col(centroid_id),
+        cosine_similarity(F.col(corpus_vec), F.col(centroid_vec)).alias("c_score"),
+    )
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("c_score"), F.asc(centroid_id))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(corpus_id, corpus_vec, centroid_id)
+    )
+
+
+def sample_centroids(
+    corpus: DataFrame,
+    num_centroids: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seed set: every (n/k)-th vector by id.
+
+    A k-means refinement pass can replace this without changing the
+    query path; determinism matters more than centroid quality for
+    reproducible tests.
+    """
+    n = corpus.count()
+    stride = max(n // num_centroids, 1)
+    return (
+        corpus.filter((F.col(corpus_id) % stride == 0) & (F.col(corpus_id) / stride < num_centroids))
+        .select(
+            (F.col(corpus_id) / stride).cast("int").alias("centroid_id"),
+            F.col(corpus_vec).alias("centroid_vec"),
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus_indexed: DataFrame,
+    centroids: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest centroids only.
+
+    corpus_indexed = output of ``assign_centroids``. The query→centroid
+    scoring is tiny (|Q|×|C|); the heavy step is an equi-join on
+    centroid_id that touches ~nprobe/num_centroids of the corpus.
+    """
+    q_probe = F.broadcast(queries).crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.col("centroid_id"),
+        cosine_similarity(F.col(query_vec), F.col("centroid_vec")).alias("c_score"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("c_score"), F.asc("centroid_id"))
+    probes = q_probe.withColumn("__r", F.row_number().over(wq)).filter(F.col("__r") <= nprobe).select(
+        query_id, query_vec, "centroid_id"
+    )
+    scored = probes.join(corpus_indexed, on="centroid_id").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )

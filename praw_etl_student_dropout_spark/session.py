@@ -1,0 +1,72 @@
+"""SparkSession construction tuned for this engine.
+
+The reference script has no engine of its own — it splits execution across
+Python loops, pandas, and MySQL (``etl_pipeline.py:44-63,66-81,144-149``).
+Here a single SparkSession owns the whole lifecycle; settings below are the
+scale-relevant defaults (AQE for runtime re-planning/skew, Arrow for any
+pandas-UDF boundary, UTC so timestamp semantics agree with the DuckDB
+oracle, broadcast threshold so tiny dims hash-join without a shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tunables that matter at 100 TB and are harmless on local[32]:
+#  - AQE re-plans joins/partitions at runtime (skew join, broadcast demotion)
+#  - shuffle.partitions sized to the local core count for tests; a real
+#    cluster deployment overrides via spark-submit conf (rule of thumb:
+#    2-3x total executor cores, or let AQE coalesce from a high initial)
+#  - autoBroadcastJoinThreshold left at default 10 MB: region/nation-sized
+#    dims broadcast automatically; we additionally hint broadcast() at call
+#    sites where the dim is known-small regardless of stats
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as long and convert in the loader (readers.load_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # Files >128MB split; small fixture files still read in one task each.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "praw_etl_student_dropout_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32)
+    when not running under a cluster manager. On a real cluster, pass
+    ``master=None`` with the master already set by spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    )
+    if master.startswith("local"):
+        conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,125 @@
+"""Sources (SURVEY.md §2.1 S1-S2, S5-S6).
+
+Scans are declarative so Catalyst keeps predicate pushdown + column
+pruning: callers chain ``.select``/``.filter`` on the returned DataFrame
+and the parquet/JDBC scan only reads what survives pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import FIXTURE_TABLES
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S6 — parquet scan. Schema is asserted (not inferred) when given."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] | None = None) -> dict[str, DataFrame]:
+    """Load driver fixture tables from ``{sf_dir}/{name}.parquet``.
+
+    The dict is lazy: each value is an unresolved scan, nothing is read
+    until an action runs, so loading all ten tables costs only metadata.
+    """
+    names = list(names) if names is not None else list(FIXTURE_TABLES)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+        out[name] = _normalize_nanos(df, FIXTURE_TABLES.get(name))
+    return out
+
+
+def _normalize_nanos(df: DataFrame, expected: T.StructType | None) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``; floor-divide to micros and
+    rebuild the timestamp (matches DuckDB's ns→us cast truncation)."""
+    if expected is None:
+        return df
+    fixes = {
+        f.name
+        for f in expected.fields
+        if isinstance(f.dataType, T.TimestampType)
+        and isinstance(df.schema[f.name].dataType, T.LongType)
+    }
+    for name in fixes:
+        df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+    return df
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def rows_to_df(spark: SparkSession, rows: Iterable[dict], schema: T.StructType) -> DataFrame:
+    """S2 — list-of-dicts → DataFrame (reference: pd.DataFrame(posts),
+    etl_pipeline.py:66). Schema explicit; no inference."""
+    return spark.createDataFrame(list(rows), schema)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV source (reads back S3 snapshots). Inference only on request —
+    mirrors spark.read.option("inferSchema", ...) semantics (SURVEY §1.3)."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+) -> DataFrame:
+    """S5 — JDBC source with server-side pushdown.
+
+    The reference runs its star join inside MySQL and pulls the result
+    client-side (etl_pipeline.py:141-150). Here the equivalent is either
+    (a) a pushed-down query string — pass ``"(SELECT ...) t"`` or a bare
+    table name — or (b) reading base tables and joining in Spark.
+    ``partition_column`` + bounds shard the read across executors; without
+    it a JDBC read is a single-task scan (fine for dims, wrong for facts).
+    ``fetchsize`` is the cursor batch size (reference's buffered cursor,
+    etl_pipeline.py:92).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_or_query)
+        .option("fetchsize", fetchsize)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+            .option("numPartitions", num_partitions or 8)
+        )
+    return reader.load()

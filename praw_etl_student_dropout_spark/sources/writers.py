@@ -1,0 +1,66 @@
+"""Sinks (SURVEY.md §2.1 S3-S4).
+
+The reference's sinks are a timestamped CSV backup (etl_pipeline.py:67-70)
+and an ``INSERT IGNORE`` MySQL batch append (etl_pipeline.py:121-127).
+Both generalize here: snapshot = partitioned file write; INSERT IGNORE =
+anti-join-then-append (the only idempotent-append JDBC supports without a
+server-side MERGE).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+
+from ..operators.joins import anti_join_new_keys
+
+
+def csv_snapshot(df: DataFrame, base_dir: str, prefix: str = "backup", ts: datetime | None = None) -> str | None:
+    """S3 — timestamped snapshot (reference etl_pipeline.py:67-70).
+
+    Returns the written path, or None when the frame is empty (the
+    reference's ``if not df.empty`` guard). ``df.isEmpty()`` is a cheap
+    limit-1 job, not a count.
+    """
+    if df.isEmpty():
+        return None
+    stamp = (ts or datetime.now(timezone.utc)).strftime("%Y%m%d_%H%M%S")
+    path = f"{base_dir.rstrip('/')}/{prefix}_{stamp}"
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str] | None = None, batchsize: int = 10_000) -> None:
+    """S4 — batched JDBC append (reference's executemany, etl_pipeline.py:121-126)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).option("batchsize", batchsize)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode("append").save()
+
+
+def idempotent_append(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    keys: list[str],
+    sink,
+) -> DataFrame:
+    """S4/J3 — INSERT IGNORE semantics (etl_pipeline.py:97,106,122).
+
+    Anti-join ``new_rows`` against ``existing`` on ``keys`` so only
+    unseen keys reach the sink, then invoke ``sink(df)`` (a write
+    callback: jdbc append, parquet append, ...). Returns the appended
+    subset. Within-batch duplicates are also collapsed (first by key),
+    matching INSERT IGNORE's first-wins behavior.
+    """
+    deduped = new_rows.dropDuplicates(keys)
+    fresh = anti_join_new_keys(deduped, existing, keys)
+    sink(fresh)
+    return fresh
