@@ -1,0 +1,800 @@
+"""Query catalog: every graded operator as (Spark builder, DuckDB oracle).
+
+This is the engine's `__spark_entry__.py` surface (SURVEY.md §5.1): each
+entry implements one operator family from the §2 inventory as an
+idiomatic-Spark query over the driver fixture tables, paired with the
+ANSI-SQL statement DuckDB runs on the same parquet for the differential
+correctness gate. Oracle rules (SURVEY §7 watch-list):
+
+- every computed column aliased identically on both sides;
+- no order-dependent semantics (driver hash is order-insensitive);
+- doubles only where both engines compute bit-identical values —
+  aggregates are emitted as sums rounded at the decimal precision where
+  the true value is exact (never avg-of-avg), plus exact counts;
+- explicit pivot value lists so empty buckets don't change the schema.
+
+Sub-catalogs register themselves on import: relational (this file),
+text/LLM (catalog_text), dedup/similarity (catalog_llm), streaming-batch
+(catalog_streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregations import (
+    approx_distinct,
+    distinct_values,
+    group_count,
+    grouped_cube,
+    grouped_rollup,
+    insight_summary,
+    mode_of,
+)
+from ..operators.etl import build_dim, build_fact
+from ..operators.joins import anti_join_new_keys, join_on_keys, theta_join
+from ..operators.setops import dedup_by_key, except_keys, intersect_keys, union_all
+from ..operators.windows import global_top_k, running_agg, top_k_per_group, with_lag
+from ..sources.readers import load_tables
+from .flagship import document_sentiment_pivot, enrich_documents, flagship_star_pivot
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs the weaker rows-only check
+    family: str  # SURVEY.md §2 operator id(s)
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, family: str, oracle: str | None, doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, family, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names)
+
+
+# =====================================================================
+# Flagship (J1 + P7 + A3 — the reference's signature star + pivot)
+# =====================================================================
+
+register(
+    "flagship_star_pivot",
+    "J1+A3",
+    """
+    SELECT r_name,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Star join (broadcast dims) + explicit-value pivot; etl_pipeline.py:144-149,183.",
+)(flagship_star_pivot)
+
+
+# --- shared DuckDB SQL fragments for the text pipeline -----------------
+# (mirror functions/text.py exactly; used by several oracles)
+SQL_CLEAN = r"trim(lower(regexp_replace({col}, 'http\S+|www\S+|[^a-zA-Z\s]', '', 'g')))"
+SQL_TOKS = r"regexp_split_to_array(trim({col}), '\s+')"
+
+
+def _sql_hits(toks: str, words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({toks}, w -> list_contains({arr}, w)))"
+
+
+def _sentiment_sql(col: str) -> str:
+    from ..functions.text import NEG_WORDS, POS_WORDS
+
+    toks = SQL_TOKS.format(col=col)
+    pos = _sql_hits(toks, POS_WORDS)
+    neg = _sql_hits(toks, NEG_WORDS)
+    n = f"greatest(len({toks}), 1)"
+    return f"(({pos}) - ({neg})) * 1.0 / ({n})"
+
+
+_DOC_LABEL_SQL = f"""
+    CASE WHEN {_sentiment_sql('text')} > 0.1 THEN 'positive'
+         WHEN {_sentiment_sql('text')} < -0.1 THEN 'negative'
+         ELSE 'neutral' END
+"""
+
+register(
+    "doc_sentiment_pivot",
+    "U2+P7+A3",
+    f"""
+    WITH labeled AS (SELECT source, {_DOC_LABEL_SQL} AS lbl FROM documents)
+    SELECT source,
+           count(*) FILTER (WHERE lbl = 'positive') AS n_positive,
+           count(*) FILTER (WHERE lbl = 'negative') AS n_negative,
+           count(*) FILTER (WHERE lbl = 'neutral')  AS n_neutral
+    FROM labeled GROUP BY source
+    """,
+    doc="Deterministic lexicon sentiment + 3-way CASE bucket + pivot; etl_pipeline.py:78-79,183.",
+)(document_sentiment_pivot)
+
+
+# =====================================================================
+# P/F — projections, predicates, scalar functions
+# =====================================================================
+
+
+@register(
+    "p1_project_clean",
+    "P1+F1+F2+U1",
+    f"""
+    SELECT doc_id,
+           {SQL_CLEAN.format(col='text')} AS clean_text,
+           len({SQL_TOKS.format(col='text')}) AS n_tokens
+    FROM documents
+    """,
+    doc="Projection + regex clean chain as native expressions (no UDF); etl_pipeline.py:73-77.",
+)
+def p1_project_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_text, tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        clean_text(F.col("text")).alias("clean_text"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+
+@register(
+    "p3_regex_flag",
+    "P3",
+    r"""
+    SELECT doc_id,
+           coalesce(regexp_matches(text, '(?i)drop[\s-]?out|dropped out'), false) AS dropout_mentioned,
+           coalesce(regexp_matches(text, '(?i)spark\s+join'), false) AS sparkjoin_mentioned
+    FROM documents
+    """,
+    doc="Regex boolean predicate with na=False semantics; etl_pipeline.py:80.",
+)
+def p3_regex_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import dropout_mentioned
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        dropout_mentioned(F.col("text")).alias("dropout_mentioned"),
+        F.coalesce(F.col("text").rlike(r"(?i)spark\s+join"), F.lit(False)).alias(
+            "sparkjoin_mentioned"
+        ),
+    )
+
+
+@register(
+    "p7_case_bucket",
+    "P6+P7",
+    """
+    SELECT CASE WHEN l_discount > 0.06 THEN 'high'
+                WHEN l_discount < 0.02 THEN 'low'
+                ELSE 'mid' END AS discount_band,
+           count(*) AS cnt,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY discount_band
+    """,
+    doc="3-way CASE WHEN bucketing (the sentiment-label pattern); etl_pipeline.py:79,152-154.",
+)
+def p7_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    band = (
+        F.when(F.col("l_discount") > 0.06, "high")
+        .when(F.col("l_discount") < 0.02, "low")
+        .otherwise("mid")
+    )
+    return (
+        li.groupBy(band.alias("discount_band"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "f5_year_extract",
+    "F4+F5+P6",
+    """
+    SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_year, o_month
+    """,
+    doc="Timestamp part extraction + cast; etl_pipeline.py:81,155 (UTC session, SURVEY §7).",
+)
+def f5_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"), F.month("o_orderdate").alias("o_month")
+        ).agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@register(
+    "f9_json_extract",
+    "F9",
+    """
+    SELECT event_type,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           count(props->>'$.k') AS n_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON path extraction from the events.props string column.",
+)
+def f9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+@register(
+    "f10_array_dot",
+    "F10",
+    """
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS norm_sq,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    doc="Array math over embedding columns via zip_with/aggregate (codegen, no UDF).",
+)
+def f10_array_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import dot_product
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return e.select(
+        "vec_id",
+        F.round(dot_product(F.col("embedding"), F.col("embedding")), 6).alias("norm_sq"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# =====================================================================
+# A — aggregations
+# =====================================================================
+
+
+@register(
+    "a1_group_count",
+    "A1",
+    "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    doc="Single-key GROUP BY count (sentiment distribution); etl_pipeline.py:163.",
+)
+def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_count(_t(spark, sf_dir, "lineitem")["lineitem"], "l_returnflag", name="cnt")
+
+
+@register(
+    "a2_group_count_2key",
+    "A2",
+    """
+    SELECT year(o_orderdate) AS o_year, o_orderstatus, count(*) AS cnt
+    FROM orders GROUP BY o_year, o_orderstatus
+    """,
+    doc="Two-key GROUP BY count (year × flag); etl_pipeline.py:173.",
+)
+def a2_group_count_2key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return group_count(
+        o.select(F.year("o_orderdate").alias("o_year"), "o_orderstatus"),
+        "o_year",
+        "o_orderstatus",
+        name="cnt",
+    )
+
+
+@register(
+    "a4_q1_pricing_summary",
+    "A1-A9",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           count(*) AS count_order,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Multi-aggregate single-pass summary (TPC-H Q1 shape): map-side partial agg, "
+    "sums emitted at exact decimal precision (SURVEY §7 float watch-list).",
+)
+def a4_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "a6_insight_summary",
+    "A4+A5+A6",
+    f"""
+    WITH labeled AS (
+      SELECT {_DOC_LABEL_SQL} AS lbl,
+             coalesce(regexp_matches(text, '(?i)drop[\\s-]?out|dropped out'), false) AS flagged
+      FROM documents
+    )
+    SELECT count(*) AS total_rows,
+           sum(CAST(flagged AS INT)) AS flag_count,
+           round(avg(CASE WHEN lbl = 'neutral' THEN 1.0 ELSE 0.0 END) * 100, 2) AS neutral_pct
+    FROM labeled
+    """,
+    doc="The reference's 5-scan insight block as ONE pass; etl_pipeline.py:194-198.",
+)
+def a6_insight_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = enrich_documents(_t(spark, sf_dir, "documents")["documents"])
+    return insight_summary(docs, "sentiment_label", "dropout_mentioned", "year", "source")
+
+
+@register(
+    "a7_mode",
+    "A7+T4",
+    """
+    SELECT o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY cnt DESC, o_orderpriority ASC LIMIT 1
+    """,
+    doc="Top-1 group (idxmax) with deterministic tiebreak; etl_pipeline.py:197-198.",
+)
+def a7_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mode_of(_t(spark, sf_dir, "orders")["orders"], "o_orderpriority", count_name="cnt")
+
+
+@register(
+    "a8_distinct",
+    "A8",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    doc="Distinct values (df['col'].unique()); etl_pipeline.py:96,104.",
+)
+def a8_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_values(_t(spark, sf_dir, "customer")["customer"], "c_mktsegment")
+
+
+@register(
+    "a10_rollup",
+    "A10",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP subtotal hierarchy.",
+)
+def a10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return grouped_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")],
+    )
+
+
+@register(
+    "a10_cube",
+    "A10",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over all grouping-set combinations.",
+)
+def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return grouped_cube(o, ["o_orderstatus", "o_orderpriority"], [F.count(F.lit(1)).alias("cnt")])
+
+
+@register(
+    "a11_approx_distinct",
+    "A11",
+    None,  # HLL sketches differ across engines — rows-only check; pytest
+    # bounds the estimate against the exact count instead.
+    doc="HyperLogLog++ distinct estimate — the 100 TB distinct-count.",
+)
+def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_distinct(_t(spark, sf_dir, "orders")["orders"], "o_custkey")
+
+
+# =====================================================================
+# J — joins
+# =====================================================================
+
+
+@register(
+    "j1_star_join_agg",
+    "J1",
+    """
+    SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="3-way star equi-join, tiny dims broadcast; etl_pipeline.py:144-149.",
+)
+def j1_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+@register(
+    "j2_surrogate_key_swap",
+    "J2",
+    """
+    WITH dim AS (
+      SELECT dense_rank() OVER (ORDER BY c_mktsegment) AS segment_id, c_mktsegment
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT d.segment_id, count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS sum_bal
+    FROM customer c JOIN dim d ON c.c_mktsegment = d.c_mktsegment
+    GROUP BY d.segment_id
+    """,
+    doc="Natural→surrogate key swap via broadcast join (replaces iterrows+dict, "
+    "etl_pipeline.py:95-119); deterministic dense_rank surrogate keys.",
+)
+def j2_surrogate_key_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")["customer"]
+    dim = build_dim(c, "c_mktsegment", "segment_id")
+    fact = build_fact(
+        c,
+        [(dim, "c_mktsegment", "c_mktsegment", "segment_id")],
+        ["c_custkey", "c_acctbal", "segment_id"],
+    )
+    return fact.groupBy("segment_id").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal")
+    )
+
+
+@register(
+    "j3_anti_join",
+    "J3",
+    """
+    SELECT c_mktsegment, count(*) AS n_no_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-anti join — the distributed INSERT IGNORE; etl_pipeline.py:97,106,122.",
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    no_orders = anti_join_new_keys(
+        t["customer"], t["orders"].select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    )
+    return no_orders.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_no_orders"))
+
+
+@register(
+    "j4_left_join",
+    "J4",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Left outer join preserving order-less customers.",
+)
+def j4_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    j = t["customer"].join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+    )
+
+
+@register(
+    "j4_semi_join",
+    "J4",
+    """
+    SELECT c_mktsegment, count(*) AS n_big_spenders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-semi join (EXISTS).",
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = join_on_keys(t["customer"], big, ["c_custkey"], how="left_semi")
+    return semi.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_big_spenders"))
+
+
+@register(
+    "j4_full_outer",
+    "J4",
+    """
+    WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc="Full outer join of two aggregates.",
+)
+def j4_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = t["supplier"].groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    j = c.join(s, on="nationkey", how="full_outer")
+    return j.select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "j4_theta_join",
+    "J4",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+    """,
+    doc="Non-equi (theta) join — same-region nation pairs.",
+)
+def j4_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    a, b = n.alias("a"), n.alias("b")
+    out = theta_join(
+        a,
+        F.broadcast(b),
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_name") < F.col("b.n_name")),
+    )
+    return out.select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+# =====================================================================
+# W/T — windows, sorts, top-k
+# =====================================================================
+
+
+@register(
+    "w1_topk_per_group",
+    "W1+T4",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Per-group top-k via row_number (scalable idxmax); etl_pipeline.py:197-198.",
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    top = top_k_per_group(
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"),
+        partition_by=["c_custkey"],
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        rank_name="rn",
+    )
+    return top.select("c_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+@register(
+    "w2_lag_delta",
+    "W2",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+    doc="lag() analytic window — per-user previous value in time order.",
+)
+def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    out = with_lag(
+        ev,
+        partition_by=["user_id"],
+        order_by=[F.asc("ts"), F.asc("event_id")],
+        col="value",
+        name="prev_value",
+    )
+    return out.select("event_id", "user_id", "value", "prev_value")
+
+
+@register(
+    "w3_running_sum",
+    "W3",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value
+    FROM events
+    """,
+    doc="Frame-spec running aggregate (both engines accumulate left-to-right "
+    "in frame order; rounded at the exact 2-decimal precision of the data).",
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    out = running_agg(
+        ev,
+        partition_by=["user_id"],
+        order_by=[F.asc("ts"), F.asc("event_id")],
+        agg_col="value",
+        name="__rs",
+    )
+    return out.select("event_id", "user_id", F.round("__rs", 2).alias("running_value"))
+
+
+@register(
+    "t3_global_topk",
+    "T3",
+    """
+    SELECT event_id, ts, event_type FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+    doc="Newest-first capped scan (sort='new' limit; etl_pipeline.py:48) — "
+    "physically TakeOrderedAndProject, never a full sort.",
+)
+def t3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return global_top_k(
+        ev.select("event_id", "ts", "event_type"),
+        order_by=[F.desc("ts"), F.desc("event_id")],
+        k=100,
+    )
+
+
+# =====================================================================
+# D — set ops & exact dedup
+# =====================================================================
+
+
+@register(
+    "d1_union",
+    "D1",
+    """
+    SELECT src, count(*) AS cnt FROM (
+      SELECT 'auto' AS src, c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      UNION ALL
+      SELECT 'bld' AS src, c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) GROUP BY src
+    """,
+    doc="Union of per-branch result sets (the extract accumulation loop; "
+    "etl_pipeline.py:44-57) — plan-level unionByName, no materialization.",
+)
+def d1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")["customer"]
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.lit("auto").alias("src"), "c_custkey"
+    )
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.lit("bld").alias("src"), "c_custkey"
+    )
+    return union_all([auto, bld]).groupBy("src").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "d2_dedup_by_key",
+    "D2",
+    """
+    SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                            l_quantity, l_extendedprice) AS rn
+      FROM lineitem
+    ) WHERE rn = 1 GROUP BY l_returnflag
+    """,
+    doc="Exact dedup by key with deterministic survivor (seen_ids / INSERT "
+    "IGNORE with explicit tiebreak; etl_pipeline.py:41,49-50,122).",
+)
+def d2_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture — the
+    # tiebreak must be a total order for a deterministic survivor
+    # (SURVEY §7: INSERT IGNORE winner is explicit here).
+    first_lines = dedup_by_key(
+        li,
+        ["l_orderkey"],
+        tiebreak=[
+            F.asc("l_linenumber"),
+            F.asc("l_partkey"),
+            F.asc("l_suppkey"),
+            F.asc("l_quantity"),
+            F.asc("l_extendedprice"),
+        ],
+    )
+    return first_lines.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "d4_intersect",
+    "D4",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct semantics).",
+)
+def d4_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return intersect_keys(
+        t["customer"].select(F.col("c_nationkey").alias("nationkey")),
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey")),
+    )
+
+
+@register(
+    "d4_except",
+    "D4",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT — nations with customers but no suppliers.",
+)
+def d4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return except_keys(
+        t["customer"].select(F.col("c_nationkey").alias("nationkey")),
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey")),
+    )

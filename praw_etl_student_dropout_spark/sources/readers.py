@@ -52,7 +52,9 @@ def _normalize_nanos(df: DataFrame, expected: T.StructType | None) -> DataFrame:
         and isinstance(df.schema[f.name].dataType, T.LongType)
     }
     for name in fixes:
-        df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+        # Integer `div`, NOT float division: ns-since-epoch exceeds 2^53,
+        # so a double round-trip shifts the microsecond value.
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
 
 

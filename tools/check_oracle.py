@@ -1,0 +1,133 @@
+"""Local replica of the driver's DuckDB-oracle differential check.
+
+Runs every catalog query on Spark and its oracle SQL on DuckDB at sf0.01,
+compares row count, column-name set, and an order-insensitive row
+multiset. Floats are compared exactly first; any nonzero diff is
+reported with its magnitude so the query can be restructured to emit
+deterministic values (the driver's hash tolerance is unknown — bit-equal
+is the only safe target).
+
+Usage: python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("f", "nan")
+            return ("f", v)
+        if isinstance(v, bool):
+            return ("b", v)
+        if v is None:
+            return ("n",)
+        return (type(v).__name__, str(v))
+
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def float_diff(a_rows, b_rows) -> float:
+    """Max abs diff between matched float positions after sorting; inf when
+    shapes differ."""
+    if len(a_rows) != len(b_rows):
+        return float("inf")
+    worst = 0.0
+    for ra, rb in zip(a_rows, b_rows):
+        if len(ra) != len(rb):
+            return float("inf")
+        for va, vb in zip(ra, rb):
+            if va[0] == "f" and vb[0] == "f" and va[1] != "nan" and vb[1] != "nan":
+                worst = max(worst, abs(va[1] - vb[1]))
+            elif va != vb:
+                return float("inf")
+    return worst
+
+
+def main() -> int:
+    from praw_etl_student_dropout_spark.plans import catalog_all
+    from praw_etl_student_dropout_spark.session import get_spark
+
+    registry = catalog_all()
+    wanted = sys.argv[1:] or list(registry)
+    spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
+    con = duck_con()
+    failures = []
+    for name in wanted:
+        spec = registry[name]
+        if spec.oracle is None:
+            t0 = time.time()
+            n = spec.builder(spark, SF_DIR).count()
+            print(f"{name:32s} ROWS-ONLY rows={n} ({time.time()-t0:.1f}s)")
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"{name:32s} SPARK-ERROR {str(e)[:200]}")
+            failures.append(name)
+            continue
+        try:
+            d = con.sql(spec.oracle)
+            d_cols = d.columns
+            d_rows = d.fetchall()
+        except Exception as e:
+            print(f"{name:32s} ORACLE-ERROR {str(e)[:200]}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            a = normalize(s_rows, s_cols)
+            b = normalize(d_rows, d_cols)
+            if a != b:
+                fd = float_diff(a, b)
+                if fd == 0.0:
+                    problems.append("rows differ (non-float)")
+                elif fd == float("inf"):
+                    ex = next((x, y) for x, y in zip(a, b) if x != y)
+                    problems.append(f"rows differ, e.g. {ex[0][:4]} vs {ex[1][:4]}")
+                else:
+                    problems.append(f"float diff max={fd:.3e}")
+        status = "OK" if not problems else "FAIL"
+        print(f"{name:32s} {status} rows={len(s_rows)} ({time.time()-t0:.1f}s)"
+              + ("" if not problems else "  " + "; ".join(problems)[:300]))
+        if problems:
+            failures.append(name)
+    print(f"\n{len(wanted) - len(failures)}/{len(wanted)} OK; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
