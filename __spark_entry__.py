@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+All implementations live in ``praw_etl_student_dropout_spark``; this file
+only adapts the catalog registry to the driver's interface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_conf(spark: SparkSession) -> None:
+    """Confs the engine needs on a driver-provided session (the fixture
+    events table stores TIMESTAMP(NANOS); UTC keeps year()/date_trunc()
+    agreeing with the oracle)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # immutable conf on some deployments; session.get_spark sets it
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (reference's star join + pivot, etl_pipeline.py:
+    144-149,183) on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_conf(spark)
+    from praw_etl_student_dropout_spark.plans.flagship import flagship_star_pivot
+
+    return flagship_star_pivot(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from praw_etl_student_dropout_spark.plans import catalog_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in catalog_all().items():
+        def make(fn):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                _ensure_conf(spark)
+                return fn(spark, sf_dir)
+
+            return run
+
+        out[name] = make(spec.builder)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted entries (oracle=None) are
+    non-SQL-expressible ops the driver checks rows-only."""
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    return {name: spec.oracle for name, spec in catalog_all().items() if spec.oracle is not None}

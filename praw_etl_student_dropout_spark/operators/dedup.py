@@ -139,9 +139,13 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 64
     )
     sig = bit_sums.select(
         F.col(id_col),
+        # shiftleft keeps bit 63 in JVM long space (a Python 1<<63 literal
+        # overflows the signed range on the py4j boundary)
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+                F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
                 for i in range(bits)
             ],
             F.lit(0).cast("long"),

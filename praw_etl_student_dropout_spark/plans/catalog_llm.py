@@ -1,0 +1,206 @@
+"""Dedup + similarity-search catalog entries (SURVEY.md §2.7 D3 ⊕,
+§2.9 U7 ⊕ — the LLM-data-pipeline mandate).
+
+Exact variants (fingerprint dedup, n-gram Jaccard, brute-force cosine)
+carry DuckDB oracles. The approximate variants (MinHash-LSH, SimHash,
+hyperplane-LSH buckets, IVF probing) are non-SQL-expressible — the driver
+records rows-only; pytest invariants bound them against the exact
+versions (containment / recall), see tests/test_dedup.py and
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from ..operators.similarity import (
+    assign_centroids,
+    brute_force_topk,
+    ivf_topk,
+    sample_centroids,
+)
+from .catalog import SQL_CLEAN, SQL_TOKS, _t, register
+
+# DuckDB mirror of dedup.word_shingles: distinct word n-grams (n=3),
+# whole-text shingle for short docs.
+SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({t}) - 3, 0) + 2), "
+    "i -> array_to_string({t}[i:i+2], ' ')))"
+)
+
+SQL_COSINE = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / greatest("
+    "sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])), 1e-12)"
+)
+
+
+@register(
+    "d3_exact_dedup",
+    "D3",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort({SQL_TOKS.format(col=SQL_CLEAN.format(col='text'))}), ' '))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS dup_count
+    FROM fp GROUP BY fingerprint
+    """,
+    doc="Exact dedup stage: hash-groupBy on the normalized fingerprint, "
+    "min-id survivor — one uniform shuffle, no skew.",
+)
+def d3_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "d3_ngram_jaccard",
+    "D3",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    shared AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT id_a, id_b,
+           round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.0
+    """,
+    doc="Exact n-gram Jaccard via shingle inverted index (equi-join on "
+    "shingle, never all-pairs). Threshold 0 keeps every sharing pair so the "
+    "oracle exercises the full index path.",
+)
+def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0)
+
+
+@register(
+    "d3_minhash_pairs",
+    "D3",
+    None,  # xxhash64 signatures aren't SQL-reproducible; pytest bounds
+    # LSH recall against d3_ngram_jaccard's exact pairs.
+    doc="MinHash+LSH near-dup candidates, exact-Jaccard verified "
+    "(shingle→minhash→band→bucket-join).",
+)
+def d3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2, num_hashes=32, bands=16)
+
+
+@register(
+    "d3_simhash_pairs",
+    "D3",
+    None,
+    doc="SimHash 64-bit near-dup pairs via pigeonhole banding + popcount verify.",
+)
+def d3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return simhash_dup_pairs(docs, "text", "doc_id", max_hamming=12, bands=4)
+
+
+@register(
+    "d3_embedding_dup_exact",
+    "D3+U7",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({SQL_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.35
+    """,
+    doc="Embedding cosine near-dup, exact all-pairs baseline (the oracle-"
+    "checkable truth the LSH variant is measured against).",
+)
+def d3_embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    cos = cosine_similarity(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine_raw", 6).alias("cosine"))
+    )
+
+
+@register(
+    "d3_embedding_dup_lsh",
+    "D3+U7",
+    None,  # approximate bucketing — pytest checks pairs ⊆ exact + recall
+    doc="Embedding near-dup via random-hyperplane LSH buckets (the scale "
+    "path: equi-join on signature, verify within buckets only).",
+)
+def d3_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_dup_pairs(e, "embedding", "vec_id", threshold=0.35, num_planes=8)
+
+
+@register(
+    "u7_knn_bruteforce",
+    "U7",
+    f"""
+    SELECT query_id, vec_id, round(score, 6) AS score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             {SQL_COSINE.format(a='q.embedding', b='c.embedding')} AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {SQL_COSINE.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id ASC
+             ) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+      CROSS JOIN embeddings c
+    ) WHERE rank <= 10
+    """,
+    doc="Exact top-k cosine per query: broadcast query set × corpus scan + "
+    "window top-k; deterministic (score desc, id asc) order.",
+)
+def u7_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(
+        queries, e, query_id="query_id", corpus_id="vec_id",
+        query_vec="query_vec", corpus_vec="embedding", k=10, metric="cosine",
+    )
+
+
+@register(
+    "u7_knn_ivf",
+    "U7",
+    None,  # approximate (probes nprobe centroid partitions); pytest
+    # measures recall@10 against u7_knn_bruteforce.
+    doc="IVF approximate top-k: one-time centroid assignment, queries probe "
+    "nprobe inverted lists via equi-join on centroid_id.",
+)
+def u7_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    centroids = sample_centroids(e, num_centroids=16)
+    indexed = assign_centroids(e, centroids)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(queries, indexed, centroids, k=10, nprobe=4)

@@ -1,0 +1,91 @@
+"""Streaming-window catalog entries, batch mode (SURVEY.md §2.10 ST3/ST4).
+
+The oracle harness is batch SQL, so the graded surface is ``window()`` /
+``session_window()`` in a plain groupBy — semantically identical to the
+streaming aggregation state. The true ``readStream`` pipelines (watermark,
+dropDuplicatesWithinWatermark, foreachBatch) live in
+``streaming.stream_jobs`` with pytest invariant tests — same dataflow,
+incremental trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.batch_windows import session_agg, sliding_agg, tumbling_agg
+from .catalog import _t, register
+
+
+@register(
+    "st3_tumbling_window",
+    "ST3",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    doc="Tumbling 1-hour window aggregate (streaming analog of the year× "
+    "flag count, etl_pipeline.py:173); epoch-aligned windows = date_trunc.",
+)
+def st3_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return tumbling_agg(ev, "ts", "1 hour", ["event_type"])
+
+
+@register(
+    "st3_sliding_window",
+    "ST3",
+    """
+    WITH assigned AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 * 1000000)
+               AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - 1) * 1800 * 1000000)
+               AS window_start, value
+      FROM events
+    )
+    SELECT window_start, count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM assigned GROUP BY window_start
+    """,
+    doc="Sliding window (1 h length, 30 min slide): each event lands in two "
+    "epoch-aligned windows; oracle enumerates both assignments.",
+)
+def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    out = sliding_agg(ev, "ts", "1 hour", "30 minutes")
+    return out
+
+
+@register(
+    "st4_session_window",
+    "ST4",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    doc="Session window (30-min gap) per user; oracle is the gaps-and-"
+    "islands decomposition of the same merge rule (merge iff gap < 30 min).",
+)
+def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return session_agg(ev, "ts", "30 minutes", ["user_id"])

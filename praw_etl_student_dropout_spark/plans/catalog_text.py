@@ -1,0 +1,289 @@
+"""Text-analysis + ETL-surface catalog entries (SURVEY.md §2.9 U6 ⊕,
+§2.3 J2/J3, §2.1 multimodal plumbing, as-of/range joins).
+
+The text operators are the LLM-data-pipeline mandate (language ID,
+quality scoring, token counting, fingerprinting) expressed as native
+expressions over ``documents``; each pairs with a DuckDB oracle that
+reproduces the exact same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    tokens,
+)
+from ..operators.etl import build_dim, build_fact
+from ..operators.joins import asof_join, range_bucket_join
+from .catalog import SQL_CLEAN, SQL_TOKS, _sql_hits, _t, register
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "u6_text_stats",
+    "U6+F10",
+    f"""
+    SELECT doc_id,
+           len({SQL_TOKS.format(col='text')}) AS n_tokens,
+           len(list_distinct({SQL_TOKS.format(col='text')})) AS n_unique_tokens,
+           length(text) AS n_chars_text,
+           list_aggregate(list_transform({SQL_TOKS.format(col='text')}, t -> length(t)), 'sum')
+             AS total_token_chars
+    FROM documents
+    """,
+    doc="Token statistics as integer-exact native expressions (no division, "
+    "no UDF) — the whitespace token counting path.",
+)
+def u6_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+        ).alias("total_token_chars"),
+    )
+
+
+@register(
+    "u6_token_count_bpe",
+    "U6",
+    f"""
+    SELECT doc_id, len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-ish regex pre-tokenizer count (letter runs / digit runs / symbols).",
+)
+def u6_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+    )
+
+
+def _lang_sql() -> str:
+    """DuckDB mirror of functions.text.lang_id: marker-token hit argmax,
+    alphabetical code tiebreak, CJK codepoint override, no hits → 'und'."""
+    from ..functions.text import _LANG_MARKERS
+
+    toks = SQL_TOKS.format(col="lower(text)")
+    parts = {
+        code: _sql_hits(toks, markers) for code, markers in _LANG_MARKERS.items() if markers
+    }
+    hits = ", ".join(f"({sql}) AS s_{code}" for code, sql in parts.items())
+    g = "greatest(" + ", ".join(f"s_{c}" for c in parts) + ")"
+    # CASE checks in alphabetical order = smallest code wins ties
+    cases = " ".join(f"WHEN s_{c} = g THEN '{c}'" for c in sorted(parts))
+    return f"""
+    WITH scored AS (SELECT doc_id, text, {hits} FROM documents),
+         best AS (SELECT doc_id, text, {g} AS g, * FROM scored)
+    SELECT lang_guess, count(*) AS cnt FROM (
+      SELECT CASE WHEN coalesce(regexp_matches(text, '[一-鿿]'), false) THEN 'zh'
+                  WHEN g = 0 THEN 'und'
+                  {cases} END AS lang_guess
+      FROM best
+    ) GROUP BY lang_guess
+    """
+
+
+@register(
+    "u6_lang_id",
+    "U6",
+    _lang_sql(),
+    doc="N-gram-heuristic language ID (marker tokens + CJK codepoints), "
+    "deterministic argmax — distribution of guesses.",
+)
+def u6_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _quality_sql() -> str:
+    toks = SQL_TOKS.format(col="text")
+    stop_hits = _sql_hits(toks, STOPWORDS)
+    return f"""
+    SELECT doc_id, round((
+        (CASE WHEN len({toks}) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0
+              THEN length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[^a-zA-Z]', '', 'g'))
+                   * 1.0 / length(regexp_replace(text, '\\s+', '', 'g'))
+              ELSE 0.0 END)
+      + least(({stop_hits}) * 1.0 / greatest(len({toks}), 1), 0.5) * 2.0
+    ) / 3.0, 6) AS quality
+    FROM documents
+    """
+
+
+@register(
+    "u6_quality_score",
+    "U6",
+    _quality_sql(),
+    doc="Pretraining-data quality heuristic (length sanity + alpha ratio + "
+    "stopword signal), pure expressions.",
+)
+def u6_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "u6_fingerprint",
+    "U6+D3",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort({SQL_TOKS.format(col=SQL_CLEAN.format(col='text'))}), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+    doc="Order-insensitive md5 fingerprint over the sorted cleaned-token bag.",
+)
+def u6_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "multimodal_meta",
+    "S-multimodal",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="Opaque-binary column plumbing: payload byte length + content digest "
+    "(the typed-metadata side of the multimodal column model; decode stubs "
+    "live in operators.multimodal).",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+# =====================================================================
+# ETL surface: star-schema build + incremental idempotent load
+# =====================================================================
+
+
+@register(
+    "etl_star_schema",
+    "J2+J3+A8",
+    """
+    WITH dim_source AS (
+      SELECT dense_rank() OVER (ORDER BY source) AS source_id, source
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    dim_lang AS (
+      SELECT dense_rank() OVER (ORDER BY lang) AS lang_id, lang
+      FROM (SELECT DISTINCT lang FROM documents)
+    )
+    SELECT s.source_id, l.lang_id, count(*) AS n_docs, sum(d.n_chars) AS total_chars
+    FROM documents d
+    JOIN dim_source s ON d.source = s.source
+    JOIN dim_lang l ON d.lang = l.lang
+    GROUP BY s.source_id, l.lang_id
+    """,
+    doc="The reference's full Load stage (etl_pipeline.py:94-127): distinct→"
+    "dim build with deterministic surrogate keys, broadcast key swap, fact "
+    "aggregate — zero driver-side loops.",
+)
+def etl_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    dim_source = build_dim(docs, "source", "source_id")
+    dim_lang = build_dim(docs, "lang", "lang_id")
+    fact = build_fact(
+        docs,
+        [
+            (dim_source, "source", "source", "source_id"),
+            (dim_lang, "lang", "lang", "lang_id"),
+        ],
+        ["doc_id", "n_chars", "source_id", "lang_id"],
+    )
+    return fact.groupBy("source_id", "lang_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+# =====================================================================
+# Advanced joins: as-of + banded range (events)
+# =====================================================================
+
+
+@register(
+    "j5_asof_join",
+    "J4⊕",
+    """
+    SELECT p.event_id, p.user_id, p.value, c.click_value
+    FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (latest click at-or-before each purchase, per user) as a "
+    "union+window composition — one shuffle on the key, no nested loop.",
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_value"],
+    )
+    return out.select("event_id", "user_id", "value", "click_value")
+
+
+@register(
+    "j6_range_join",
+    "J4⊕",
+    """
+    SELECT a.event_id AS error_id, b.event_id AS view_id, a.user_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') a
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id
+     AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 600
+    """,
+    doc="Range (band) join decomposed into an equi-join on time buckets + "
+    "residual filter — shuffle join instead of O(n·m) nested loop.",
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = range_bucket_join(
+        errors, views, "error_ts", "view_ts", max_gap_seconds=600, extra_keys=["user_id"]
+    )
+    return joined.select("error_id", "view_id", "user_id")

@@ -1,0 +1,42 @@
+"""Event-time window aggregates, batch mode (SURVEY.md §2.10 ST3/ST4).
+
+``window()`` / ``session_window()`` in a plain groupBy — the exact
+aggregation the streaming jobs run incrementally, so batch results double
+as the oracle-checkable truth for the streaming pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(df: DataFrame, ts_col: str, duration: str, keys: list[str]) -> DataFrame:
+    """ST3 — non-overlapping event-time windows; epoch-aligned starts."""
+    w = F.window(ts_col, duration)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "cnt", "sum_value")
+    )
+
+
+def sliding_agg(df: DataFrame, ts_col: str, duration: str, slide: str) -> DataFrame:
+    """ST3 — overlapping windows (each event in duration/slide windows)."""
+    w = F.window(ts_col, duration, slide)
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "cnt", "sum_value")
+    )
+
+
+def session_agg(df: DataFrame, ts_col: str, gap: str, keys: list[str]) -> DataFrame:
+    """ST4 — dynamic session windows: events merge while consecutive gaps
+    are < ``gap``; the window extends ``gap`` past the last event."""
+    w = F.session_window(ts_col, gap)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(*keys, F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
