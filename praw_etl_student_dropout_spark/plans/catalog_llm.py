@@ -117,7 +117,7 @@ def d3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return simhash_dup_pairs(docs, "text", "doc_id", max_hamming=12, bands=4)
+    return simhash_dup_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
 
 
 @register(
