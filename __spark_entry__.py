@@ -17,7 +17,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+
+_pkg_shipped = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable inside Python UDF workers.
+
+    Driver-side sys.path does NOT propagate to executor Python processes,
+    so any pandas_udf/mapInPandas query fails with ModuleNotFoundError
+    when the driver runs from a cwd other than the repo root. Shipping a
+    package zip via addPyFile puts it on every worker's sys.path."""
+    global _pkg_shipped
+    if _pkg_shipped:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = "praw_etl_student_dropout_spark"
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg}_shipped.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        root = os.path.join(_REPO_DIR, pkg)
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, _REPO_DIR))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Spark Connect sessions without an SC; workers then
+        # rely on PYTHONPATH, which pytest/repo-root runs already have
+    _pkg_shipped = True
 
 
 def _ensure_conf(spark: SparkSession) -> None:
@@ -29,6 +62,7 @@ def _ensure_conf(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # immutable conf on some deployments; session.get_spark sets it
+    _ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -181,6 +181,67 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_features",
+    "S-multimodal+U5",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           16 AS n_features,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END
+                AS DOUBLE) AS feature_mass
+    FROM documents
+    """,
+    doc="Decode + feature-extract over opaque binary payloads via Arrow "
+    "mapInPandas (operators.multimodal.extract_features). The fake decoder "
+    "emits a normalized byte histogram, so feature mass is exactly 1 per "
+    "non-empty payload — which the oracle can state in SQL even though the "
+    "histogram itself is not SQL-expressible.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(_t(spark, sf_dir, "documents")["documents"])
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_mass"
+        ),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    "S-multimodal+U5",
+    """
+    SELECT doc_id AS media_id,
+           CAST(ceil(greatest(octet_length(encode(text)), 1) / 1024.0) AS INT)
+             AS n_frames,
+           CAST(least(greatest(octet_length(encode(text)), 1), 256) AS INT)
+             AS first_frame_bytes
+    FROM documents
+    """,
+    doc="Frame-sampling fan-out (one payload row -> many frame rows inside "
+    "the executor, operators.multimodal.sample_frames), folded back to "
+    "per-media frame counts + first-frame size so DuckDB can verify the "
+    "fan-out arithmetic.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(_t(spark, sf_dir, "documents")["documents"])
+    frames = sample_frames(media, frame_size=256, stride=1024)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.max(
+            F.when(F.col("frame_no") == 0, F.octet_length("frame_bytes"))
+        ).cast("int").alias("first_frame_bytes"),
+    )
+
+
 # =====================================================================
 # ETL surface: star-schema build + incremental idempotent load
 # =====================================================================

@@ -1,0 +1,102 @@
+"""Structured Streaming jobs (SURVEY.md §2.10 ST1-ST5).
+
+The reference re-runs one batch script on a cadence with timestamped CSV
+backups and INSERT IGNORE (etl_pipeline.py:68,97,106,122;
+.MISSING_LARGE_BLOBS) — a hand-rolled micro-batch pipeline. These jobs
+are the Spark-native formalization: file-source micro-batches,
+checkpointed state, event-time watermarks bounding the dedup/window
+state that the reference kept unbounded ("dedupe whatever arrives").
+
+All builders return the streaming DataFrame; callers pick the sink.
+``run_available_now`` drains whatever data exists and stops — the
+batch-parity mode the tests use (same plan the driver-graded batch
+window queries run, executed incrementally).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import EVENTS
+
+
+def read_event_stream(spark: SparkSession, events_dir: str, schema: T.StructType = EVENTS) -> DataFrame:
+    """ST1 — file micro-batch source over a parquet directory. New files
+    appearing in the dir are discovered per trigger (the streaming analog
+    of the reference's repeated-run ingestion)."""
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def tumbling_counts_stream(stream: DataFrame, watermark: str = "1 hour", duration: str = "1 hour") -> DataFrame:
+    """ST2+ST3 — watermarked tumbling window counts. The watermark bounds
+    aggregation state: windows older than max(event time) - watermark
+    finalize and evict; later-arriving events drop."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sessionized_stream(stream: DataFrame, watermark: str = "1 hour", gap: str = "30 minutes") -> DataFrame:
+    """ST4 — streaming session windows per user."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def deduped_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST5 — stateful exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps only in-watermark keys, the
+    streaming form of the seen_ids set / INSERT IGNORE (D2/J3) that
+    cannot grow without bound at 100 TB/day."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain all currently-available input through the streaming plan into
+    an in-memory sink table named ``query_name``, then stop. Checkpointed:
+    re-running with the same dir resumes instead of reprocessing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_idempotent_append(
+    stream_df: DataFrame, keys: list[str], target_path: str, checkpoint_dir: str
+) -> None:
+    """ST1+J3 — micro-batch idempotent load: each batch anti-joins the
+    sink's current keys before appending (exactly the reference's INSERT
+    IGNORE cadence, etl_pipeline.py:121-127, without the server)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(keys)
+        try:
+            existing = spark.read.parquet(target_path).select(*keys)
+            fresh = fresh.join(existing, on=keys, how="left_anti")
+        except Exception:
+            pass  # first batch: sink doesn't exist yet
+        fresh.write.mode("append").parquet(target_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

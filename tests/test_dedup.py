@@ -1,0 +1,115 @@
+"""Dedup invariants (SURVEY.md §5.3): idempotence, exact-vs-approx
+containment, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from praw_etl_student_dropout_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+    word_shingles,
+)
+from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    once = exact_dedup(d, "text", "doc_id")
+    n1 = once.count()
+    # dedup of the dedup result changes nothing (INSERT IGNORE semantics,
+    # etl_pipeline.py:122)
+    again = exact_dedup(
+        once.join(d, "doc_id").select("doc_id", "text"), "text", "doc_id"
+    )
+    assert again.count() == n1
+    # duplicating the input changes nothing but dup_count
+    doubled = d.unionByName(d)
+    n2 = exact_dedup(doubled, "text", "doc_id").count()
+    assert n2 == n1
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    clone = d.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    planted = d.unionByName(clone)
+    result = exact_dedup(planted, "text", "doc_id")
+    dups = result.filter(F.col("dup_count") >= 2)
+    assert dups.count() >= 1
+    # survivor is the min id — the original, not the 1M clone
+    assert result.agg(F.max("doc_id")).first()[0] < 1_000_000
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    threshold = 0.2
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=threshold).collect()
+    }
+    approx = minhash_dedup_pairs(
+        d, "text", "doc_id", threshold=threshold, num_hashes=32, bands=16
+    ).collect()
+    approx_pairs = {(r.id_a, r.id_b) for r in approx}
+    # verified with TRUE jaccard → no false positives
+    assert approx_pairs <= exact
+    # LSH at b=16,r=2 has high collision prob at j>=0.2 → decent recall
+    if exact:
+        recall = len(approx_pairs) / len(exact)
+        assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_minhash_planted_duplicate_found(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    clone = d.limit(3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    planted = d.unionByName(clone)
+    pairs = minhash_dedup_pairs(planted, "text", "doc_id", threshold=0.9).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in d.limit(3).collect()}
+    assert expected <= found  # identical docs always collide in every band
+
+
+def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    clone = d.limit(2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    pairs = simhash_dup_pairs(d.unionByName(clone), "text", "doc_id", max_hamming=0, bands=4)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for r in d.limit(2).collect():
+        assert got.get((r.doc_id, r.doc_id + 1_000_000)) == 0
+
+
+def test_embedding_lsh_subset_of_exact(spark, sf_dir):
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    lsh = embedding_dup_pairs(e, "embedding", "vec_id", threshold=0.3, num_planes=8)
+    from praw_etl_student_dropout_spark.functions.arrays import cosine_similarity
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert lsh_pairs <= exact_pairs  # bucket-verified → no false positives
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], ["id", "t"])
+    rows = {r.id: r.sh for r in df.select("id", word_shingles(F.col("t"), 3).alias("sh")).collect()}
+    assert rows[1] == ["a b"]  # shorter than n → whole-text shingle
+    assert rows[2] == ["a b c", "b c d"]

@@ -1,0 +1,72 @@
+"""Similarity-search invariants: brute-force agrees with numpy; IVF
+recall against brute force; dot-product expression correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from praw_etl_student_dropout_spark.functions.arrays import cosine_similarity, dot_product
+from praw_etl_student_dropout_spark.operators.similarity import (
+    assign_centroids,
+    brute_force_topk,
+    ivf_topk,
+    sample_centroids,
+)
+from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+
+def test_dot_product_matches_numpy(spark):
+    a = [0.5, -1.0, 2.0]
+    b = [1.0, 4.0, -0.25]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(dot_product(F.col("a"), F.col("b")).alias("d")).first().d
+    assert abs(got - float(np.dot(a, b))) < 1e-12
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = brute_force_topk(queries, e, k=5).collect()
+    rows = e.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(3):
+        q = mat[ids == qid][0]
+        sims = mat @ q / (norms * np.linalg.norm(q))
+        order = sorted(zip(-sims, ids))[:5]
+        expected = [int(i) for _, i in order]
+        mine = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert mine == expected, f"query {qid}: {mine} != {expected}"
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(queries, e, k=10).collect()
+    centroids = sample_centroids(e, num_centroids=16)
+    indexed = assign_centroids(e, centroids)
+    approx = ivf_topk(queries, indexed, centroids, k=10, nprobe=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean recall@10 {sum(recalls)/len(recalls):.2f}"
+
+
+def test_cosine_self_similarity_is_one(spark, sf_dir):
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    row = e.select(
+        cosine_similarity(F.col("embedding"), F.col("embedding")).alias("c")
+    ).agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
+    assert abs(row.lo - 1.0) < 1e-9 and abs(row.hi - 1.0) < 1e-9

@@ -1,0 +1,118 @@
+"""Streaming invariants (SURVEY.md §5.3, §2.10 ST1-ST5): streamed window
+aggregates agree with their batch-mode twins (the oracle-checked truth);
+stateful dedup collapses replayed input; foreachBatch append is idempotent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from praw_etl_student_dropout_spark.sources.readers import load_tables
+from praw_etl_student_dropout_spark.streaming.batch_windows import session_agg, tumbling_agg
+from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+    deduped_stream,
+    foreach_batch_idempotent_append,
+    read_event_stream,
+    run_available_now,
+    sessionized_stream,
+    tumbling_counts_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Landing-zone copy of the events fixture (streaming file source needs
+    a directory; the fixture parquet is a single TIMESTAMP(NANOS) file the
+    batch loader normalizes to micros first)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_tables(spark, sf_dir, ["events"])["events"].write.parquet(path)
+    return path
+
+
+def _drain(spark, stream_df, tmp_path, name, mode):
+    run_available_now(stream_df, str(tmp_path / f"ckpt_{name}"), name, output_mode=mode)
+    return spark.table(name)
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir, sf_dir, tmp_path):
+    batch = tumbling_agg(
+        load_tables(spark, sf_dir, ["events"])["events"], "ts", "1 hour", ["event_type"]
+    )
+    streamed = _drain(
+        spark,
+        tumbling_counts_stream(read_event_stream(spark, events_dir)),
+        tmp_path,
+        "tumbling_complete",
+        "complete",
+    )
+    # complete mode emits every window regardless of watermark → exact match
+    assert _as_set(streamed) == _as_set(batch)
+
+
+def test_tumbling_stream_append_is_subset_of_batch(spark, events_dir, sf_dir, tmp_path):
+    batch = tumbling_agg(
+        load_tables(spark, sf_dir, ["events"])["events"], "ts", "1 hour", ["event_type"]
+    )
+    streamed = _drain(
+        spark,
+        tumbling_counts_stream(read_event_stream(spark, events_dir)),
+        tmp_path,
+        "tumbling_append",
+        "append",
+    )
+    # append mode only emits windows the watermark has closed — a subset,
+    # and every emitted row is final (identical to the batch value)
+    assert _as_set(streamed) <= _as_set(batch)
+
+
+def test_session_stream_matches_batch(spark, events_dir, sf_dir, tmp_path):
+    batch = session_agg(
+        load_tables(spark, sf_dir, ["events"])["events"], "ts", "30 minutes", ["user_id"]
+    ).select("user_id", "session_start", "n_events")
+    streamed = _drain(
+        spark,
+        sessionized_stream(read_event_stream(spark, events_dir), gap="30 minutes"),
+        tmp_path,
+        "session_complete",
+        "complete",
+    )
+    assert _as_set(streamed) == _as_set(batch)
+
+
+def test_deduped_stream_collapses_replay(spark, sf_dir, tmp_path):
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    replay_dir = str(tmp_path / "replayed")
+    events.write.parquet(replay_dir)  # file 1
+    events.write.mode("append").parquet(replay_dir)  # file 2: full replay
+    n_distinct = events.select("event_id").distinct().count()
+    streamed = _drain(
+        spark,
+        deduped_stream(read_event_stream(spark, replay_dir)),
+        tmp_path,
+        "dedup_stream",
+        "append",
+    )
+    assert streamed.count() == n_distinct
+    assert streamed.select("event_id").distinct().count() == n_distinct
+
+
+def test_foreach_batch_append_is_idempotent(spark, events_dir, tmp_path):
+    target = str(tmp_path / "sink")
+    for attempt in ("c1", "c2"):
+        # second pass = fresh checkpoint → full reprocess of the same input;
+        # the anti-join must suppress every duplicate (INSERT IGNORE parity)
+        foreach_batch_idempotent_append(
+            read_event_stream(spark, events_dir),
+            keys=["event_id"],
+            target_path=target,
+            checkpoint_dir=str(tmp_path / attempt),
+        )
+    sunk = spark.read.parquet(target)
+    n_src = spark.read.parquet(events_dir).count()
+    assert sunk.count() == n_src
+    assert sunk.select("event_id").distinct().count() == n_src
