@@ -29,3 +29,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (||a|| * ||b||); null-safe via greatest-epsilon guard."""
     denom = l2_norm(a) * l2_norm(b)
     return dot_product(a, b) / F.greatest(denom, F.lit(1e-12))
+
+
+def cosine_from_norms(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine when the norms are already materialized as columns.
+
+    ``l2_norm`` is a deterministic fold of the array, so hoisting it out
+    of an N×M scoring join (compute once per side, not once per pair)
+    produces bit-identical scores with 3x fewer array traversals."""
+    return dot / F.greatest(norm_a * norm_b, F.lit(1e-12))

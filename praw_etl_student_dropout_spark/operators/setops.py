@@ -20,22 +20,51 @@ def union_all(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)
 
 
-def dedup_by_key(df: DataFrame, keys: list[str], tiebreak: list[Column] | None = None) -> DataFrame:
+def dedup_by_key(
+    df: DataFrame,
+    keys: list[str],
+    tiebreak: list[Column | str] | None = None,
+    strategy: str = "agg",
+) -> DataFrame:
     """D2 — exact dedup (seen_ids etl_pipeline.py:41,49-50; INSERT IGNORE
     etl_pipeline.py:122).
 
-    With ``tiebreak`` the survivor per key is deterministic (row_number=1
-    in tiebreak order — SURVEY §7 watch-list: which duplicate wins must
-    be explicit in a distributed engine). Without it, ``dropDuplicates``
-    (cheaper: partial dedup map-side, arbitrary survivor).
+    With ``tiebreak`` the survivor per key is the row with the smallest
+    tiebreak tuple (ascending lexicographic — must be a total order for
+    determinism; SURVEY §7 watch-list). Two physical strategies:
+
+    - ``"agg"`` (default): ``min_by`` over a struct — ONE shuffle with
+      map-side partial aggregation, so a hot key is reduced to one row
+      per input partition before the exchange. Skew-immune; the right
+      default for INSERT-IGNORE-style loads where duplicate ratios are
+      high and unpredictable.
+    - ``"window"``: row_number over (keys, tiebreak) — shuffles and
+      sorts every duplicate into one reducer per key. Measurably faster
+      when keys are near-unique (no reduction for partial agg to win),
+      but a hot key serializes into a single task at scale.
+
+    Without ``tiebreak``: ``dropDuplicates`` (arbitrary survivor).
     """
     if tiebreak is None:
         return df.dropDuplicates(keys)
-    from pyspark.sql import Window
+    tb_cols = [F.col(c) if isinstance(c, str) else c for c in tiebreak]
+    if strategy == "window":
+        from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(*tiebreak)
+        w = Window.partitionBy(*keys).orderBy(*tb_cols)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    order_key = F.struct(*tb_cols)
+    rest = [c for c in df.columns if c not in keys]
+    winner = F.min_by(F.struct(*[F.col(c) for c in rest]), order_key).alias("__row")
     return (
-        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        df.groupBy(*keys)
+        .agg(winner)
+        .select(*keys, *[F.col("__row")[c].alias(c) for c in rest])
+        .select(*df.columns)
     )
 
 

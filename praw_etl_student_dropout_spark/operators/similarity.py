@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.arrays import cosine_similarity, dot_product
+from ..functions.arrays import cosine_from_norms, cosine_similarity, dot_product, l2_norm
 
 
 def _score(metric: str, q: F.Column, c: F.Column) -> F.Column:
@@ -44,10 +44,22 @@ def brute_force_topk(
     """Exact top-k per query: broadcast(queries) × corpus → score →
     window top-k with deterministic (score desc, corpus_id asc) order.
     Returns (query_id, vec_id, score, rank)."""
-    scored = F.broadcast(queries).crossJoin(corpus).select(
+    if metric == "cosine":
+        # Hoist the norms out of the N×M join: each side's l2_norm is a
+        # deterministic per-row fold, so computing it once per side (not
+        # once per pair) is bit-identical and 3x less array work.
+        q = queries.withColumn("__qn", l2_norm(F.col(query_vec)))
+        c = corpus.withColumn("__cn", l2_norm(F.col(corpus_vec)))
+        score = cosine_from_norms(
+            dot_product(F.col(query_vec), F.col(corpus_vec)), F.col("__qn"), F.col("__cn")
+        )
+    else:
+        q, c = queries, corpus
+        score = _score(metric, F.col(query_vec), F.col(corpus_vec))
+    scored = F.broadcast(q).crossJoin(c).select(
         F.col(query_id),
         F.col(corpus_id),
-        _score(metric, F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        score.alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return (
@@ -134,10 +146,14 @@ def ivf_topk(
     probes = q_probe.withColumn("__r", F.row_number().over(wq)).filter(F.col("__r") <= nprobe).select(
         query_id, query_vec, "centroid_id"
     )
-    scored = probes.join(corpus_indexed, on="centroid_id").select(
+    scored = probes.withColumn("__qn", l2_norm(F.col(query_vec))).join(
+        corpus_indexed.withColumn("__cn", l2_norm(F.col(corpus_vec))), on="centroid_id"
+    ).select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        cosine_from_norms(
+            dot_product(F.col(query_vec), F.col(corpus_vec)), F.col("__qn"), F.col("__cn")
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return (

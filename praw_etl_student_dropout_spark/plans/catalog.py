@@ -751,13 +751,7 @@ def d2_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_lines = dedup_by_key(
         li,
         ["l_orderkey"],
-        tiebreak=[
-            F.asc("l_linenumber"),
-            F.asc("l_partkey"),
-            F.asc("l_suppkey"),
-            F.asc("l_quantity"),
-            F.asc("l_extendedprice"),
-        ],
+        tiebreak=["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
     )
     return first_lines.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")

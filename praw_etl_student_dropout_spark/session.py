@@ -26,6 +26,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # min_by/max_by/collect_* aggregate via ObjectHashAggregateExec, which
+    # silently degrades to sort-based after 128 in-memory keys — far too
+    # conservative for dedup-by-key over many groups. Executors sized for
+    # 100 TB shuffles have the headroom for real hash aggregation.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "4194304",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
