@@ -792,3 +792,155 @@ def d4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"].select(F.col("c_nationkey").alias("nationkey")),
         t["supplier"].select(F.col("s_nationkey").alias("nationkey")),
     )
+
+
+# =====================================================================
+# Coverage completions: P4/P6/P8, F4/F6/F7/F8, T2, U5
+# =====================================================================
+
+
+@register(
+    "p4_keyword_filter",
+    "P4",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE contains(lower(text), 'spark') AND n_chars >= 100
+    """,
+    doc="Keyword/text row filter (the reference's server-side search, "
+    "etl_pipeline.py:48) — both predicates reach the parquet scan "
+    "(contains → string pushdown candidate; n_chars → min/max pruning).",
+)
+def p4_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.filter(
+        F.lower(F.col("text")).contains("spark") & (F.col("n_chars") >= 100)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "p6_p8_cast_fill",
+    "P6+P8",
+    """
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice) AS INT) AS price_int,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           coalesce(CAST(NULLIF(o_orderstatus, 'P') AS VARCHAR), 'none') AS status_filled
+    FROM orders
+    """,
+    doc="Cast + null-fill (astype(int) etl_pipeline.py:155; fillna "
+    "etl_pipeline.py:183): truncating double→int cast and na.fill on a "
+    "nulled-out column.",
+)
+def p6_p8_cast_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    out = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("int").alias("price_int"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_filled"),
+    )
+    return out.na.fill({"status_filled": "none"})
+
+
+@register(
+    "f4_f6_epoch_datefmt",
+    "F4+F6",
+    """
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
+           strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S')
+             AS ts_formatted,
+           CAST(year(ts) AS INT) AS y
+    FROM events
+    WHERE event_id < 1000
+    """,
+    doc="Epoch seconds round-trip + date formatting (datetime.fromtimestamp "
+    "etl_pipeline.py:54; strftime backup naming etl_pipeline.py:68), "
+    "session-pinned UTC so both engines agree.",
+)
+def f4_f6_epoch_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    unix_sec = F.unix_timestamp("ts")
+    return ev.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        unix_sec.alias("unix_sec"),
+        F.date_format(F.timestamp_seconds(unix_sec), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_formatted"
+        ),
+        F.year("ts").cast("int").alias("y"),
+    )
+
+
+@register(
+    "f7_f8_round_arith",
+    "F7+F8",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(100.0 * sum(CAST(l_quantity >= 25 AS INT)) / count(*), 2) AS pct_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="round(x,2) + percentage arithmetic (insight ratios, "
+    "etl_pipeline.py:196,202) as a single-pass grouped aggregate.",
+)
+def f7_f8_round_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.round(
+            100.0
+            * F.sum((F.col("l_quantity") >= 25).cast("int"))
+            / F.count(F.lit(1)),
+            2,
+        ).alias("pct_bulk"),
+    )
+
+
+@register(
+    "t2_sorted_distinct",
+    "T1+T2+A8",
+    """
+    SELECT DISTINCT year(o_orderdate) AS order_year FROM orders
+    """,
+    doc="Sorted distinct (sorted(df['year'].unique()), etl_pipeline.py:159). "
+    "The driver hash is order-insensitive, so the graded artifact is the "
+    "distinct set; orderBy exercises the sort operator in-plan.",
+)
+def t2_sorted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.select(F.year("o_orderdate").alias("order_year"))
+        .distinct()
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "u5_grouped_udaf",
+    "U5",
+    """
+    SELECT l_returnflag,
+           sum(l_quantity * l_linenumber) / sum(l_linenumber) AS wmean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Grouped-agg pandas UDAF (weighted mean) — the custom-aggregate "
+    "surface (SURVEY §2.9 U5). Values and weights are integer-valued, so "
+    "sums are exact in double and the single final division is "
+    "bit-deterministic, making a Python UDAF oracle-checkable.",
+)
+def u5_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import grouped_weighted_mean
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        grouped_weighted_mean(
+            F.col("l_quantity"), F.col("l_linenumber").cast("double")
+        ).alias("wmean_qty")
+    )
