@@ -152,3 +152,36 @@ def asof_join(
         *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(v) for v in right_values],
     )
     return carried.filter(F.col("__side") == 1).drop("__ts", "__side", *[f"__r_{v}" for v in right_values])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: salt the skewed (left) side, replicate the
+    other side once per salt bucket.
+
+    A hot key in a plain shuffle join lands every one of its rows in a
+    single reducer; salting fans each key out over ``salt_buckets``
+    reducers at the cost of replicating the right side ``salt_buckets``
+    times — so use it when the right side is small-to-medium but too big
+    to broadcast outright, and AQE's skew-join split (which only helps
+    sort-merge joins on partition-size skew it can detect) isn't enough.
+    The salt column never escapes: output schema equals a plain join's.
+
+    Supports inner/left joins (the replicated right side makes right/full
+    semantics ambiguous — every unmatched right row would appear
+    ``salt_buckets`` times).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    salted_left = left.withColumn("__salt", salt)
+    exploded_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_left.join(exploded_right, on=keys + ["__salt"], how=how)
+    return out.drop("__salt")

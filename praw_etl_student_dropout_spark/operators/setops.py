@@ -34,10 +34,11 @@ def dedup_by_key(
     determinism; SURVEY §7 watch-list). Two physical strategies:
 
     - ``"agg"`` (default): ``min_by`` over a struct — ONE shuffle with
-      map-side partial aggregation, so a hot key is reduced to one row
-      per input partition before the exchange. Skew-immune; the right
-      default for INSERT-IGNORE-style loads where duplicate ratios are
-      high and unpredictable.
+      map-side partial aggregation (physically SortAggregate: the struct
+      buffer is not hash-aggregable, but the partial/final split holds),
+      so a hot key is reduced to one row per input partition before the
+      exchange. Skew-immune; the right default for INSERT-IGNORE-style
+      loads where duplicate ratios are high and unpredictable.
     - ``"window"``: row_number over (keys, tiebreak) — shuffles and
       sorts every duplicate into one reducer per key. Measurably faster
       when keys are near-unique (no reduction for partial agg to win),

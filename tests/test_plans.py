@@ -1,0 +1,134 @@
+"""Physical-plan regression tests (SURVEY.md §4): the scale properties —
+broadcast placement, scan pruning/pushdown, map-side partial aggregation,
+window group limits — asserted on the optimized plans so they can't
+silently regress. These are the properties that amortize on a 1000-executor
+cluster; row-count tests alone would never catch their loss."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from praw_etl_student_dropout_spark.plans import catalog_all
+from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return catalog_all()
+
+
+def test_flagship_all_joins_broadcast(spark, sf_dir, registry):
+    plan = plan_of(registry["flagship_star_pivot"].builder(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_scan_prunes_columns(spark, sf_dir, registry):
+    plan = plan_of(registry["flagship_star_pivot"].builder(spark, sf_dir))
+    # orders is a 9-column table; the scan must read only the 2 the query
+    # needs — a scan schema mentioning o_totalprice means pruning broke
+    assert "o_totalprice" not in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>" in plan
+
+
+def test_keyword_filter_pushes_predicates(spark, sf_dir, registry):
+    plan = plan_of(registry["p4_keyword_filter"].builder(spark, sf_dir))
+    # n_chars >= 100 must reach the parquet reader for min/max pruning
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(n_chars,100)" in plan
+
+
+def test_q1_partial_aggregation_before_exchange(spark, sf_dir, registry):
+    plan = plan_of(registry["a4_q1_pricing_summary"].builder(spark, sf_dir))
+    # two HashAggregates (partial map-side, final post-shuffle) around one
+    # exchange — losing the partial agg means shuffling every input row
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:]
+    assert "HashAggregate" in plan[:first_exchange] or plan.count("HashAggregate") >= 2
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir, registry):
+    # rank<=k must push a per-partition top-k below the shuffle
+    # (WindowGroupLimit), not sort entire groups
+    plan = plan_of(registry["w1_topk_per_group"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir, registry):
+    plan = plan_of(registry["t3_global_topk"].builder(spark, sf_dir))
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # heap + driver merge), never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_agg_strategy_is_single_shuffle(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.setops import dedup_by_key
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    deduped = dedup_by_key(
+        li, ["l_orderkey"], tiebreak=["l_linenumber", "l_partkey"]
+    )
+    plan = plan_of(deduped)
+    assert plan.count("Exchange") == 1
+    # min_by must keep its partial pass before the exchange — the
+    # map-side combine that makes hot keys harmless (the struct buffer
+    # forces SortAggregate, but partial/final split is what matters)
+    assert "partial_min_by" in plan
+    exchange_at = plan.index("Exchange")
+    assert "partial_min_by" in plan[exchange_at:], "partial agg must be below the shuffle"
+
+
+def test_semi_join_stays_semi(spark, sf_dir, registry):
+    plan = plan_of(registry["j4_semi_join"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_sentiment_pipeline_has_no_python_udf(spark, sf_dir, registry):
+    # U1/U3/U4: the clean/sentiment/label chain must compile to native
+    # expressions — a BatchEvalPython/ArrowEvalPython node means a Python
+    # boundary crept into the hot path
+    plan = plan_of(registry["doc_sentiment_pivot"].builder(spark, sf_dir))
+    assert "EvalPython" not in plan
+
+
+def test_exact_dedup_prunes_unused_document_columns(spark, sf_dir, registry):
+    plan = plan_of(registry["d3_exact_dedup"].builder(spark, sf_dir))
+    # dedup hashes only `text` + carries ids; the wide source column set
+    # must not survive into the scan
+    assert "ReadSchema" in plan
+    scan_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("source" not in ln for ln in scan_schemas), scan_schemas
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    orders = t["orders"].select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+    cust = t["customer"].select(F.col("c_custkey").alias("custkey"), "c_name")
+    plain = orders.join(cust, "custkey")
+    salted = salted_join(orders, cust, ["custkey"], salt_buckets=8)
+    assert salted.columns == plain.columns
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_left_join_keeps_unmatched_left(spark):
+    from praw_etl_student_dropout_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "orphan")], ["k", "lv"])
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "rv"])
+    out = salted_join(left, right, ["k"], salt_buckets=4, how="left").collect()
+    got = {r.k: r.rv for r in out}
+    assert len(out) == 3 and got[99] is None
