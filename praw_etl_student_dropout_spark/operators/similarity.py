@@ -161,3 +161,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iterations: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the IVF centroid table (iterative, batch).
+
+    Each iteration: (1) assign — broadcast the centroid table, argmax
+    cosine per vector (narrow, no shuffle of the corpus); (2) update —
+    posexplode to (centroid, dim, value), partial-agg means per
+    (centroid, dim), rebuild the centroid arrays. The corpus is never
+    collected; per-iteration shuffle volume is n_centroids × dim after
+    the map-side combine. ``localCheckpoint`` truncates the lineage each
+    round — without it the plan doubles per iteration and analysis cost
+    explodes long before the data does.
+
+    Not SQL-expressible as one query (iterative fixpoint) — driver
+    checks rows-only; pytest checks invariants + recall.
+    """
+    for _ in range(iterations):
+        assigned = assign_centroids(corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec)
+        dims = assigned.select(
+            "centroid_id", F.posexplode(corpus_vec).alias("pos", "val")
+        )
+        means = dims.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        centroids = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("centroid_vec"),
+            )
+        )
+        centroids = centroids.localCheckpoint(eager=True)
+    return centroids

@@ -204,3 +204,24 @@ def u7_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(queries, indexed, centroids, k=10, nprobe=4)
+
+
+@register(
+    "u7_kmeans_ivf",
+    "U7+iterative",
+    None,  # iterative fixpoint — not one SQL statement; pytest checks
+    # recall@10 of the refined index against u7_knn_bruteforce.
+    doc="IVF with Lloyd-refined centroids: 3 k-means iterations "
+    "(broadcast assign + posexplode/partial-agg mean update, lineage cut "
+    "per round via localCheckpoint), then the same nprobe query path.",
+)
+def u7_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_refine
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    centroids = kmeans_refine(e, sample_centroids(e, num_centroids=16), iterations=3)
+    indexed = assign_centroids(e, centroids)
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(queries, indexed, centroids, k=10, nprobe=4)

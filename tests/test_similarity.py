@@ -70,3 +70,37 @@ def test_cosine_self_similarity_is_one(spark, sf_dir):
         cosine_similarity(F.col("embedding"), F.col("embedding")).alias("c")
     ).agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
     assert abs(row.lo - 1.0) < 1e-9 and abs(row.hi - 1.0) < 1e-9
+
+
+def test_kmeans_refine_improves_recall(spark, sf_dir):
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(queries, e, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+
+    from praw_etl_student_dropout_spark.operators.similarity import kmeans_refine
+
+    seeds = sample_centroids(e, num_centroids=16)
+    refined = kmeans_refine(e, seeds, iterations=3)
+    # shape invariants: same centroid count, same dimensionality
+    assert refined.count() == seeds.count()
+    dim = len(e.first().embedding)
+    assert all(len(r.centroid_vec) == dim for r in refined.collect())
+
+    def recall(cents):
+        idx = assign_centroids(e, cents)
+        approx = ivf_topk(queries, idx, cents, k=10, nprobe=4).collect()
+        sets = {}
+        for r in approx:
+            sets.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+        ) / len(exact_sets)
+
+    r_seed, r_refined = recall(seeds), recall(refined)
+    # Lloyd iterations should not collapse recall; typically they improve it
+    assert r_refined >= max(r_seed - 0.1, 0.3), (r_seed, r_refined)

@@ -116,3 +116,57 @@ def test_foreach_batch_append_is_idempotent(spark, events_dir, tmp_path):
     n_src = spark.read.parquet(events_dir).count()
     assert sunk.count() == n_src
     assert sunk.select("event_id").distinct().count() == n_src
+
+
+def test_watermark_drops_late_rows_across_batches(spark, sf_dir, tmp_path):
+    """ST2 — a row arriving in a later micro-batch, with event time older
+    than (max seen ts - watermark), must be dropped from a watermarked
+    aggregation in append mode."""
+    from datetime import datetime
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    base = datetime(2024, 6, 1, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, 1, "click", 1.0, "{}") for i, t in rows], schema
+        )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        # file sink (memory sink can't recover from a checkpoint, and the
+        # point here is resuming state across two runs)
+        stream = tumbling_counts_stream(
+            read_event_stream(spark, in_dir, schema=mk([]).schema),
+            watermark="1 hour",
+            duration="1 hour",
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: events at 10:00 and 14:00 → watermark advances to 13:00
+    mk([(1, base), (2, base.replace(hour=14))]).write.parquet(in_dir)
+    drain()
+    # batch 2: a late event at 10:30 — older than the 13:00 watermark
+    mk([(3, base.replace(minute=30))]).write.mode("append").parquet(in_dir)
+    drain()
+    emitted = spark.read.parquet(out_dir)
+    ten_oclock = {
+        r.cnt
+        for r in emitted.collect()
+        if r.window_start.hour == 10 and r.window_start.minute == 0
+    }
+    # the 10:00 window finalized with ONLY event 1; the late event never
+    # re-opened it (bounded state: the INSERT-IGNORE-forever alternative
+    # would hold every window open indefinitely)
+    assert ten_oclock == {1}
