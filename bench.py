@@ -42,6 +42,9 @@ HEADLINE = [
     "j5_asof_join",
     "etl_star_schema",
     "f9_json_extract",
+    "a12_percentiles",
+    "u5_grouped_udaf",
+    "multimodal_features",
 ]
 
 

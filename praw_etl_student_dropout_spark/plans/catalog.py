@@ -944,3 +944,31 @@ def u5_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity"), F.col("l_linenumber").cast("double")
         ).alias("wmean_qty")
     )
+
+
+@register(
+    "a12_percentiles",
+    "A12",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact grouped percentiles (linear interpolation). Quantity values "
+    "are integer-valued doubles, so interpolation at quartile fractions is "
+    "exact in binary and both engines agree bit-for-bit. The approximate "
+    "(sketch) path for 100 TB is approx_percentile — same plan shape, "
+    "mergeable state; the exact form is the oracle-checkable twin.",
+)
+def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
