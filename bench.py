@@ -45,6 +45,8 @@ HEADLINE = [
     "a12_percentiles",
     "u5_grouped_udaf",
     "multimodal_features",
+    "q3_shipping_priority",
+    "q5_region_volume",
 ]
 
 

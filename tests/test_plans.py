@@ -132,3 +132,38 @@ def test_salted_left_join_keeps_unmatched_left(spark):
     out = salted_join(left, right, ["k"], salt_buckets=4, how="left").collect()
     got = {r.k: r.rv for r in out}
     assert len(out) == 3 and got[99] is None
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    write_bucketed(
+        t["orders"].select(F.col("o_orderkey").alias("orderkey"), "o_totalprice"),
+        "b_orders", ["orderkey"], num_buckets=8, path=str(tmp_path / "bo"),
+    )
+    write_bucketed(
+        t["lineitem"].select(F.col("l_orderkey").alias("orderkey"), "l_quantity"),
+        "b_lineitem", ["orderkey"], num_buckets=8, path=str(tmp_path / "bl"),
+    )
+    # force the join path (not broadcast) to observe the bucketing win
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["orderkey"])
+        plan = plan_of(joined)
+        # co-located buckets: sort-merge join with ZERO exchanges
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it's still correct
+        plain = t["orders"].join(
+            t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"]
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
