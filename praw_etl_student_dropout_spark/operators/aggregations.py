@@ -27,13 +27,32 @@ def pivot_count(
     pivot_values: list[str],
     fill: int = 0,
 ) -> DataFrame:
-    """A3 — groupBy().pivot().count() with zero-fill (etl_pipeline.py:183).
+    """A3 — groupBy().pivot().count() semantics with zero-fill
+    (etl_pipeline.py:183), compiled as conditional aggregation.
 
     ``pivot_values`` is explicit (SURVEY §7 watch-list): the output schema
-    is fixed even when a bucket is empty, and Spark skips the extra
-    distinct-values job it would otherwise run to discover columns.
+    is fixed even when a bucket is empty. With the values known, a
+    count-if per value in ONE groupBy beats ``.pivot()`` — Spark plans
+    pivot as two aggregates around two exchanges (pre-agg on (row, pivot)
+    then pivot_first), while this is a single shuffle with map-side
+    partial counts and zero-fill for free (count never returns null).
     """
-    return df.groupBy(row_key).pivot(pivot_key, pivot_values).count().na.fill(fill)
+    counts = [
+        F.count(F.when(F.col(pivot_key) == v, 1)).alias(str(v)) for v in pivot_values
+    ]
+    out = df.groupBy(row_key).agg(*counts)
+    if fill != 0:
+        # pivot's null (absent combo) is count 0 here; honor a non-zero fill
+        out = out.select(
+            row_key,
+            *[
+                F.when(F.col(str(v)) == 0, F.lit(fill))
+                .otherwise(F.col(str(v)))
+                .alias(str(v))
+                for v in pivot_values
+            ],
+        )
+    return out
 
 
 def mode_of(df: DataFrame, key: str, count_name: str = "cnt") -> DataFrame:

@@ -167,3 +167,10 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_flagship_pivot_is_single_shuffle(spark, sf_dir, registry):
+    # explicit-value pivot compiles to conditional aggregation: one
+    # hash-partition exchange, not pivot's two-aggregate double shuffle
+    plan = plan_of(registry["flagship_star_pivot"].builder(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
