@@ -100,3 +100,54 @@ def foreach_batch_idempotent_append(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_stats(
+    stream: DataFrame,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (ST-custom):
+    per-user running event count / value sum / max event time maintained in
+    engine-managed state across micro-batches.
+
+    This is the escape hatch for aggregation logic the built-in windowed
+    aggs can't express (conditional resets, cross-event rules); state is
+    partitioned by the grouping key, held per executor, checkpointed with
+    the query, and — unlike a naive foreachBatch accumulator — survives
+    restarts and rescales with the key space.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("last_seen", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("last", T.TimestampType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last = batch_max if last is None or batch_max > last else last
+        state.update((n, s, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "last_seen": [last]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

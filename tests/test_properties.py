@@ -1,0 +1,84 @@
+"""Property-based invariants (hypothesis over small random frames).
+
+Few examples per property (Spark round-trips are ~100ms each) but
+adversarial shapes: empty partitions, all-duplicate keys, negative and
+extreme values — the corners fixture-driven tests never hit."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=-3, max_value=3)
+vals = st.integers(min_value=-(2**31), max_value=2**31)
+rows = st.lists(st.tuples(keys, vals), min_size=0, max_size=40)
+
+
+@given(data=rows)
+@SET
+def test_dedup_idempotent_and_minimal(spark, data):
+    from praw_etl_student_dropout_spark.operators.setops import dedup_by_key
+
+    df = spark.createDataFrame(data, "k int, v long") if data else spark.createDataFrame([], "k int, v long")
+    once = dedup_by_key(df, ["k"], tiebreak=["v"])
+    got = {(r.k, r.v) for r in once.collect()}
+    # survivor per key is the minimum v (ascending tiebreak), nothing else
+    expected = {}
+    for k, v in data:
+        if k not in expected or v < expected[k]:
+            expected[k] = v
+    assert got == {(k, v) for k, v in expected.items()}
+    # idempotent
+    again = dedup_by_key(once, ["k"], tiebreak=["v"])
+    assert {(r.k, r.v) for r in again.collect()} == got
+
+
+@given(left=rows, right=rows)
+@SET
+def test_salted_join_equals_plain_join(spark, left, right):
+    from praw_etl_student_dropout_spark.operators.joins import salted_join
+
+    ldf = spark.createDataFrame(left, "k int, lv long") if left else spark.createDataFrame([], "k int, lv long")
+    rdf = spark.createDataFrame(right, "k int, rv long") if right else spark.createDataFrame([], "k int, rv long")
+    plain = sorted(tuple(r) for r in ldf.join(rdf, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(ldf, rdf, ["k"], salt_buckets=4).collect())
+    assert salted == plain
+
+
+@given(data=st.lists(st.tuples(keys, st.sampled_from(["a", "b", "c"])), max_size=40))
+@SET
+def test_pivot_count_equals_spark_pivot(spark, data):
+    from praw_etl_student_dropout_spark.operators.aggregations import pivot_count
+
+    df = spark.createDataFrame(data, "k int, p string") if data else spark.createDataFrame([], "k int, p string")
+    mine = {
+        (r.k, r.a, r.b, r.c)
+        for r in pivot_count(df, "k", "p", ["a", "b", "c"]).collect()
+    }
+    ref = {
+        (r.k, r.a or 0, r.b or 0, r.c or 0)
+        for r in df.groupBy("k").pivot("p", ["a", "b", "c"]).count().collect()
+    }
+    assert mine == ref
+
+
+@given(data=rows)
+@SET
+def test_idempotent_append_converges(spark, data, tmp_path_factory):
+    from praw_etl_student_dropout_spark.operators.joins import anti_join_new_keys
+
+    df = spark.createDataFrame(data, "k int, v long") if data else spark.createDataFrame([], "k int, v long")
+    first = df.dropDuplicates(["k"])
+    # appending the same batch against itself yields nothing new
+    fresh = anti_join_new_keys(first, first, ["k"])
+    assert fresh.count() == 0
+    distinct_keys = {k for k, _ in data}
+    assert first.count() == len(distinct_keys)

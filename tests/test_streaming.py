@@ -170,3 +170,46 @@ def test_watermark_drops_late_rows_across_batches(spark, sf_dir, tmp_path):
     # re-opened it (bounded state: the INSERT-IGNORE-forever alternative
     # would hold every window open indefinitely)
     assert ten_oclock == {1}
+
+
+def test_stateful_user_stats_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """ST-custom — applyInPandasWithState keeps per-user state across
+    micro-batches: with maxFilesPerTrigger=1 the two input files arrive in
+    separate batches, and the LAST emitted row per user must equal the
+    all-data batch aggregate."""
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import stateful_user_stats
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    in_dir = str(tmp_path / "in")
+    half1.write.parquet(in_dir)
+    half2.write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode re-emits a user each batch they appear in; keep the last
+    emitted = spark.table("user_stats").collect()
+    final = {}
+    for r in emitted:  # memory sink appends in batch order
+        final[r.user_id] = (r.n_events, round(r.sum_value, 6))
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == expected
