@@ -1,0 +1,81 @@
+"""Engine-native paged-API source via the Spark 4 Python Data Source API
+(SURVEY.md §2.1 S1 "engine-native" variant).
+
+``api_source.ingest_query_matrix`` runs the query matrix on the driver —
+correct, but serial and bounded by one process. This source moves the
+fan-out INTO the scan: every (query_key, query_term) pair becomes an
+``InputPartition``, so a 7×17 matrix reads as 119 parallel executor
+tasks, and a 10k-query backfill scales like any other scan. Downstream
+dedup stays the engine's job (`dropDuplicates` / idempotent append), the
+same split the reference's seen_ids + INSERT IGNORE made
+(etl_pipeline.py:41,122).
+
+The page fetcher is addressed by a ``module:function`` option so
+executors can import it themselves — worker processes share no driver
+state, only the serialized partition descriptors.
+
+Usage::
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (spark.read.format("paged_api")
+          .option("keys", "college,university")
+          .option("terms", "dropout,quit school")
+          .option("fetcher", "praw_etl_student_dropout_spark.sources.fake_api:fetch_page")
+          .option("limit", "1000")
+          .load())
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+API_SCHEMA = "id string, content string, date timestamp, url string, subreddit string"
+
+
+def _resolve(dotted: str):
+    mod, _, fn = dotted.partition(":")
+    return getattr(importlib.import_module(mod), fn)
+
+
+class QueryPartition(InputPartition):
+    def __init__(self, key: str, term: str):
+        self.key = key
+        self.term = term
+
+
+class PagedApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.keys = [k.strip() for k in options.get("keys", "").split(",") if k.strip()]
+        self.terms = [t.strip() for t in options.get("terms", "").split(",") if t.strip()]
+        self.fetcher = options["fetcher"]
+        self.limit = int(options.get("limit", "1000"))
+
+    def partitions(self) -> list[InputPartition]:
+        # one task per API query — the unit of retry AND of parallelism
+        return [QueryPartition(k, t) for k in self.keys for t in self.terms]
+
+    def read(self, partition: QueryPartition) -> Iterator[tuple]:
+        fetch = _resolve(self.fetcher)
+        for rec in fetch(partition.key, partition.term, self.limit):
+            yield (
+                rec["id"],
+                rec.get("content"),
+                rec.get("date"),
+                rec.get("url"),
+                rec.get("subreddit"),
+            )
+
+
+class PagedApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "paged_api"
+
+    def schema(self) -> str:
+        return API_SCHEMA
+
+    def reader(self, schema) -> PagedApiReader:
+        return PagedApiReader(self.options)

@@ -71,3 +71,62 @@ def test_land_raw_round_trip(spark, tmp_path):
     back = read_parquet(spark, path)
     assert back.count() == 10
     assert set(back.columns) == set(df.columns)
+
+
+def test_python_datasource_distributed_ingest(spark):
+    """S1 engine-native: the (key × term) matrix reads as parallel scan
+    partitions through the Spark 4 Python Data Source API."""
+    from praw_etl_student_dropout_spark.sources.python_datasource import (
+        PagedApiDataSource,
+    )
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (
+        spark.read.format("paged_api")
+        .option("keys", "college,university")
+        .option("terms", "dropout,quit school,stress")
+        .option(
+            "fetcher", "praw_etl_student_dropout_spark.sources.fake_api:fetch_page"
+        )
+        .load()
+    )
+    # one scan partition per API query
+    assert df.rdd.getNumPartitions() == 6
+    assert df.columns == ["id", "content", "date", "url", "subreddit"]
+    from praw_etl_student_dropout_spark.sources.fake_api import fetch_page
+
+    expected_raw = sum(
+        len(list(fetch_page(k, t, 1000)))
+        for k in ["college", "university"]
+        for t in ["dropout", "quit school", "stress"]
+    )
+    assert df.count() == expected_raw
+    # ids overlap across terms by design; engine-side dedup collapses them
+    deduped = df.dropDuplicates(["id"])
+    per_key_max = max(
+        len(list(fetch_page(k, t, 1000)))
+        for k in ["college"]
+        for t in ["dropout", "quit school", "stress"]
+    )
+    assert deduped.count() == 2 * per_key_max
+
+
+def test_python_datasource_limit_and_filter_compose(spark):
+    from praw_etl_student_dropout_spark.sources.python_datasource import (
+        PagedApiDataSource,
+    )
+
+    spark.dataSource.register(PagedApiDataSource)
+    df = (
+        spark.read.format("paged_api")
+        .option("keys", "college")
+        .option("terms", "dropout")
+        .option(
+            "fetcher", "praw_etl_student_dropout_spark.sources.fake_api:fetch_page"
+        )
+        .option("limit", "5")
+        .load()
+    )
+    assert df.count() == 5
+    # relational ops compose on the custom source like any scan
+    assert df.filter(df.content.contains("number 3")).count() == 1
