@@ -24,7 +24,9 @@ def build_dim(df: DataFrame, natural_key: str, surrogate_name: str, key_name: st
     dims are tiny by definition.
     """
     out_key = key_name or natural_key
-    w = Window.orderBy(F.col(natural_key))
+    # rank over the RENAMED column — ordering by the source name breaks
+    # resolution whenever key_name differs from natural_key
+    w = Window.orderBy(F.col(out_key))
     return (
         df.select(F.col(natural_key).alias(out_key))
         .distinct()
