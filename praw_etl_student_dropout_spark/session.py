@@ -58,6 +58,17 @@ def get_spark(
     ``master=None`` with the master already set by spark-submit.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Export the package onto PYTHONPATH before the JVM launches: Python
+    # UDF workers get the code via addPyFile later, but the Python DATA
+    # SOURCE runner processes (batch plan + streaming offsets/reads) are
+    # forked with the JVM's env and see neither driver sys.path nor
+    # addPyFile. Must happen pre-gateway; no-op if already importable.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         master = f"local[{cpus}]"

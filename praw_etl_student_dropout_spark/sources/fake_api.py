@@ -35,3 +35,11 @@ def failing_fetch_page(key: str, term: str, limit: int) -> Iterator[dict]:
     if term == "bad":
         raise RuntimeError("simulated rate limit")
     yield from fetch_page(key, term, limit)
+
+
+def fetch_page_number(key: str, term: str, page: int, page_size: int = 20) -> list[dict]:
+    """Paged variant for the streaming source: page N of the (key, term)
+    result set; empty list past the end. Deterministic like fetch_page."""
+    all_recs = list(fetch_page(key, term, limit=10_000))
+    start = page * page_size
+    return all_recs[start : start + page_size]

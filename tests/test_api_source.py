@@ -130,3 +130,54 @@ def test_python_datasource_limit_and_filter_compose(spark):
     assert df.count() == 5
     # relational ops compose on the custom source like any scan
     assert df.filter(df.content.contains("number 3")).count() == 1
+
+
+def test_python_datasource_streaming_ingest(spark, tmp_path):
+    """S1 streaming: micro-batches page through the API with checkpointed
+    offsets until the result sets are exhausted; totals equal the batch
+    scan of the same matrix."""
+    from praw_etl_student_dropout_spark.sources.fake_api import fetch_page
+    from praw_etl_student_dropout_spark.sources.python_datasource import (
+        PagedApiDataSource,
+    )
+
+    spark.dataSource.register(PagedApiDataSource)
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("keys", "college,gradschool")
+        .option("terms", "dropout,stress")
+        .option(
+            "pagedfetcher",
+            "praw_etl_student_dropout_spark.sources.fake_api:fetch_page_number",
+        )
+        .option("pagesize", "7")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("api_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        # finite source: totals stop growing once every query is exhausted
+        import time
+
+        expected = sum(
+            len(list(fetch_page(k, t, 10_000)))
+            for k in ["college", "gradschool"]
+            for t in ["dropout", "stress"]
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("api_stream").count() >= expected:
+                break
+            time.sleep(0.5)
+        got = spark.table("api_stream")
+        assert got.count() == expected
+        # pages are disjoint: no record ingested twice
+        assert got.distinct().count() == expected
+    finally:
+        q.stop()
