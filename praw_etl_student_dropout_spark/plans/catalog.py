@@ -1062,3 +1062,88 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+@register(
+    "w2_sessionize",
+    "W2+W3",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+               AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(max(cnt) AS BIGINT) AS max_session_len
+    FROM (
+      SELECT user_id, session_id, count(*) AS cnt
+      FROM sessions GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+    doc="Classic lag+cumulative-sum sessionization (the analytic-window "
+    "composition session_window() replaces): gap>30min starts a session; "
+    "ties broken by event_id for a total order. One shuffle on user_id "
+    "serves both window passes and the final aggregate.",
+)
+def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(cum).alias("session_id")
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.max("cnt").cast("long").alias("max_session_len"),
+    )
+
+
+@register(
+    "u2_sentiment_pandas_udf",
+    "U2",
+    f"""
+    SELECT doc_id,
+           round({_sentiment_sql(SQL_CLEAN.format(col='text'))}, 6) AS sentiment
+    FROM documents
+    """,
+    doc="The sentiment UDF boundary itself, graded: Arrow-batched pandas "
+    "UDF (lexicon scorer, TextBlob-swappable) over cleaned text, vs the "
+    "identical arithmetic in SQL. Integer hit counts divided once keep "
+    "the doubles bit-comparable.",
+)
+def u2_sentiment_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_text
+    from ..functions.udfs import lexicon_sentiment_udf
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.round(lexicon_sentiment_udf(clean_text(F.col("text"))), 6).alias("sentiment"),
+    )
