@@ -1147,3 +1147,30 @@ def u2_sentiment_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(lexicon_sentiment_udf(clean_text(F.col("text"))), 6).alias("sentiment"),
     )
+
+
+@register(
+    "sql_interface_star",
+    "J1+A2+SQL",
+    """
+    SELECT n_name, o_orderstatus, count(*) AS cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, o_orderstatus
+    """,
+    doc="The spark.sql() surface: identical SQL text planned by Catalyst "
+    "over registered temp views — same physical plan as the DataFrame "
+    "form (J1), proving both front-ends share the engine.",
+)
+def sql_interface_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus, count(*) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderstatus
+        """
+    )

@@ -57,6 +57,10 @@ class PagedApiReader(DataSourceReader):
         self.terms = [t.strip() for t in options.get("terms", "").split(",") if t.strip()]
         self.fetcher = options["fetcher"]
         self.limit = int(options.get("limit", "1000"))
+        # tolerant=true: a failing query yields zero rows instead of
+        # failing the scan — the reference's log-and-continue semantics
+        # (etl_pipeline.py:59-61) at partition granularity
+        self.tolerant = options.get("tolerant", "false").lower() == "true"
 
     def partitions(self) -> list[InputPartition]:
         # one task per API query — the unit of retry AND of parallelism
@@ -64,7 +68,20 @@ class PagedApiReader(DataSourceReader):
 
     def read(self, partition: QueryPartition) -> Iterator[tuple]:
         fetch = _resolve(self.fetcher)
-        for rec in fetch(partition.key, partition.term, self.limit):
+        try:
+            records = list(fetch(partition.key, partition.term, self.limit))
+        except Exception:
+            if self.tolerant:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "query (%s, %s) failed; tolerant mode drops it",
+                    partition.key,
+                    partition.term,
+                )
+                return
+            raise
+        for rec in records:
             yield (
                 rec["id"],
                 rec.get("content"),

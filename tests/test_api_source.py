@@ -181,3 +181,34 @@ def test_python_datasource_streaming_ingest(spark, tmp_path):
         assert got.distinct().count() == expected
     finally:
         q.stop()
+
+
+def test_python_datasource_tolerant_mode(spark):
+    from praw_etl_student_dropout_spark.sources.python_datasource import (
+        PagedApiDataSource,
+    )
+
+    spark.dataSource.register(PagedApiDataSource)
+
+    def read(tolerant):
+        return (
+            spark.read.format("paged_api")
+            .option("keys", "a")
+            .option("terms", "ok,bad")
+            .option(
+                "fetcher",
+                "praw_etl_student_dropout_spark.sources.fake_api:failing_fetch_page",
+            )
+            .option("tolerant", tolerant)
+            .load()
+        )
+
+    # default: one bad partition fails the scan (standard Spark contract)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read("false").count()
+    # tolerant: the bad query drops, the good one lands
+    df = read("true")
+    assert df.count() > 0
+    assert {r.subreddit for r in df.collect()} == {"a"}

@@ -1,0 +1,40 @@
+"""Driver-contract integrity: the __spark_entry__ surface the grader
+consumes stays well-formed as the catalog grows."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+
+def test_queries_and_oracles_align(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 60
+    # every oracle belongs to a query; never an orphan SQL entry
+    assert set(oracles) <= set(qs)
+    # rows-only ops are the documented exceptions, not accidents
+    rows_only = set(qs) - set(oracles)
+    assert all(
+        any(tag in name for tag in ("lsh", "minhash", "simhash", "ivf", "approx"))
+        for name in rows_only
+    ), rows_only
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["r_name", "cnt_f", "cnt_o", "cnt_p"]
+
+
+def test_every_query_builds_a_plan(spark):
+    """Analysis-time check for all 66 builders (no execution): catches
+    unresolved columns / bad references across the whole catalog fast."""
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        df.schema  # forces analysis
