@@ -748,8 +748,16 @@ def d2_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (l_orderkey, l_linenumber) is NOT unique in the fixture — the
     # tiebreak must be a total order for a deterministic survivor
     # (SURVEY §7: INSERT IGNORE winner is explicit here).
+    # Project BEFORE dedup: min_by's row struct references every column it
+    # is given, so Catalyst cannot prune through it — the query, not the
+    # operator, decides what the survivor carries (7 of 16 cols ≈ half
+    # the shuffle bytes here; at 100 TB the difference is the shuffle).
+    needed = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_returnflag",
+    )
     first_lines = dedup_by_key(
-        li,
+        needed,
         ["l_orderkey"],
         tiebreak=["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
     )
