@@ -1,0 +1,82 @@
+"""Copy-on-write MERGE (upsert) for parquet tables.
+
+The reference's only write semantic is INSERT IGNORE (first-wins,
+etl_pipeline.py:122); a training-data warehouse also needs last-wins
+upsert ("re-crawled document replaces the old one"). Plain parquet has
+no MERGE, so this is the lakehouse copy-on-write pattern without the log:
+
+1. read the target, 2. anti-join target←source to keep unmatched rows,
+3. union with the (deduped) source, 4. write to a fresh versioned
+directory, 5. atomically repoint a `_CURRENT` marker.
+
+Readers resolve the marker first, so they never see a half-written
+table; old versions remain readable until vacuumed (cheap time travel).
+At 100 TB, bound the rewrite by partitioning on a merge-pruning key so
+only partitions holding matched keys need rewriting; carrying untouched
+files by reference instead of copying them is the Delta/Iceberg
+refinement this deliberately stops short of.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MARKER = "_CURRENT"
+
+
+def _current_version(base_dir: str) -> int | None:
+    try:
+        with open(os.path.join(base_dir, _MARKER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def current_path(base_dir: str) -> str | None:
+    v = _current_version(base_dir)
+    return None if v is None else os.path.join(base_dir, f"v{v}")
+
+
+def read_merged(spark: SparkSession, base_dir: str) -> DataFrame:
+    path = current_path(base_dir)
+    if path is None:
+        raise FileNotFoundError(f"no committed version under {base_dir}")
+    return spark.read.parquet(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    base_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> int:
+    """Last-wins upsert of ``source`` into the table at ``base_dir``.
+
+    Within-source duplicates collapse arbitrarily (dropDuplicates) —
+    give the source a deterministic tiebreak upstream if it matters.
+    Returns the new version number.
+    """
+    src = source.dropDuplicates(keys)
+    v = _current_version(base_dir)
+    if v is None:
+        merged, new_v = src, 0
+    else:
+        target = spark.read.parquet(os.path.join(base_dir, f"v{v}"))
+        kept = target.join(src.select(*keys), on=keys, how="left_anti")
+        merged = kept.unionByName(src)
+        new_v = v + 1
+    out = os.path.join(base_dir, f"v{new_v}")
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out)
+    # single tiny marker write = the atomic commit point
+    tmp = os.path.join(base_dir, f".{_MARKER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(new_v))
+    os.replace(tmp, os.path.join(base_dir, _MARKER))
+    return new_v

@@ -87,3 +87,44 @@ def test_build_fact_unmatched_keys_null(spark):
     # left join: facts with no dim match survive with a null key (visible
     # data-quality signal, not a silent drop)
     assert got[1] is not None and got[2] is not None and got[3] is None
+
+
+def test_merge_upsert_last_wins(spark, tmp_path):
+    from praw_etl_student_dropout_spark.operators.merge import (
+        merge_upsert,
+        read_merged,
+    )
+
+    base = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(base)
+    v0 = spark.createDataFrame(
+        [(1, "old-a", 2024), (2, "old-b", 2024)], ["k", "text", "yr"]
+    )
+    assert merge_upsert(spark, base, v0, ["k"]) == 0
+    # update k=2, insert k=3
+    delta = spark.createDataFrame(
+        [(2, "NEW-b", 2025), (3, "new-c", 2025)], ["k", "text", "yr"]
+    )
+    assert merge_upsert(spark, base, delta, ["k"]) == 1
+    got = {r.k: (r.text, r.yr) for r in read_merged(spark, base).collect()}
+    assert got == {1: ("old-a", 2024), 2: ("NEW-b", 2025), 3: ("new-c", 2025)}
+    # re-merging the same delta bumps the version but changes nothing
+    merge_upsert(spark, base, delta, ["k"])
+    again = {r.k: (r.text, r.yr) for r in read_merged(spark, base).collect()}
+    assert again == got
+
+
+def test_merge_upsert_old_version_still_readable(spark, tmp_path):
+    from praw_etl_student_dropout_spark.operators.merge import merge_upsert
+
+    base = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(base)
+    merge_upsert(spark, base, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+    merge_upsert(spark, base, spark.createDataFrame([(1, "b")], ["k", "v"]), ["k"])
+    # time travel: v0 is untouched by the v1 commit
+    v0 = spark.read.parquet(f"{base}/v0")
+    assert v0.first().v == "a"
