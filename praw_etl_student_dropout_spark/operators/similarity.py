@@ -200,3 +200,49 @@ def kmeans_refine(
         )
         centroids = centroids.localCheckpoint(eager=True)
     return centroids
+
+
+def hashing_embed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 128,
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") document embeddings, fully
+    native: token → xxhash64 bucket with a ±1 sign hash, summed per
+    bucket, densified via map lookup over a static index sequence. No
+    vocabulary, no model, no Python — one narrow pass plus one shuffle
+    on the doc id, so it runs at corpus scale and its output feeds
+    ``brute_force_topk`` / ``assign_centroids`` / ``embedding_dup_pairs``
+    unchanged (text similarity without an embeddings table).
+
+    Deterministic (hash-seeded), so approximate text search results are
+    reproducible run to run.
+    """
+    from ..functions.text import clean_text, tokens
+
+    tok = F.explode(tokens(clean_text(F.col(text_col)))).alias("tok")
+    exploded = docs.select(F.col(id_col), tok).filter(F.length("tok") > 0)
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int")
+    sign = F.when(F.pmod(F.xxhash64("tok", F.lit(1)), 2) == 0, 1.0).otherwise(-1.0)
+    per_bucket = exploded.select(F.col(id_col), bucket.alias("b"), sign.alias("s")).groupBy(
+        id_col, "b"
+    ).agg(F.sum("s").alias("w"))
+    as_map = per_bucket.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "w"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        # element_at on a MAP takes the key itself (buckets are 0-based) —
+        # array-style i+1 here would silently drop bucket 0
+        lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
+    )
+    out = as_map.select(F.col(id_col), dense.alias("embedding"))
+    if normalize:
+        norm = F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12))
+        out = out.select(
+            id_col,
+            F.transform("embedding", lambda x: x / norm).alias("embedding"),
+        )
+    return out

@@ -104,3 +104,45 @@ def test_kmeans_refine_improves_recall(spark, sf_dir):
     r_seed, r_refined = recall(seeds), recall(refined)
     # Lloyd iterations should not collapse recall; typically they improve it
     assert r_refined >= max(r_seed - 0.1, 0.3), (r_seed, r_refined)
+
+
+def test_hashing_embed_text_search(spark, sf_dir):
+    """Text → hashed vector → ANN: a planted clone is its original's
+    nearest non-self neighbor with cosine ~1."""
+    from praw_etl_student_dropout_spark.operators.similarity import hashing_embed
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    clone = docs.limit(2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    emb = hashing_embed(docs.unionByName(clone), dim=64).cache()
+    assert emb.count() == docs.count() + 2
+    # deterministic across runs
+    a = {r.doc_id: tuple(r.embedding) for r in emb.collect()}
+    b = {r.doc_id: tuple(r.embedding) for r in hashing_embed(docs.unionByName(clone), dim=64).collect()}
+    assert a == b
+    queries = emb.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(queries, emb, corpus_id="doc_id", k=2).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, hits in by_q.items():
+        hits.sort()
+        ids = [h[1] for h in hits]
+        # original and clone occupy the top-2, both at cosine ~1
+        assert set(ids) == {qid, qid + 1_000_000}
+        assert all(abs(h[2] - 1.0) < 1e-6 for h in hits)
+
+
+def test_hashing_embed_is_unit_norm(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.similarity import hashing_embed
+    from praw_etl_student_dropout_spark.functions.arrays import l2_norm
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(100)
+    emb = hashing_embed(docs, dim=32)
+    row = emb.select(l2_norm(F.col("embedding")).alias("n")).agg(
+        F.min("n").alias("lo"), F.max("n").alias("hi")
+    ).first()
+    assert abs(row.lo - 1.0) < 1e-9 and abs(row.hi - 1.0) < 1e-9
