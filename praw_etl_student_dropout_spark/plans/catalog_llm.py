@@ -225,3 +225,23 @@ def u7_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(queries, indexed, centroids, k=10, nprobe=4)
+
+
+@register(
+    "u7_text_search_hashed",
+    "U6+U7",
+    None,  # hash-bucket embeddings are engine-specific (xxhash64) — no
+    # cross-engine oracle; pytest verifies clone retrieval + determinism.
+    doc="Text similarity search with no embeddings table: feature-hashing "
+    "doc vectors (native exprs) + exact cosine top-k. First 4 docs query "
+    "the corpus; self lands at rank 1 by construction.",
+)
+def u7_text_search_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk, hashing_embed
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    emb = hashing_embed(docs, dim=128)
+    queries = emb.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(queries, emb, corpus_id="doc_id", k=5)
