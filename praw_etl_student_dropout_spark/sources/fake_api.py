@@ -43,3 +43,10 @@ def fetch_page_number(key: str, term: str, page: int, page_size: int = 20) -> li
     all_recs = list(fetch_page(key, term, limit=10_000))
     start = page * page_size
     return all_recs[start : start + page_size]
+
+
+def page_count(key: str, term: str, page_size: int = 20) -> int:
+    """Cheap metadata probe for the parallel stream reader (models an API
+    count/HEAD endpoint): how many pages exist for (key, term)."""
+    n = len(list(fetch_page(key, term, limit=10_000)))
+    return (n + page_size - 1) // page_size

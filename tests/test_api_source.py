@@ -212,3 +212,59 @@ def test_python_datasource_tolerant_mode(spark):
     df = read("true")
     assert df.count() > 0
     assert {r.subreddit for r in df.collect()} == {"a"}
+
+
+def test_python_datasource_parallel_streaming(spark, tmp_path):
+    """S1 parallel streaming: offsets advance via a metadata probe; page
+    fetches run as executor partitions; totals equal the batch scan."""
+    from praw_etl_student_dropout_spark.sources.fake_api import fetch_page
+    from praw_etl_student_dropout_spark.sources.python_datasource import (
+        PagedApiDataSource,
+    )
+
+    spark.dataSource.register(PagedApiDataSource)
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("keys", "college,gradschool")
+        .option("terms", "dropout,stress")
+        .option(
+            "pagedfetcher",
+            "praw_etl_student_dropout_spark.sources.fake_api:fetch_page_number",
+        )
+        .option(
+            "pageprober", "praw_etl_student_dropout_spark.sources.fake_api:page_count"
+        )
+        .option("pagesize", "7")
+        .load()
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        expected = sum(
+            len(list(fetch_page(k, t, 10_000)))
+            for k in ["college", "gradschool"]
+            for t in ["dropout", "stress"]
+        )
+
+        def sunk():
+            try:
+                return spark.read.parquet(out).count()
+            except Exception:
+                return 0
+
+        deadline = time.time() + 120
+        while time.time() < deadline and sunk() < expected:
+            q.processAllAvailable()
+            time.sleep(0.3)
+        assert sunk() == expected
+        assert spark.read.parquet(out).distinct().count() == expected
+    finally:
+        q.stop()
