@@ -1182,3 +1182,32 @@ def sql_interface_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name, o_orderstatus
         """
     )
+
+
+@register(
+    "f9_from_json_struct",
+    "F9",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           (props->>'$.k') IS NOT NULL AS has_k
+    FROM events
+    WHERE event_id < 2000
+    """,
+    doc="Schema-on-read JSON: from_json with an explicit StructType (the "
+    "typed counterpart of path extraction) — parse once, then struct "
+    "field access prunes like any column.",
+)
+def f9_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.filter(F.col("event_id") < 2000).select(
+        "event_id", F.from_json("props", schema).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        F.col("p.k").isNotNull().alias("has_k"),
+    )
