@@ -1211,3 +1211,23 @@ def f9_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k_val"),
         F.col("p.k").isNotNull().alias("has_k"),
     )
+
+
+@register(
+    "a12_approx_percentiles",
+    "A12",
+    None,  # sketch output is engine-specific (Spark KLL-style vs DuckDB
+    # t-digest); pytest-style bound: each approx value must fall inside
+    # the exact per-group [min, max] and near the exact quantile.
+    doc="approx_percentile — the 100 TB path for a12_percentiles: "
+    "fixed-size mergeable sketch state per partition instead of a full "
+    "sort; same plan shape as any aggregate (partial sketches merged "
+    "post-shuffle).",
+)
+def a12_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_median"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_median"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

@@ -38,3 +38,11 @@ def test_every_query_builds_a_plan(spark):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         df.schema  # forces analysis
+
+
+def test_approx_percentile_within_bounds(spark):
+    """Sketch accuracy bound: approx median within 5% of exact per group
+    (the rows-only a12 twin carries its own exact column for this)."""
+    df = entry_mod.queries()["a12_approx_percentiles"](spark, "/root/testdata/sf0.01")
+    for r in df.collect():
+        assert abs(r.approx_median - r.exact_median) <= max(0.05 * r.exact_median, 1.0), r
