@@ -1231,3 +1231,63 @@ def a12_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("exact_median"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "f4b_date_arith",
+    "F4+F8",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since_2024,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    doc="Date arithmetic: interval add, day difference, month boundary — "
+    "the calendar surface the reference's strftime/year handling implies.",
+)
+def f4b_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    d = F.col("o_orderdate").cast("date")
+    return orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@register(
+    "profile_table",
+    "A4+A8+A11",
+    """
+    SELECT count(*) AS n_rows,
+           count(o_custkey) AS n_custkey_nonnull,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(min(o_orderdate) AS DATE) AS first_order,
+           CAST(max(o_orderdate) AS DATE) AS last_order
+    FROM orders
+    """,
+    doc="Single-pass table profile (counts, null counts, distincts, "
+    "ranges) — the data-quality summary every ingestion run should emit; "
+    "one scan, one row, all partial-aggregated. The sketch variant for "
+    "100 TB swaps count(DISTINCT) for approx_count_distinct (a11).",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey_nonnull"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
