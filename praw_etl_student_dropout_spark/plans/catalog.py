@@ -1291,3 +1291,35 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
     )
+
+
+@register(
+    "w3b_range_frame",
+    "W3",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS events_trailing_1h
+    FROM events
+    WHERE user_id < 20
+    """,
+    doc="RANGE (time-interval) window frame — value-based bounds, unlike "
+    "w3's ROWS frame: each event sees the count of same-user events in "
+    "its trailing hour. Counts only (exact ints) keep the oracle "
+    "bit-stable; trailing float sums would hash-diverge on tie order.",
+)
+def w3b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.filter(F.col("user_id") < 20).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_trailing_1h"),
+    )
