@@ -348,3 +348,37 @@ def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, views, "error_ts", "view_ts", max_gap_seconds=600, extra_keys=["user_id"]
     )
     return joined.select("error_id", "view_id", "user_id")
+
+
+@register(
+    "u6_chunk_documents",
+    "U6+chunking",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks,
+             CAST(greatest(ceil((len(toks) - 16) / 48.0), 1) AS INT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_no AS INT) AS chunk_no,
+           array_to_string(toks[(chunk_no*48 + 1):(chunk_no*48 + 64)], ' ') AS chunk_text,
+           len(toks[(chunk_no*48 + 1):(chunk_no*48 + 64)]) AS n_chunk_tokens
+    FROM n, LATERAL unnest(range(n_chunks)) AS u(chunk_no)
+    """,
+    doc="Token-window chunking (64-token chunks, 16 overlap) — the "
+    "clean->chunk->embed pipeline step, fanned out executor-side via "
+    "sequence+explode+slice with zero Python and zero shuffle.",
+)
+def u6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_by_tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    out = chunk_by_tokens(docs, chunk_size=64, overlap=16)
+    return out.select(
+        "doc_id", F.col("chunk_no").cast("int").alias("chunk_no"),
+        "chunk_text", F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )

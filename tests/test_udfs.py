@@ -51,3 +51,37 @@ def test_empty_and_null_text(spark):
     df = spark.createDataFrame([(None,), ("",), ("   ",)], "t string")
     rows = df.select(lexicon_sentiment_udf(F.col("t")).alias("s")).collect()
     assert all(r.s == 0.0 for r in rows)
+
+
+def test_chunk_by_tokens_covers_every_token(spark):
+    from praw_etl_student_dropout_spark.operators.chunking import chunk_by_tokens
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "a b")], ["doc_id", "text"])
+    chunks = chunk_by_tokens(df, chunk_size=10, overlap=2).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # short doc: one whole-text chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    # long doc: stride 8 → ceil((100-2)/8) = 13 chunks
+    long = sorted(by_doc[1], key=lambda r: r.chunk_no)
+    assert len(long) == 13
+    # consecutive chunks overlap by exactly `overlap` tokens
+    a, b = long[0].chunk_text.split(), long[1].chunk_text.split()
+    assert a[-2:] == b[:2]
+    # every token appears in at least one chunk, in order
+    covered = set()
+    for r in long:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"t{i}" for i in range(100)}
+    # all chunks except the last are full-size
+    assert all(r.n_chunk_tokens == 10 for r in long[:-1])
+
+
+def test_chunk_by_tokens_rejects_bad_overlap(spark):
+    from praw_etl_student_dropout_spark.operators.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, chunk_size=8, overlap=8)
