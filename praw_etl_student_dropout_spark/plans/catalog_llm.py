@@ -245,3 +245,40 @@ def u7_text_search_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return brute_force_topk(queries, emb, corpus_id="doc_id", k=5)
+
+
+@register(
+    "llm_chunk_embed_dedup",
+    "U6+U7+D3+pipeline",
+    None,  # composition over hashed embeddings (engine-specific xxhash64)
+    # — rows-only; each component is separately oracle- or pytest-checked.
+    doc="The training-data pipeline end-to-end as ONE lazy plan: chunk "
+    "documents into token windows -> hashing-trick chunk embeddings -> "
+    "random-hyperplane LSH near-dup pairs across documents -> per-doc-pair "
+    "duplicate-chunk counts. Catalyst fuses chunking+embedding into the "
+    "same stage; only the dedup bucket join shuffles.",
+)
+def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_by_tokens
+    from ..operators.similarity import hashing_embed
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    chunks = chunk_by_tokens(docs, chunk_size=64, overlap=16)
+    # synthetic global chunk id that round-trips to (doc, chunk)
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * 10_000 + F.col("chunk_no")).alias("chunk_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    emb = hashing_embed(chunk_docs, text_col="text", id_col="chunk_id", dim=64)
+    pairs = embedding_dup_pairs(
+        emb, "embedding", "chunk_id", threshold=0.9, num_planes=8
+    )
+    return (
+        pairs.select(
+            (F.col("id_a") / 10_000).cast("long").alias("doc_a"),
+            (F.col("id_b") / 10_000).cast("long").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_chunks"))
+    )
