@@ -282,3 +282,25 @@ def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_dup_chunks"))
     )
+
+
+@register(
+    "sample_stratified_mix",
+    "D5-sampling",
+    None,  # seeded RNG streams are engine-specific — rows-only; pytest
+    # checks reproducibility, per-stratum rates, and mixing bounds.
+    doc="Quality-stratified corpus sampling + weighted mixing: keep all "
+    "docs of the first language, 25% of the rest, then mix in a second "
+    "pass of the kept stratum — per-lang counts of the assembled mixture. "
+    "Narrow plan: seeded per-partition coins, no shuffle until the count.",
+)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mix_sources, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    fractions = {lang: (1.0 if i == 0 else 0.25) for i, lang in enumerate(langs)}
+    sampled = stratified_sample(docs, "lang", fractions, seed=11)
+    first_stratum = docs.filter(F.col("lang") == langs[0])
+    mixture = mix_sources([(sampled, 1.0), (first_stratum, 0.5)], seed=13)
+    return mixture.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

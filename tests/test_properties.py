@@ -82,3 +82,44 @@ def test_idempotent_append_converges(spark, data, tmp_path_factory):
     assert fresh.count() == 0
     distinct_keys = {k for k, _ in data}
     assert first.count() == len(distinct_keys)
+
+
+def test_sampling_reproducible_and_in_bounds(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.sampling import (
+        sample_fraction,
+        stratified_sample,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n = docs.count()
+    a = sample_fraction(docs, 0.3, seed=42)
+    b = sample_fraction(docs, 0.3, seed=42)
+    # same seed + partitioning → identical sample
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+    # Bernoulli bound: within generous binomial tolerance
+    assert 0.15 * n <= a.count() <= 0.45 * n
+    # stratified: absent strata drop, present strata honor their rate
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep, drop = langs[0], langs[1:]
+    strat = stratified_sample(docs, "lang", {keep: 1.0}, seed=1)
+    assert strat.filter(F.col("lang").isin(drop)).count() == 0
+    assert strat.count() == docs.filter(F.col("lang") == keep).count()
+
+
+def test_mix_sources_weights(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.sampling import mix_sources
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n = docs.count()
+    mixed = mix_sources([(docs, 1.0), (docs, 1.0), (docs, 0.5)], seed=3)
+    cnt = mixed.count()
+    # two full passes + ~half of a third
+    assert 2 * n + 0.3 * n <= cnt <= 2 * n + 0.7 * n
+    # schema preserved through the mix
+    assert mixed.columns == docs.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mix_sources([])
