@@ -1323,3 +1323,89 @@ def w3b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("events_trailing_1h"),
     )
+
+
+@register(
+    "a10b_grouping_sets",
+    "A10",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt,
+           grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond cube/rollup): chosen subtotal "
+    "combinations in one pass, with grouping() flags disambiguating real "
+    "NULLs from subtotal rows.",
+)
+def a10b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS cnt,
+               CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS INT) AS gid
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "t5_unpivot",
+    "T5-unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+               FROM lineitem WHERE l_orderkey < 200)
+      ON l_extendedprice, l_discount, l_tax
+      INTO NAME metric VALUE val
+    )
+    """,
+    doc="Unpivot / melt (wide -> long): the three price columns become "
+    "(metric, value) rows — the inverse of A3's pivot, zero shuffle "
+    "(pure row-local expansion).",
+)
+def t5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    narrow = li.filter(F.col("l_orderkey") < 200).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return narrow.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select("l_orderkey", "l_linenumber", "metric", F.round("val", 2).alias("val"))
+
+
+@register(
+    "d3b_fuzzy_name_pairs",
+    "D3+F-string",
+    """
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           levenshtein(a.s_name, b.s_name) AS edit_dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE a.s_suppkey < 300 AND b.s_suppkey < 300
+      AND levenshtein(a.s_name, b.s_name) <= 2
+    """,
+    doc="Fuzzy near-dup matching by edit distance (typo'd names / IDs): "
+    "theta self-join filtered on levenshtein <= 2. At scale the "
+    "quadratic pair space is cut first by a blocking key (prefix or "
+    "fingerprint bucket) exactly like the LSH band join in d3_minhash.",
+)
+def d3b_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")["supplier"].filter(F.col("s_suppkey") < 300)
+    a = sup.select(F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a"))
+    b = sup.select(F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 2)
+        .select("id_a", "id_b", dist.alias("edit_dist"))
+    )
