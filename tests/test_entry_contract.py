@@ -33,7 +33,7 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_builds_a_plan(spark):
-    """Analysis-time check for all 66 builders (no execution): catches
+    """Analysis-time check for every builder (no execution): catches
     unresolved columns / bad references across the whole catalog fast."""
     for name, fn in entry_mod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
