@@ -1409,3 +1409,35 @@ def d3b_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("id_a", "id_b", dist.alias("edit_dist"))
     )
+
+
+@register(
+    "w1b_rank_variants",
+    "W1",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           ntile(4) OVER w AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WHERE o_orderkey < 3000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Ranking-family completion: ntile buckets, percent_rank, "
+    "cume_dist. The (price, orderkey) order is total, and both rank "
+    "fractions are single divisions of exact integers, so the doubles "
+    "hash bit-stable across engines.",
+)
+def w1b_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
