@@ -1184,6 +1184,92 @@ def sql_interface_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# SQ — subqueries: Catalyst decorrelation (no reference lines — the
+# reference delegates all SQL planning to MySQL, etl_pipeline.py:144-149;
+# these prove the engine's own rewrite rules produce join plans, never
+# per-row re-execution of the inner query)
+# =====================================================================
+
+_Q17_SQL = """
+    SELECT p_brand, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+"""
+
+
+@register(
+    "q17_small_qty_share",
+    "SQ1",
+    _Q17_SQL,
+    doc="TPC-H Q17 shape: correlated scalar aggregate subquery (per-part "
+    "average threshold). RewriteCorrelatedScalarSubquery turns the inner "
+    "query into ONE per-partkey aggregate joined back — both sides hash-"
+    "partitioned on l_partkey, so the rewrite costs one extra exchange, "
+    "not a per-row rescan of lineitem.",
+)
+def q17_small_qty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+_Q18_SQL = """
+    SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q18_large_orders",
+    "SQ2",
+    _Q18_SQL,
+    doc="TPC-H Q18 shape: IN over a grouped+HAVING subquery. "
+    "RewritePredicateSubquery plans the IN as a left-semi join against "
+    "the aggregated key set — set membership by join, no materialized "
+    "id list on the driver.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
+_SQ3_SQL = """
+    SELECT c_nationkey, count(*) AS cnt
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+"""
+
+
+@register(
+    "sub_above_nation_avg",
+    "SQ3",
+    _SQ3_SQL,
+    doc="Two decorrelations in one predicate: a correlated scalar (above "
+    "the customer's nation-average balance — self-join against a "
+    "25-row aggregate, broadcastable) AND a correlated EXISTS (left-semi "
+    "join on custkey with the priority filter pushed below it).",
+)
+def sub_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQ3_SQL)
+
+
 @register(
     "f9_from_json_struct",
     "F9",

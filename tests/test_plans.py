@@ -182,3 +182,20 @@ def test_flagship_pivot_is_single_shuffle(spark, sf_dir, registry):
     # hash-partition exchange, not pivot's two-aggregate double shuffle
     plan = plan_of(registry["flagship_star_pivot"].builder(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir, registry):
+    # SQ1: the correlated scalar aggregate must become one per-key
+    # aggregate joined back — never a nested-loop re-scan of lineitem
+    plan = plan_of(registry["q17_small_qty_share"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # SQ2: IN (grouped subquery) plans as a left-semi join
+    plan18 = plan_of(registry["q18_large_orders"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan18
+    assert "CartesianProduct" not in plan18
+    # SQ3: EXISTS plans as a left-semi join with the priority filter
+    # pushed below it, not a per-customer probe of orders
+    plan_sq3 = plan_of(registry["sub_above_nation_avg"].builder(spark, sf_dir))
+    assert "LeftSemi" in plan_sq3
+    assert "BroadcastNestedLoopJoin" not in plan_sq3
