@@ -250,6 +250,30 @@ def f9_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f9b_variant_extract",
+    "F9",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_val,
+           props->>'$.absent' AS absent_val
+    FROM events WHERE event_id < 1500
+    """,
+    doc="VARIANT-typed semi-structured access: parse_json once into a "
+    "binary variant, then try_variant_get typed path extraction — the "
+    "open-schema counterpart of from_json's fixed StructType; missing "
+    "paths yield NULL instead of failing the row.",
+)
+def f9b_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    v = F.parse_json("props")
+    return ev.filter(F.col("event_id") < 1500).select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.absent", "string").alias("absent_val"),
+    )
+
+
+@register(
     "f10_array_dot",
     "F10",
     """
@@ -425,6 +449,30 @@ def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_distinct(_t(spark, sf_dir, "orders")["orders"], "o_custkey")
+
+
+@register(
+    "a11b_hll_sketch_union",
+    "A11",
+    None,  # sketch bytes are engine-specific — rows-only check; pytest
+    # bounds per-type and unioned estimates against exact counts.
+    doc="Mergeable HLL sketches (Datasketches): one sketch of user_id per "
+    "event_type, estimates read per group, then hll_union_agg folds the "
+    "group sketches into a corpus-wide distinct estimate WITHOUT "
+    "rescanning events — the precompute-partials/merge-later pattern "
+    "that makes incremental distinct-counts at 100 TB a metadata-sized "
+    "merge instead of a full scan.",
+)
+def a11b_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    sketches = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_type = sketches.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    overall = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    return per_type.unionByName(overall)
 
 
 # =====================================================================

@@ -20,7 +20,7 @@ def test_queries_and_oracles_align(spark):
     # rows-only ops are the documented exceptions, not accidents
     rows_only = set(qs) - set(oracles)
     assert all(
-        any(tag in name for tag in ("lsh", "minhash", "simhash", "ivf", "approx", "hashed", "llm_", "sample"))
+        any(tag in name for tag in ("lsh", "minhash", "simhash", "ivf", "approx", "hashed", "llm_", "sample", "sketch"))
         for name in rows_only
     ), rows_only
 
@@ -38,6 +38,27 @@ def test_every_query_builds_a_plan(spark):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         df.schema  # forces analysis
+
+
+def test_hll_sketch_union_within_bounds(spark):
+    """Sketch accuracy bound: per-type and unioned distinct-user estimates
+    within 5% of exact (HLL lgK default 12 → ~1.6% stderr)."""
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+    from pyspark.sql import functions as F
+
+    df = entry_mod.queries()["a11b_hll_sketch_union"](spark, "/root/testdata/sf0.01")
+    got = {r.event_type: r.approx_users for r in df.collect()}
+    ev = load_tables(spark, "/root/testdata/sf0.01", ["events"])["events"]
+    exact = {
+        r.event_type: r.nd
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, nd in exact.items():
+        assert abs(got[k] - nd) <= max(0.05 * nd, 2.0), (k, got[k], nd)
 
 
 def test_approx_percentile_within_bounds(spark):
