@@ -47,6 +47,7 @@ HEADLINE = [
     "multimodal_features",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q17_small_qty_share",
 ]
 
 
