@@ -1,0 +1,110 @@
+"""Scale probe: does per-query cost grow like the data, or like the plan?
+
+Replicates the sf0.1 fixture tables N× into a scratch dir with each
+replica's key space SHIFTED (surrogate keys offset by replica index ×
+key stride), so every join keeps its single-copy selectivity — output
+cardinalities grow N×, never N². Dimension tables that joins fan out
+through by VALUE (region, nation) are left at one copy.
+
+Then times a headline-query subset at 1× and N× and prints one JSON
+line per scale with per-query seconds. The interesting read-out is the
+RATIO column: a floor-bound query (broadcast star joins) should grow
+far slower than N; a per-row-cost query (dedup, text stats) should
+approach N — that is the evidence the plans amortize, which is what a
+1000-executor 100 TB deployment buys.
+
+Usage: python tools/scale_probe.py [N] [scratch_dir]
+       (defaults: N=8, scratch=/tmp/spark_graft_scale)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# key columns to shift per replica; stride chosen >> max key in sf0.1
+SHIFT: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE_COPY = ["region", "nation"]
+STRIDE = 100_000_000
+
+PROBE_QUERIES = [
+    "flagship_star_pivot",   # floor-bound: all-broadcast star
+    "q17_small_qty_share",   # decorrelated agg + broadcast probe
+    "a4_q1_pricing_summary", # map-side partial agg
+    "d2_dedup_by_key",       # per-row: one full shuffle of lineitem
+    "u6_text_stats",         # per-row: text exprs over documents
+    "st4_session_window",    # per-row: session windows over events
+]
+
+
+def build_replicas(spark, out_dir: str, n: int) -> None:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    par = spark.sparkContext.defaultParallelism
+    for name in SINGLE_COPY:
+        df = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    for name, keys in SHIFT.items():
+        df = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        copies = []
+        for i in range(n):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast(df.schema[k].dataType))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        # spread across files so the N× scan parallelizes like real data
+        out.repartition(min(par, 4 * n)).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+
+
+def time_probe(spark, registry, sf_dir: str, runs: int = 3) -> dict[str, float]:
+    out = {}
+    for name in PROBE_QUERIES:
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            registry[name].builder(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(sorted(samples)[runs // 2], 3)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
+    from praw_etl_student_dropout_spark.plans import catalog_all
+    from praw_etl_student_dropout_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    registry = catalog_all()
+    build_replicas(spark, scratch, n)
+    base = time_probe(spark, registry, SF_DIR)
+    scaled = time_probe(spark, registry, scratch)
+    ratios = {q: round(scaled[q] / base[q], 2) for q in base}
+    print(json.dumps({"n": n, "base_s": base, "scaled_s": scaled, "ratio": ratios}))
+
+
+if __name__ == "__main__":
+    main()
