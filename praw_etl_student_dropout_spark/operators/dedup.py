@@ -155,6 +155,40 @@ def minhash_dedup_pairs(
     return verified
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — corpus docs sharing ``>= min_shared``
+    distinct word n-gram shingles with any benchmark doc.
+
+    Shingle inverted-index equi-join (never corpus × benchmark): the
+    benchmark side is typically tiny relative to the corpus, so Catalyst
+    broadcasts its exploded shingle index and the corpus side never
+    shuffles. Returns (corpus_id, bench_id, shared_shingles). At 100 TB
+    add a document-frequency cap on shingles first — ubiquitous phrases
+    fan out quadratically and can't certify contamination alone.
+    """
+    c = _spread(corpus.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    return (
+        c.join(b, "shingle")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over token hashes.
 

@@ -1318,6 +1318,33 @@ def sub_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQ3_SQL)
 
 
+_SQ4_SQL = """
+    SELECT n_name, t.top_name, t.top_bal
+    FROM nation, LATERAL (
+      SELECT c_name AS top_name, c_acctbal AS top_bal
+      FROM customer WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+"""
+
+
+@register(
+    "sq4_lateral_topk",
+    "SQ4",
+    _SQ4_SQL,
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT: per-nation "
+    "top-2 customers by balance. The correlated limit decorrelates to a "
+    "ranked window over one shuffle (W1's shape reached from SQL), not a "
+    "per-nation re-sort of customer; c_name tiebreak keeps both engines' "
+    "top-2 deterministic.",
+)
+def sq4_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQ4_SQL)
+
+
 @register(
     "f9_from_json_struct",
     "F9",

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    contamination_pairs,
     embedding_dup_pairs,
     exact_dedup,
     minhash_dedup_pairs,
@@ -94,6 +95,32 @@ def d3_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.0)
+
+
+@register(
+    "u8_decontaminate",
+    "D3+U8",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES.format(t='t')}) AS shingle FROM toks),
+    c AS (SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % 97 != 0),
+    b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT corpus_id, bench_id, count(*) AS shared_shingles
+    FROM c JOIN b USING (shingle)
+    GROUP BY corpus_id, bench_id
+    HAVING count(*) >= 3
+    """,
+    doc="Benchmark decontamination: corpus docs sharing >=3 distinct "
+    "word-3-gram shingles with any held-out benchmark doc, via a shingle "
+    "inverted-index equi-join (small benchmark index broadcast; never an "
+    "all-pairs scan). The deterministic doc_id % 97 split stands in for "
+    "a real benchmark table.",
+)
+def u8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_pairs(corpus, bench, "text", "doc_id", shingle_n=3, min_shared=3)
 
 
 @register(

@@ -199,3 +199,9 @@ def test_subqueries_decorrelate_to_joins(spark, sf_dir, registry):
     plan_sq3 = plan_of(registry["sub_above_nation_avg"].builder(spark, sf_dir))
     assert "LeftSemi" in plan_sq3
     assert "BroadcastNestedLoopJoin" not in plan_sq3
+    # SQ4: LATERAL + ORDER BY/LIMIT decorrelates to a ranked window,
+    # never a per-outer-row re-sort via nested loop
+    plan_sq4 = plan_of(registry["sq4_lateral_topk"].builder(spark, sf_dir))
+    assert "Window" in plan_sq4
+    assert "CartesianProduct" not in plan_sq4
+    assert "BroadcastNestedLoopJoin" not in plan_sq4
