@@ -205,3 +205,37 @@ def test_subqueries_decorrelate_to_joins(spark, sf_dir, registry):
     assert "Window" in plan_sq4
     assert "CartesianProduct" not in plan_sq4
     assert "BroadcastNestedLoopJoin" not in plan_sq4
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """At cluster scale (application-side scan >= 10 GB by default) the
+    engine's runtime bloom filter prunes shuffle-join probe rows at the
+    scan. Locally the fixtures sit under the threshold, so lower it to
+    observe the injected plan: a bloom_filter_agg built from the
+    selective side and a might_contain probe on the big side."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+        o = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            t["lineitem"]
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
