@@ -274,6 +274,33 @@ def f9b_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f11_regex_extract_all",
+    "F1+F11",
+    """
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, '[A-Z][a-z]+', 0), '|'), '')
+             AS caps,
+           len(regexp_extract_all(text, '[0-9]+', 0)) AS n_numbers,
+           substr(text, 1, 40) AS head40
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+    doc="Multi-match regex extraction (regexp_extract_all) + substring — "
+    "the extraction-side complement of F1's regexp_replace. Match arrays "
+    "are emitted pipe-joined: Spark renders an empty match set as '' "
+    "while DuckDB's array_to_string yields NULL, so the oracle coalesces "
+    "(group index passed explicitly — Spark defaults idx=1, DuckDB 0).",
+)
+def f11_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all("text", F.lit("[A-Z][a-z]+"), 0), "|").alias("caps"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_numbers"),
+        F.substring("text", 1, 40).alias("head40"),
+    )
+
+
+@register(
     "f10_array_dot",
     "F10",
     """
