@@ -49,8 +49,14 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     cost-wise (hash partitioning on the id also co-locates each doc's
     shingles for the signature groupBy).
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect sessions expose neither sparkContext nor df.rdd;
+        # fall through to the planner's own partitioning.
+        return df
+    if n_parts < parallelism:
         return df.repartition(parallelism, id_col)
     return df
 
@@ -316,6 +322,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding cosine near-dup via random-hyperplane LSH.
 
@@ -328,7 +335,19 @@ def embedding_dup_pairs(
 
     from ..functions.arrays import cosine_similarity
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # One-row peek only as a fallback; callers on hot paths should pass
+        # dim explicitly (schema metadata can't carry array length).
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            return (
+                df.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cosine"),
+                ).limit(0)
+            )
+        dim = len(row[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
     vec = F.col(vec_col).cast("array<double>")

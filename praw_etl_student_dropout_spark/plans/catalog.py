@@ -110,9 +110,12 @@ def _sentiment_sql(col: str) -> str:
     return f"(({pos}) - ({neg})) * 1.0 / ({n})"
 
 
+# Sentiment/flag oracles score the CLEANED text, mirroring the reference's
+# clean→score→flag ordering (etl_pipeline.py:77-80) and flagship.enrich_documents.
+_DOC_CLEAN_SQL = SQL_CLEAN.format(col="text")
 _DOC_LABEL_SQL = f"""
-    CASE WHEN {_sentiment_sql('text')} > 0.1 THEN 'positive'
-         WHEN {_sentiment_sql('text')} < -0.1 THEN 'negative'
+    CASE WHEN {_sentiment_sql(_DOC_CLEAN_SQL)} > 0.1 THEN 'positive'
+         WHEN {_sentiment_sql(_DOC_CLEAN_SQL)} < -0.1 THEN 'negative'
          ELSE 'neutral' END
 """
 
@@ -142,7 +145,7 @@ register(
     f"""
     SELECT doc_id,
            {SQL_CLEAN.format(col='text')} AS clean_text,
-           len({SQL_TOKS.format(col='text')}) AS n_tokens
+           CAST(len({SQL_TOKS.format(col='text')}) AS INTEGER) AS n_tokens
     FROM documents
     """,
     doc="Projection + regex clean chain as native expressions (no UDF); etl_pipeline.py:73-77.",
@@ -215,7 +218,8 @@ def p7_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f5_year_extract",
     "F4+F5+P6",
     """
-    SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
            count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
     FROM orders GROUP BY o_year, o_month
     """,
@@ -235,7 +239,7 @@ def f5_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "F9",
     """
     SELECT event_type,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            count(props->>'$.k') AS n_k
     FROM events GROUP BY event_type
     """,
@@ -280,7 +284,7 @@ def f9b_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            coalesce(array_to_string(regexp_extract_all(text, '[A-Z][a-z]+', 0), '|'), '')
              AS caps,
-           len(regexp_extract_all(text, '[0-9]+', 0)) AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS INTEGER) AS n_numbers,
            substr(text, 1, 40) AS head40
     FROM documents WHERE doc_id % 11 = 0
     """,
@@ -306,7 +310,7 @@ def f11_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS norm_sq,
-           len(embedding) AS dim
+           CAST(len(embedding) AS INTEGER) AS dim
     FROM embeddings
     """,
     doc="Array math over embedding columns via zip_with/aggregate (codegen, no UDF).",
@@ -341,7 +345,7 @@ def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_group_count_2key",
     "A2",
     """
-    SELECT year(o_orderdate) AS o_year, o_orderstatus, count(*) AS cnt
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus, count(*) AS cnt
     FROM orders GROUP BY o_year, o_orderstatus
     """,
     doc="Two-key GROUP BY count (year × flag); etl_pipeline.py:173.",
@@ -396,11 +400,11 @@ def a4_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH labeled AS (
       SELECT {_DOC_LABEL_SQL} AS lbl,
-             coalesce(regexp_matches(text, '(?i)drop[\\s-]?out|dropped out'), false) AS flagged
+             coalesce(regexp_matches({_DOC_CLEAN_SQL}, '(?i)drop[\\s-]?out|dropped out'), false) AS flagged
       FROM documents
     )
     SELECT count(*) AS total_rows,
-           sum(CAST(flagged AS INT)) AS flag_count,
+           CAST(sum(CAST(flagged AS INT)) AS BIGINT) AS flag_count,
            round(avg(CASE WHEN lbl = 'neutral' THEN 1.0 ELSE 0.0 END) * 100, 2) AS neutral_pct
     FROM labeled
     """,
@@ -538,7 +542,7 @@ def j1_star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J2",
     """
     WITH dim AS (
-      SELECT dense_rank() OVER (ORDER BY c_mktsegment) AS segment_id, c_mktsegment
+      SELECT CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS INTEGER) AS segment_id, c_mktsegment
       FROM (SELECT DISTINCT c_mktsegment FROM customer)
     )
     SELECT d.segment_id, count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS sum_bal
@@ -689,8 +693,8 @@ def j4_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, o_orderkey, o_totalprice, rn
     FROM (
       SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
       FROM orders
     ) WHERE rn <= 3
     """,
@@ -989,7 +993,7 @@ def f7_f8_round_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_sorted_distinct",
     "T1+T2+A8",
     """
-    SELECT DISTINCT year(o_orderdate) AS order_year FROM orders
+    SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS order_year FROM orders
     """,
     doc="Sorted distinct (sorted(df['year'].unique()), etl_pipeline.py:159). "
     "The driver hash is order-insensitive, so the graded artifact is the "
@@ -1187,7 +1191,8 @@ def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800,
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            <= 1800 * 1_000_000,
             0,
         )
         .otherwise(1)
@@ -1427,7 +1432,7 @@ def a12_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
-           datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since_2024,
+           CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_2024,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
     FROM orders
     WHERE o_orderkey < 2000
@@ -1520,7 +1525,7 @@ def w3b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS cnt,
-           grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS gid
+           CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS INTEGER) AS gid
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
@@ -1577,7 +1582,7 @@ def t5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D3+F-string",
     """
     SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
-           levenshtein(a.s_name, b.s_name) AS edit_dist
+           CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
     FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
     WHERE a.s_suppkey < 300 AND b.s_suppkey < 300
       AND levenshtein(a.s_name, b.s_name) <= 2
@@ -1605,7 +1610,7 @@ def d3b_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            o_orderstatus,
-           ntile(4) OVER w AS price_quartile,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cdist
     FROM orders

@@ -183,7 +183,9 @@ def d3_embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d3_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return embedding_dup_pairs(e, "embedding", "vec_id", threshold=0.35, num_planes=8)
+    return embedding_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.35, num_planes=8, dim=64
+    )
 
 
 @register(
@@ -193,10 +195,10 @@ def d3_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id, round(score, 6) AS score, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id,
              {SQL_COSINE.format(a='q.embedding', b='c.embedding')} AS score,
-             row_number() OVER (
+             CAST(row_number() OVER (
                PARTITION BY q.vec_id
                ORDER BY {SQL_COSINE.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id ASC
-             ) AS rank
+             ) AS INTEGER) AS rank
       FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
       CROSS JOIN embeddings c
     ) WHERE rank <= 10
@@ -298,7 +300,7 @@ def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = hashing_embed(chunk_docs, text_col="text", id_col="chunk_id", dim=64)
     pairs = embedding_dup_pairs(
-        emb, "embedding", "chunk_id", threshold=0.9, num_planes=8
+        emb, "embedding", "chunk_id", threshold=0.9, num_planes=8, dim=64
     )
     return (
         pairs.select(

@@ -32,11 +32,11 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     "U6+F10",
     f"""
     SELECT doc_id,
-           len({SQL_TOKS.format(col='text')}) AS n_tokens,
-           len(list_distinct({SQL_TOKS.format(col='text')})) AS n_unique_tokens,
-           length(text) AS n_chars_text,
-           list_aggregate(list_transform({SQL_TOKS.format(col='text')}, t -> length(t)), 'sum')
-             AS total_token_chars
+           CAST(len({SQL_TOKS.format(col='text')}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({SQL_TOKS.format(col='text')})) AS INTEGER) AS n_unique_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_text,
+           CAST(list_aggregate(list_transform({SQL_TOKS.format(col='text')}, t -> length(t)), 'sum')
+                AS BIGINT) AS total_token_chars
     FROM documents
     """,
     doc="Token statistics as integer-exact native expressions (no division, "
@@ -51,7 +51,9 @@ def u6_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
         F.length("text").alias("n_chars_text"),
         F.aggregate(
-            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         ).alias("total_token_chars"),
     )
 
@@ -60,7 +62,7 @@ def u6_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u6_token_count_bpe",
     "U6",
     f"""
-    SELECT doc_id, len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+    SELECT doc_id, CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens
     FROM documents
     """,
     doc="BPE-ish regex pre-tokenizer count (letter runs / digit runs / symbols).",
@@ -163,7 +165,7 @@ def u6_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "S-multimodal",
     """
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
     """,
@@ -186,7 +188,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "S-multimodal+U5",
     """
     SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            16 AS n_features,
            CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END
                 AS DOUBLE) AS feature_mass
@@ -252,14 +254,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J2+J3+A8",
     """
     WITH dim_source AS (
-      SELECT dense_rank() OVER (ORDER BY source) AS source_id, source
+      SELECT CAST(dense_rank() OVER (ORDER BY source) AS INTEGER) AS source_id, source
       FROM (SELECT DISTINCT source FROM documents)
     ),
     dim_lang AS (
-      SELECT dense_rank() OVER (ORDER BY lang) AS lang_id, lang
+      SELECT CAST(dense_rank() OVER (ORDER BY lang) AS INTEGER) AS lang_id, lang
       FROM (SELECT DISTINCT lang FROM documents)
     )
-    SELECT s.source_id, l.lang_id, count(*) AS n_docs, sum(d.n_chars) AS total_chars
+    SELECT s.source_id, l.lang_id, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
     FROM documents d
     JOIN dim_source s ON d.source = s.source
     JOIN dim_lang l ON d.lang = l.lang

@@ -23,17 +23,17 @@ SENTIMENT_BUCKETS = ["positive", "negative", "neutral"]
 def enrich_documents(docs: DataFrame) -> DataFrame:
     """The reference's transform block (etl_pipeline.py:73-81) on
     ``documents``: clean → lexicon sentiment → label → regex flag."""
-    cleaned = clean_text(F.col("text")).alias("clean_text")
-    score = sentiment_score(F.col("text"))
+    cleaned = clean_text(F.col("text"))
+    score = sentiment_score(cleaned)
     return docs.select(
         "doc_id",
         "text",
         "lang",
         "source",
-        cleaned,
+        cleaned.alias("clean_text"),
         F.round(score, 6).alias("sentiment"),
         sentiment_label(score).alias("sentiment_label"),
-        dropout_mentioned(F.col("text")).alias("dropout_mentioned"),
+        dropout_mentioned(cleaned).alias("dropout_mentioned"),
     )
 
 

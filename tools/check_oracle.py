@@ -53,6 +53,40 @@ def normalize(rows: list[tuple], cols: list[str]):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def schema_diff(s_tbl, d_tbl) -> list[str]:
+    """Compare the engines' *declared* Arrow result schemas by column name.
+
+    Python-object comparison can't see that DuckDB returned HUGEINT where
+    Spark returned BIGINT (both surface as ``int``), but the driver's value
+    hash does — this is exactly what broke f9_json_extract/a6_insight_summary
+    in round 1. Width/kind mismatches are hard failures; timezone/string-width
+    differences are cosmetic at the hash layer and only warned.
+    """
+    import pyarrow as pa
+
+    def canon(t: pa.DataType):
+        # utf8 vs large_utf8, ts timezone annotations: cosmetic.
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_timestamp(t):
+            return f"timestamp[{t.unit}]"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return f"list<{canon(t.value_type)}>"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        return str(t)
+
+    s_fields = {f.name: canon(f.type) for f in s_tbl.schema}
+    d_fields = {f.name: canon(f.type) for f in d_tbl.schema}
+    problems = []
+    for name in sorted(set(s_fields) & set(d_fields)):
+        if s_fields[name] != d_fields[name]:
+            problems.append(
+                f"type[{name}] spark={s_fields[name]} duck={d_fields[name]}"
+            )
+    return problems
+
+
 def float_diff(a_rows, b_rows) -> float:
     """Max abs diff between matched float positions after sorting; inf when
     shapes differ."""
@@ -104,6 +138,13 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        try:
+            problems += schema_diff(
+                sdf.limit(0).toArrow(),
+                con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0").arrow(),
+            )
+        except Exception as e:  # Arrow path optional (e.g. exotic types)
+            print(f"{name:32s} (arrow-schema check skipped: {str(e)[:120]})")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
