@@ -1634,3 +1634,59 @@ def w1b_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
     )
+
+
+@register(
+    "j7_dpp_busiest_year",
+    "J1+S6-partitioned",
+    """
+    WITH per_year AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS y, count(*) AS p_cnt
+      FROM orders WHERE o_orderstatus = 'P'
+      GROUP BY y
+    ),
+    busiest AS (
+      SELECT y FROM per_year
+      WHERE p_cnt = (SELECT max(p_cnt) FROM per_year)
+    )
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    JOIN busiest ON CAST(year(o_orderdate) AS INTEGER) = busiest.y
+    GROUP BY o_orderstatus
+    """,
+    doc="Dynamic partition pruning: the fact side scans a Hive-partitioned "
+    "copy of orders (o_year=... directories, sources/partitioned.py) and "
+    "the dim side — the year with the most pending orders — is only known "
+    "at runtime (agg + max, nothing Catalyst can propagate statically). "
+    "The DPP rule injects a dynamicpruning#N subquery into the fact scan's "
+    "PartitionFilters, so 6 of 7 year directories are never opened — the "
+    "layout/plan pair a 100 TB date-partitioned warehouse relies on "
+    "(asserted in tests/test_plans.py). The oracle states the same query "
+    "over the raw single-file fixture.",
+)
+def j7_dpp_busiest_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.partitioned import read_orders_by_year
+
+    fact = read_orders_by_year(spark, sf_dir)
+    per_year = (
+        fact.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("p_cnt"))
+    )
+    from pyspark.sql import Window
+
+    busiest = (
+        per_year.withColumn("mx", F.max("p_cnt").over(Window.partitionBy()))
+        .filter(F.col("p_cnt") == F.col("mx"))
+        .select(F.col("o_year").alias("y"))
+    )
+    return (
+        fact.join(F.broadcast(busiest), fact["o_year"] == F.col("y"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

@@ -239,3 +239,18 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_app,
         )
+
+
+def test_dpp_prunes_year_partitions(spark, sf_dir):
+    """j7: the partitioned fact scan must carry a dynamicpruning
+    PartitionFilter fed by the dim subquery — the mechanism that skips
+    unneeded date partitions wholesale on a partitioned warehouse."""
+    reg = catalog_all()
+    df = reg["j7_dpp_busiest_year"].builder(spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan
+    # the pruning filter sits on the partition column of the fact scan
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # and the query still computes the right thing: one busiest-P year
+    rows = {r["o_orderstatus"]: r["cnt"] for r in df.collect()}
+    assert set(rows) == {"F", "O", "P"} and all(v > 0 for v in rows.values())
