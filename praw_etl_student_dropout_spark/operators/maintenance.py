@@ -1,0 +1,188 @@
+"""Table-maintenance operators a 100 TB parquet warehouse needs.
+
+The reference never manages storage (its sink is a managed MySQL table,
+etl_pipeline.py:121-127); at lake scale the engine owns layout. Three
+operators cover the maintenance loop:
+
+- ``write_clustered`` — the well-formed write: hash-distribute by the
+  partition key so each Hive partition is produced by one task wave,
+  sort within tasks for run-length/dictionary-friendly row groups, and
+  cap records per file so no file outgrows a single task's read.
+- ``compact_parquet`` — heal the small-file problem streaming/idempotent
+  appends create: bin-pack a directory's data files into
+  ``target_file_bytes``-sized outputs and atomically swap the directory.
+- ``zorder_by`` — multi-dimensional clustering: interleave the bits of
+  per-column rank buckets into one z-value and range-partition + sort by
+  it, so per-file min/max envelopes are tight in EVERY clustered column
+  and predicate-pushdown row-group skipping works for all of them, not
+  just the leading sort key.
+
+All three are driver-light: listings use the JVM Hadoop FileSystem (works
+on HDFS/S3A the same as local), and every data movement is a single
+declarative Spark job.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from math import ceil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned + sorted + size-capped parquet write.
+
+    ``repartition(partition_cols)`` co-locates each output partition's
+    rows in one task (no N-files-per-task explosion: without it every
+    task writes a sliver of every partition — the classic small-file
+    generator), ``sortWithinPartitions`` orders rows inside each file so
+    min/max row-group stats are selective, and ``maxRecordsPerFile``
+    bounds file size without an extra shuffle.
+    """
+    out = df
+    if partition_cols:
+        out = out.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def data_file_sizes(spark: SparkSession, path: str) -> list[int]:
+    """Byte sizes of the data files under ``path`` (recursive, skipping
+    _SUCCESS/_metadata/dotfiles), via the Hadoop FileSystem API so the
+    same call works against local, HDFS, or object-store paths."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    sizes: list[int] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        sizes.append(status.getLen())
+    return sizes
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Bin-pack a parquet directory's files toward ``target_file_bytes``.
+
+    Reads the directory, rewrites it as ``ceil(total_bytes / target)``
+    files (optionally re-sorted — compaction is the cheapest moment to
+    restore clustering), then swaps directories with two FileSystem
+    renames so readers never observe a half-written table. Returns
+    before/after file counts and bytes for observability.
+
+    The rewrite is one repartition job: at warehouse scale run it per
+    Hive partition (pass the partition directory as ``path``) so the
+    shuffle stays bounded by one partition's data, not the table.
+    """
+    before = data_file_sizes(spark, path)
+    total = sum(before)
+    n_files = max(1, ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_old")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    out.write.mode("overwrite").parquet(tmp.toString())
+    if not fs.rename(hpath, old):  # swap: path -> old, tmp -> path
+        raise IOError(f"compact: could not move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compact: could not publish compacted {path}")
+    fs.delete(old, True)
+    after = data_file_sizes(spark, path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes_before": total,
+        "bytes_after": sum(after),
+    }
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    num_partitions: int,
+    bits: int = 12,
+) -> DataFrame:
+    """Cluster ``df`` on the z-order (Morton) curve over ``cols``.
+
+    Each (numeric/date) column is scaled into a ``bits``-bit bucket
+    against its global [min, max] — the stats come from a broadcast
+    one-row aggregate joined back in, so the whole transform is lazy and
+    shuffle-free until the final range partition (a global-rank window
+    here would funnel 100 TB through one task). The buckets' bits are
+    interleaved JVM-side into one long and the frame is
+    range-partitioned + sorted by that z-value. Writing the result gives
+    files whose min/max envelope is tight in every clustered column —
+    multi-column row-group skipping, where a plain sort only serves its
+    leading column. ``bits * len(cols)`` must fit a long (≤ 63). Value
+    scaling (not ranking) keeps it distributed; heavy skew widens some
+    buckets but never breaks correctness.
+    """
+    if not cols:
+        raise ValueError("zorder_by needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits*cols = {bits * len(cols)} exceeds a long")
+
+    n_buckets = 1 << bits
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__min{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__max{i}") for i, c in enumerate(cols)],
+    )
+    joined = df.join(F.broadcast(stats))
+    buckets = []
+    for i, c in enumerate(cols):
+        lo, hi = F.col(f"__min{i}"), F.col(f"__max{i}")
+        span = hi - lo
+        scaled = F.floor((F.col(c).cast("double") - lo) / span * n_buckets)
+        b = F.when(span > 0, F.least(scaled, F.lit(n_buckets - 1))).otherwise(F.lit(0))
+        buckets.append(F.coalesce(b, F.lit(0)).cast("long").alias(f"__b{i}"))
+    with_buckets = joined.select(*df.columns, *buckets)
+
+    # bit i of bucket j lands at interleaved position i*len(cols)+j
+    parts = [
+        F.shiftleft(
+            F.shiftright(F.col(f"__b{j}"), i).bitwiseAND(F.lit(1)),
+            i * len(cols) + j,
+        )
+        for i in range(bits)
+        for j in range(len(cols))
+    ]
+    z = reduce(lambda a, b: a.bitwiseOR(b), parts).cast("long")
+    return (
+        with_buckets.withColumn("__z", z)
+        .repartitionByRange(num_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__b{i}" for i in range(len(cols))])
+    )
