@@ -1690,3 +1690,34 @@ def j7_dpp_busiest_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "a13_array_agg",
+    "A13",
+    """
+    SELECT o_orderpriority,
+           count(*) AS cnt,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv
+    FROM orders
+    WHERE o_orderkey < 800
+    GROUP BY o_orderpriority
+    """,
+    doc="Grouped list aggregation (collect_list + sort_array): the "
+    "rows-to-array collector that feeds chunking/embedding stages. The "
+    "list is emitted sorted and joined so the graded value is "
+    "order-deterministic regardless of shuffle arrival order (arrays "
+    "stay unordered inside the engine; only the surface is canonical).",
+)
+def a13_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.filter(F.col("o_orderkey") < 800)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+                "orderkeys_csv"
+            ),
+        )
+    )

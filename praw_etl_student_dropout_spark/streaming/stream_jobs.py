@@ -151,3 +151,52 @@ def stateful_user_stats(
     return stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def attributed_purchases_stream(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """ST6 — stream-stream inner join with an event-time range bound.
+
+    Attribution: each purchase joins the same user's clicks from the
+    preceding ``horizon_minutes``. Both sides carry watermarks and the
+    join condition bounds purchase.ts - click.ts to [0, horizon], so the
+    state store can evict clicks past the horizon + watermark — the only
+    way a stream-stream join survives unbounded input. Equality on
+    user_id keeps the join hash-partitioned (no broadcast of a stream).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        F.round("amount", 2).alias("amount"),
+    )

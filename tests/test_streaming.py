@@ -213,3 +213,44 @@ def test_stateful_user_stats_accumulates_across_batches(spark, sf_dir, tmp_path)
         .collect()
     }
     assert final == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        attributed_purchases_stream,
+    )
+
+    streamed = _drain(
+        spark,
+        attributed_purchases_stream(read_event_stream(spark, events_dir)),
+        tmp_path,
+        "ss_join",
+        "append",
+    )
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        F.round("amount", 2).alias("amount"),
+    )
+    assert streamed.count() > 0
+    assert _as_set(streamed) == _as_set(batch)
