@@ -48,6 +48,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_volume",
     "q17_small_qty_share",
+    "j7_dpp_busiest_year",
 ]
 
 
@@ -60,6 +61,11 @@ def bench_spark() -> dict:
     # Warm the JVM + file listing once so per-query numbers measure the
     # query, not session startup.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # One-time scratch materialization (partitioned orders copy) happens
+    # outside the timed region — j7 measures DPP, not the layout write.
+    from praw_etl_student_dropout_spark.sources.partitioned import ensure_orders_by_year
+
+    ensure_orders_by_year(spark, SF_DIR)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
