@@ -1721,3 +1721,114 @@ def a13_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "w2b_value_window",
+    "W2",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           first_value(o_totalprice) OVER w AS min_price_in_status,
+           last_value(o_totalprice) OVER w AS max_price_in_status,
+           nth_value(o_totalprice, 3) OVER w AS third_price_in_status
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Window value functions (first/last/nth over an explicit full "
+    "frame): the analytic family W2 beyond lag/lead. The (price, key) "
+    "order is total so every engine picks identical rows; the frame is "
+    "spelled out because last_value over the default frame is the "
+    "current row — a classic cross-engine trap.",
+)
+def w2b_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.first("o_totalprice").over(w).alias("min_price_in_status"),
+        F.last("o_totalprice").over(w).alias("max_price_in_status"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price_in_status"),
+    )
+
+
+@register(
+    "f10b_hof_filter",
+    "F10",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           len(list_filter(embedding, x -> x > 2.0)) > 0 AS any_big,
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+    FROM embeddings
+    WHERE vec_id < 300
+    """,
+    doc="Array higher-order functions (filter / exists / transform+max) "
+    "entirely JVM-side — the lambda family that keeps per-element vector "
+    "work out of Python. Comparisons stay in float32 and only the final "
+    "scalar casts to double, so both engines surface the identical bits.",
+)
+def f10b_hof_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    e = F.col("embedding")
+    return emb.filter(F.col("vec_id") < 300).select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > F.lit(0))).alias("n_pos"),
+        F.exists(e, lambda x: x > F.lit(2.0)).alias("any_big"),
+        F.array_max(F.transform(e, lambda x: F.abs(x))).cast("double").alias("max_abs"),
+    )
+
+
+@register(
+    "f12_map_functions",
+    "F12-map",
+    """
+    WITH per_type AS (
+      SELECT user_id % 10 AS bucket, event_type, count(*) AS cnt
+      FROM events GROUP BY bucket, event_type
+    ),
+    m AS (
+      SELECT bucket,
+             map(list(event_type ORDER BY event_type),
+                 list(cnt ORDER BY event_type)) AS type_counts
+      FROM per_type GROUP BY bucket
+    )
+    SELECT bucket,
+           array_to_string(map_keys(type_counts), ',') AS types_csv,
+           array_to_string(map_values(type_counts), ',') AS counts_csv,
+           CAST(cardinality(type_counts) AS INTEGER) AS n_types
+    FROM m
+    """,
+    doc="MapType construction and access (map_from_entries / map_keys / "
+    "map_values / cardinality): per-user-bucket event-type count maps, "
+    "surfaced as sorted csv so the graded value is order-canonical. The "
+    "reference's props column is single-key JSON; this is the general "
+    "keyed-collection shape it becomes at scale.",
+)
+def f12_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    per_type = (
+        ev.withColumn("bucket", F.col("user_id") % 10)
+        .groupBy("bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = per_type.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return m.select(
+        "bucket",
+        F.concat_ws(",", F.map_keys("type_counts")).alias("types_csv"),
+        F.concat_ws(",", F.map_values("type_counts")).alias("counts_csv"),
+        F.size("type_counts").alias("n_types"),
+    )
