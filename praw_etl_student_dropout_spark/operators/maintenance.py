@@ -19,7 +19,10 @@ operators cover the maintenance loop:
 
 All three are driver-light: listings use the JVM Hadoop FileSystem (works
 on HDFS/S3A the same as local), and every data movement is a single
-declarative Spark job.
+declarative Spark job. The FileSystem access needs a classic session
+(``_jvm``); under Spark Connect run compaction as a server-side job —
+``write_clustered`` and ``zorder_by`` are pure DataFrame code and work
+anywhere.
 """
 
 from __future__ import annotations
