@@ -52,6 +52,8 @@ PROBE_QUERIES = [
     "d2_dedup_by_key",       # per-row: one full shuffle of lineitem
     "u6_text_stats",         # per-row: text exprs over documents
     "st4_session_window",    # per-row: session windows over events
+    "j7_dpp_busiest_year",   # DPP: partition-pruned scan of the 8x copy
+    "u6_chunk_documents",    # per-row: token-window fan-out (explode)
 ]
 
 
