@@ -85,3 +85,27 @@ def test_chunk_by_tokens_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_by_tokens(df, chunk_size=8, overlap=8)
+
+
+def test_chunk_text_udtf_matches_native_chunker(spark):
+    """U5 table-function surface: the Python UDTF's fan-out must agree
+    with the native sequence+explode chunker at overlap=0."""
+    from praw_etl_student_dropout_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, None)], "doc_id int, text string"
+    ).createOrReplaceTempView("__udtf_docs")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_no, c.chunk_text, c.n_tokens
+        FROM __udtf_docs d, LATERAL chunk_text(d.text, 3) c
+        """
+    )
+    rows = {(r.doc_id, r.chunk_no): (r.chunk_text, r.n_tokens) for r in out.collect()}
+    assert rows == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("d e f", 3),
+        (1, 2): ("g", 1),
+        (2, 0): ("x y", 2),
+    }
