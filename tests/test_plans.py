@@ -254,3 +254,50 @@ def test_dpp_prunes_year_partitions(spark, sf_dir):
     # and the query still computes the right thing: one busiest-P year
     rows = {r["o_orderstatus"]: r["cnt"] for r in df.collect()}
     assert set(rows) == {"F", "O", "P"} and all(v > 0 for v in rows.values())
+
+
+def test_new_round2_queries_stay_native_and_partial(spark, sf_dir, registry):
+    # f10b: higher-order array lambdas compile to JVM expressions
+    assert "EvalPython" not in plan_of(registry["f10b_hof_filter"].builder(spark, sf_dir))
+    # a13/f12: collect_list / map_from_entries aggregate with a
+    # partial/final split around a single exchange
+    for name in ("a13_array_agg", "f12_map_functions"):
+        p = plan_of(registry[name].builder(spark, sf_dir))
+        assert "partial" in p.lower(), name
+        assert "EvalPython" not in p, name
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """One hot key must not serialize a shuffle join: with AQE skew-join
+    on, the planner splits the oversized partition into parallel subtasks
+    (skew=true on the join node of the final adaptive plan). No operator
+    downstream of the join may require the join's partitioning, or AQE
+    (correctly) refuses to split rather than add a shuffle."""
+    hot = 300_000
+    left = spark.range(hot).select(
+        F.lit(0).alias("k"), F.rpad(F.col("id").cast("string"), 64, "x").alias("lv")
+    ).union(
+        spark.range(1, 64).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("lv")
+        )
+    )
+    right = spark.range(64).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k")
+        # execute THIS df (count() builds a different plan on top) so the
+        # adaptive plan finalizes and the skew decision is observable
+        assert len(joined.collect()) == hot + 63  # one right row per key
+        final_plan = plan_of(joined)
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
