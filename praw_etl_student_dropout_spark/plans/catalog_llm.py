@@ -333,3 +333,101 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_stratum = docs.filter(F.col("lang") == langs[0])
     mixture = mix_sources([(sampled, 1.0), (first_stratum, 0.5)], seed=13)
     return mixture.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _funnel_sql() -> str:
+    from .catalog_text import _lang_scalar_sql, _quality_sql
+
+    toks = SQL_TOKS.format(col="text")
+    clean_toks = SQL_TOKS.format(col=SQL_CLEAN.format(col="text"))
+    return f"""
+    WITH lang AS ({_lang_scalar_sql()}),
+    q AS ({_quality_sql()}),
+    fp AS (SELECT doc_id,
+                  md5(array_to_string(list_sort({clean_toks}), ' ')) AS fingerprint
+           FROM documents),
+    st2 AS (SELECT lang.doc_id FROM lang WHERE lang_guess = 'en'),
+    st3 AS (SELECT st2.doc_id FROM st2 JOIN q ON st2.doc_id = q.doc_id
+            WHERE q.quality >= 0.71),
+    st4 AS (SELECT doc_id FROM (
+              SELECT st3.doc_id,
+                     min(st3.doc_id) OVER (PARTITION BY fp.fingerprint) AS m
+              FROM st3 JOIN fp ON st3.doc_id = fp.doc_id)
+            WHERE doc_id = m),
+    tk AS (SELECT doc_id, {toks} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES.format(t='t')}) AS shingle FROM tk),
+    c AS (SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % 97 != 0),
+    b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT corpus_id AS doc_id FROM (
+        SELECT corpus_id, bench_id, count(*) AS shared
+        FROM c JOIN b USING (shingle)
+        GROUP BY corpus_id, bench_id HAVING count(*) >= 3)),
+    st5 AS (SELECT doc_id FROM st4 WHERE doc_id % 97 != 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT '1_total' AS stage, count(*) AS n_docs FROM documents
+    UNION ALL SELECT '2_lang_en', count(*) FROM st2
+    UNION ALL SELECT '3_quality', count(*) FROM st3
+    UNION ALL SELECT '4_deduped', count(*) FROM st4
+    UNION ALL SELECT '5_decontaminated', count(*) FROM st5
+    """
+
+
+@register(
+    "llm_curation_funnel",
+    "U6+D3+U8 composed",
+    _funnel_sql(),
+    doc="The training-data curation pipeline as ONE declarative funnel: "
+    "language gate (marker-token argmax) → quality gate (≥0.71 composite) "
+    "→ exact dedup (min-id survivor per cleaned-token-bag fingerprint) → "
+    "benchmark decontamination (≥3 shared 3-gram shingles vs the held-out "
+    "doc_id%97 split). Emits the per-stage surviving-document counts, so "
+    "the graded value pins every stage's semantics at once. Each gate is "
+    "a narrowing filter BEFORE the expensive joins; the dedup and "
+    "decontamination joins shuffle only survivors/shingles, the shape "
+    "that holds at corpus scale.",
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import doc_fingerprint, lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    enriched = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    st2 = enriched.filter(F.col("lang_guess") == "en")
+    st3 = st2.filter(F.col("quality") >= 0.71)
+    mins = st3.groupBy("fingerprint").agg(F.min("doc_id").alias("m"))
+    st4 = st3.join(
+        mins,
+        (st3["fingerprint"] == mins["fingerprint"]) & (st3["doc_id"] == mins["m"]),
+        "left_semi",
+    )
+    contaminated = (
+        contamination_pairs(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            "text",
+            "doc_id",
+            shingle_n=3,
+            min_shared=3,
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    st5 = st4.filter(F.col("doc_id") % 97 != 0).join(contaminated, "doc_id", "left_anti")
+
+    def cnt(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(label).alias("stage"), "n_docs"
+        )
+
+    return (
+        cnt(docs, "1_total")
+        .unionAll(cnt(st2, "2_lang_en"))
+        .unionAll(cnt(st3, "3_quality"))
+        .unionAll(cnt(st4, "4_deduped"))
+        .unionAll(cnt(st5, "5_decontaminated"))
+    )

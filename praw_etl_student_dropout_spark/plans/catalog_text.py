@@ -75,9 +75,10 @@ def u6_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_sql() -> str:
-    """DuckDB mirror of functions.text.lang_id: marker-token hit argmax,
-    alphabetical code tiebreak, CJK codepoint override, no hits → 'und'."""
+def _lang_scalar_sql() -> str:
+    """DuckDB mirror of functions.text.lang_id as a per-doc scalar
+    subquery (doc_id, lang_guess): marker-token hit argmax, alphabetical
+    code tiebreak, CJK codepoint override, no hits → 'und'."""
     from ..functions.text import _LANG_MARKERS
 
     toks = SQL_TOKS.format(col="lower(text)")
@@ -89,14 +90,19 @@ def _lang_sql() -> str:
     # CASE checks in alphabetical order = smallest code wins ties
     cases = " ".join(f"WHEN s_{c} = g THEN '{c}'" for c in sorted(parts))
     return f"""
-    WITH scored AS (SELECT doc_id, text, {hits} FROM documents),
-         best AS (SELECT doc_id, text, {g} AS g, * FROM scored)
-    SELECT lang_guess, count(*) AS cnt FROM (
-      SELECT CASE WHEN coalesce(regexp_matches(text, '[一-鿿]'), false) THEN 'zh'
+      SELECT doc_id,
+             CASE WHEN coalesce(regexp_matches(text, '[一-鿿]'), false) THEN 'zh'
                   WHEN g = 0 THEN 'und'
                   {cases} END AS lang_guess
-      FROM best
-    ) GROUP BY lang_guess
+      FROM (SELECT doc_id, text, {g} AS g, *
+            FROM (SELECT doc_id, text, {hits} FROM documents))
+    """
+
+
+def _lang_sql() -> str:
+    return f"""
+    SELECT lang_guess, count(*) AS cnt
+    FROM ({_lang_scalar_sql()}) GROUP BY lang_guess
     """
 
 
