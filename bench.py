@@ -49,6 +49,7 @@ HEADLINE = [
     "q5_region_volume",
     "q17_small_qty_share",
     "j7_dpp_busiest_year",
+    "llm_curation_funnel",
 ]
 
 

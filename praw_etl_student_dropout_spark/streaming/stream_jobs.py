@@ -200,3 +200,25 @@ def attributed_purchases_stream(
         "click_ts",
         F.round("amount", 2).alias("amount"),
     )
+
+
+def enriched_events_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """ST7 — stream-static enrichment join.
+
+    The static side is a batch DataFrame (dimension table) re-evaluated
+    per micro-batch and broadcast into each: no state store at all, the
+    streaming analog of the reference's surrogate-key swap (J2). Use for
+    slowly-changing dims; for two live streams use the interval join.
+    """
+    return (
+        stream.join(F.broadcast(dim), "event_type", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value") * F.coalesce(F.col("weight"), F.lit(1.0)), 6).alias(
+                "weighted_value"
+            ),
+        )
+    )

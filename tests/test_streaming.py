@@ -254,3 +254,33 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, sf_dir, tm
     )
     assert streamed.count() > 0
     assert _as_set(streamed) == _as_set(batch)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        enriched_events_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("purchase", 10.0), ("view", 0.5)],
+        "event_type string, weight double",
+    )
+    streamed = _drain(
+        spark,
+        enriched_events_stream(read_event_stream(spark, events_dir), dim),
+        tmp_path,
+        "ss_enrich",
+        "append",
+    )
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    batch = ev.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(
+            F.col("value") * F.coalesce(F.col("weight"), F.lit(1.0)), 6
+        ).alias("weighted_value"),
+    )
+    assert streamed.count() == ev.count()  # left join keeps every event
+    assert _as_set(streamed) == _as_set(batch)
