@@ -87,6 +87,25 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines source (one record per line — the splittable layout;
+    ``multiline`` only for whole-file documents, which cannot be split
+    across tasks). Schema asserted when given, else sampled inference —
+    at corpus scale always pass the schema so a bad late record becomes
+    a null row, not a schema change."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", True)
+    return reader.json(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -128,3 +128,27 @@ def test_merge_upsert_old_version_still_readable(spark, tmp_path):
     # time travel: v0 is untouched by the v1 commit
     v0 = spark.read.parquet(f"{base}/v0")
     assert v0.first().v == "a"
+
+
+def test_json_lines_roundtrip_with_asserted_schema(spark, sf_dir, tmp_path):
+    from pyspark.sql import types as T
+
+    from praw_etl_student_dropout_spark.sources.readers import load_tables, read_json
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "lang", "source"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    docs.write.json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    back = read_json(spark, path, schema=schema)
+    assert back.schema == schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in docs.collect()
+    )
