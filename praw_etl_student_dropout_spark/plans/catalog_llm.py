@@ -388,23 +388,27 @@ def _funnel_sql() -> str:
     "that holds at corpus scale.",
 )
 def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from ..functions.text import doc_fingerprint, lang_id, quality_score
 
     docs = _t(spark, sf_dir, "documents")["documents"]
-    enriched = docs.select(
+    # One pass computes every per-doc signal (the reference's insight
+    # block re-scans its frame five times, etl_pipeline.py:194-198 — the
+    # anti-pattern this funnel exists to replace). Stage membership
+    # becomes boolean flags; the only extra exchanges are the
+    # fingerprint window (dedup survivor) and the contamination join.
+    flags = docs.select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("quality"),
+        (lang_id(F.col("text")) == "en").alias("is_en"),
+        (quality_score(F.col("text")) >= 0.71).alias("is_q"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).withColumn("is_q", F.col("is_en") & F.col("is_q"))
+    # survivor = smallest doc_id among stage-3 rows sharing a fingerprint
+    m = F.min(F.when(F.col("is_q"), F.col("doc_id"))).over(
+        Window.partitionBy("fingerprint")
     )
-    st2 = enriched.filter(F.col("lang_guess") == "en")
-    st3 = st2.filter(F.col("quality") >= 0.71)
-    mins = st3.groupBy("fingerprint").agg(F.min("doc_id").alias("m"))
-    st4 = st3.join(
-        mins,
-        (st3["fingerprint"] == mins["fingerprint"]) & (st3["doc_id"] == mins["m"]),
-        "left_semi",
-    )
+    flags = flags.withColumn("is_surv", F.col("is_q") & (F.col("doc_id") == m))
     contaminated = (
         contamination_pairs(
             docs.filter(F.col("doc_id") % 97 != 0),
@@ -416,18 +420,22 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("corpus_id").alias("doc_id"))
         .distinct()
+        .withColumn("is_cont", F.lit(True))
     )
-    st5 = st4.filter(F.col("doc_id") % 97 != 0).join(contaminated, "doc_id", "left_anti")
-
-    def cnt(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(label).alias("stage"), "n_docs"
-        )
-
-    return (
-        cnt(docs, "1_total")
-        .unionAll(cnt(st2, "2_lang_en"))
-        .unionAll(cnt(st3, "3_quality"))
-        .unionAll(cnt(st4, "4_deduped"))
-        .unionAll(cnt(st5, "5_decontaminated"))
+    flags = flags.join(F.broadcast(contaminated), "doc_id", "left").withColumn(
+        "is_final",
+        F.col("is_surv")
+        & (F.col("doc_id") % 97 != 0)
+        & F.coalesce(~F.col("is_cont"), F.lit(True)),
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.count_if(F.col("is_en")).alias("c2"),
+        F.count_if(F.col("is_q")).alias("c3"),
+        F.count_if(F.col("is_surv")).alias("c4"),
+        F.count_if(F.col("is_final")).alias("c5"),
+    )
+    return one.selectExpr(
+        "stack(5, '1_total', c1, '2_lang_en', c2, '3_quality', c3, "
+        "'4_deduped', c4, '5_decontaminated', c5) AS (stage, n_docs)"
     )
