@@ -301,3 +301,15 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q10_take_ordered_and_pushed_returnflag(spark, sf_dir, registry):
+    p = plan_of(registry["q10_returned_revenue"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p  # filter reached the scan
+
+
+def test_q19_or_predicate_pushed_to_part_scan(spark, sf_dir, registry):
+    p = plan_of(registry["q19_disjunctive_filter"].builder(spark, sf_dir))
+    part_scans = [l for l in p.splitlines() if "FileScan" in l and "part.parquet" in l]
+    assert part_scans and any("Or(" in l for l in part_scans)
