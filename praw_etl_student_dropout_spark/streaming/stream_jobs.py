@@ -222,3 +222,34 @@ def enriched_events_stream(stream: DataFrame, dim: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def run_update_merge(
+    agg_stream: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+) -> None:
+    """ST8 — streaming upsert: drain an update-mode aggregate into the
+    versioned copy-on-write table via per-batch MERGE.
+
+    Update mode re-emits a group every time a micro-batch changes it, so
+    the sink needs upsert (last-wins on ``keys``) — append would duplicate
+    revised groups. merge_upsert's marker file is the atomic commit, and
+    re-processing a batch after a crash converges to the same keyed state
+    (per-key idempotence, the exactly-once recipe on a keyed store).
+    """
+    from ..operators.merge import merge_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_upsert(batch_df.sparkSession, base_dir, batch_df, keys)
+
+    (
+        agg_stream.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -284,3 +284,24 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir, sf_dir, tmp_p
     )
     assert streamed.count() == ev.count()  # left join keeps every event
     assert _as_set(streamed) == _as_set(batch)
+
+
+def test_update_mode_merge_upsert_converges_to_batch(spark, events_dir, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.operators.merge import read_merged
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import run_update_merge
+
+    base = str(tmp_path / "merged_counts")
+    agg = tumbling_counts_stream(read_event_stream(spark, events_dir))
+    run_update_merge(
+        agg, base, str(tmp_path / "ckpt_merge"), keys=["window_start", "event_type"]
+    )
+    # replay the same input: update-mode re-emissions must be absorbed by
+    # the upsert, not appended
+    run_update_merge(
+        agg, base, str(tmp_path / "ckpt_merge2"), keys=["window_start", "event_type"]
+    )
+    merged = read_merged(spark, base)
+    batch = tumbling_agg(
+        load_tables(spark, sf_dir, ["events"])["events"], "ts", "1 hour", ["event_type"]
+    )
+    assert _as_set(merged) == _as_set(batch)
