@@ -59,6 +59,9 @@ def bench_spark() -> dict:
 
     registry = catalog_all()
     spark = get_spark(app_name="bench")
+    # Timing runs only — WARN-level chatter (e.g. WindowExec notes on the
+    # tiny post-aggregation dim windows) would drown the per-query lines.
+    spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM + file listing once so per-query numbers measure the
     # query, not session startup.
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()

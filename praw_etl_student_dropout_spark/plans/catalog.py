@@ -1675,10 +1675,13 @@ def j7_dpp_busiest_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(F.count(F.lit(1)).alias("p_cnt"))
     )
-    from pyspark.sql import Window
-
+    # broadcast the 1-row global max back instead of an unpartitioned
+    # window: same result, and the plan stays window-free (the per_year
+    # frame is tiny, but the agg+broadcast shape is the one that holds
+    # for arbitrarily many groups)
+    mx = per_year.agg(F.max("p_cnt").alias("mx"))
     busiest = (
-        per_year.withColumn("mx", F.max("p_cnt").over(Window.partitionBy()))
+        per_year.join(F.broadcast(mx))
         .filter(F.col("p_cnt") == F.col("mx"))
         .select(F.col("o_year").alias("y"))
     )
