@@ -36,3 +36,17 @@ def test_document_sentiment_pivot(spark, sf_dir):
     out = document_sentiment_pivot(spark, sf_dir).collect()
     docs_total = load_tables(spark, sf_dir, ["documents"])["documents"].count()
     assert sum(r.n_positive + r.n_negative + r.n_neutral for r in out) == docs_total
+
+
+def test_curation_funnel_is_monotone(spark, sf_dir):
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in catalog_all()["llm_curation_funnel"].builder(spark, sf_dir).collect()
+    }
+    order = ["1_total", "2_lang_en", "3_quality", "4_deduped", "5_decontaminated"]
+    assert list(rows) and set(rows) == set(order)
+    counts = [rows[s] for s in order]
+    assert counts == sorted(counts, reverse=True), counts  # each gate narrows
+    assert counts[0] > 0 and counts[-1] > 0
