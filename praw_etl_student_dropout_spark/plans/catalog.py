@@ -2042,3 +2042,124 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    "P4+A5 (TPC-H Q6 shape)",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan-side conjunctive filter + global agg — "
+    "the query whose entire cost is how many row groups the pushed "
+    "predicates skip. Every conjunct reaches PushedFilters; no shuffle "
+    "except the single partial/final count merge.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "a14_event_funnel",
+    "A2+W2 (behavioral funnel)",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM firsts
+    """,
+    doc="Behavioral conversion funnel (view -> click -> purchase in strict "
+    "event-time order per user): one grouped pass builds each user's "
+    "first-touch timestamps via conditional min — no self-joins, no "
+    "window re-sorts; NULL comparisons fail closed on both engines so "
+    "missing steps drop out identically.",
+)
+def a14_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("int")).cast("long").alias("step_view"),
+        F.sum(clicked.cast("int")).cast("long").alias("step_click"),
+        F.sum(purchased.cast("int")).cast("long").alias("step_purchase"),
+    )
+
+
+@register(
+    "a15_cohort_retention",
+    "A2+F4 (cohort retention)",
+    """
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_no
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(week_no) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(w.week_no - c.cohort_week AS BIGINT) AS weeks_since,
+           count(*) AS n_active
+    FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+    WHERE w.week_no - c.cohort_week <= 8
+    GROUP BY c.cohort_week, weeks_since
+    """,
+    doc="Cohort retention matrix: users bucketed by first-active epoch "
+    "week, counted per (cohort, weeks-since) cell. distinct-then-join "
+    "keeps each user's weekly activity a set (no per-event inflation); "
+    "epoch-week arithmetic is integer-exact on both engines (floor, not "
+    "round — the DuckDB epoch() sharp edge).",
+)
+def a15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    weekly = ev.select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week_no")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week_no").alias("cohort_week"))
+    return (
+        weekly.join(cohorts, "user_id")
+        .withColumn("weeks_since", (F.col("week_no") - F.col("cohort_week")).cast("long"))
+        .filter(F.col("weeks_since") <= 8)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
