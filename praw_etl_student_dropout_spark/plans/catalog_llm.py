@@ -439,3 +439,59 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(5, '1_total', c1, '2_lang_en', c2, '3_quality', c3, "
         "'4_deduped', c4, '5_decontaminated', c5) AS (stage, n_docs)"
     )
+
+
+def _ngram_pairs_sql(threshold: float) -> str:
+    """(id_a, id_b) near-dup pairs CTE body at the given Jaccard threshold
+    — the oracle twin of ngram_jaccard_pairs."""
+    toks = SQL_TOKS.format(col="text")
+    return f"""
+      SELECT id_a, id_b FROM (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+        FROM (SELECT doc_id, unnest({SQL_SHINGLES.format(t=f'({toks})')}) AS shingle FROM documents) l
+        JOIN (SELECT doc_id, unnest({SQL_SHINGLES.format(t=f'({toks})')}) AS shingle FROM documents) r
+          ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY l.doc_id, r.doc_id
+      ) s
+      JOIN (SELECT doc_id, len({SQL_SHINGLES.format(t=f'({toks})')}) AS n_sh FROM documents) sa
+        ON sa.doc_id = s.id_a
+      JOIN (SELECT doc_id, len({SQL_SHINGLES.format(t=f'({toks})')}) AS n_sh FROM documents) sb
+        ON sb.doc_id = s.id_b
+      WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= {threshold}
+    """
+
+
+@register(
+    "d3_dup_clusters",
+    "D3+iterative",
+    f"""
+    WITH RECURSIVE pairs AS ({_ngram_pairs_sql(0.3)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT comp AS comp_id, count(*) AS n_members FROM (
+      SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ) GROUP BY comp
+    """,
+    doc="Near-dup pairs collapsed into duplicate CLUSTERS via connected "
+    "components (min-label propagation as join+groupBy rounds, one "
+    "shuffle per round, rounds = cluster diameter — operators/clusters). "
+    "The oracle states the same closure with a recursive CTE; both sides "
+    "label each cluster by its smallest member, the deterministic "
+    "survivor the dedup convention keeps.",
+)
+def d3_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    return dup_clusters(pairs)

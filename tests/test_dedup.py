@@ -113,3 +113,43 @@ def test_word_shingles_short_doc(spark):
     rows = {r.id: r.sh for r in df.select("id", word_shingles(F.col("t"), 3).alias("sh")).collect()}
     assert rows[1] == ["a b"]  # shorter than n → whole-text shingle
     assert rows[2] == ["a b c", "b c d"]
+
+
+def test_connected_components_partition_and_min_label(spark):
+    from praw_etl_student_dropout_spark.operators.clusters import (
+        connected_components,
+        dup_clusters,
+    )
+
+    # two chains and a singleton-free triangle: {1-2-3}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comps = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    sizes = {r["comp_id"]: r["n_members"] for r in dup_clusters(edges).collect()}
+    assert sizes == {1: 3, 10: 2, 20: 3}
+
+
+def test_dup_clusters_cover_all_paired_docs(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.clusters import dup_clusters
+    from praw_etl_student_dropout_spark.operators.dedup import ngram_jaccard_pairs
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    n_paired = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .count()
+    )
+    clusters = dup_clusters(pairs)
+    stats = clusters.agg(
+        F.sum("n_members").alias("total"), F.min("n_members").alias("mn")
+    ).first()
+    assert stats["total"] == n_paired  # clusters partition the paired docs
+    assert stats["mn"] >= 2  # every cluster came from at least one pair
