@@ -12,6 +12,7 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.joins import anti_join_new_keys
 
@@ -64,3 +65,25 @@ def idempotent_append(
     fresh = anti_join_new_keys(deduped, existing, keys)
     sink(fresh)
     return fresh
+
+
+def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving all other directories untouched — the reload-one-
+    day-of-a-year-partitioned-fact operation. Static overwrite mode (the
+    default) would truncate the whole table first; the conf scopes the
+    dynamic behavior to this write and restores the prior mode after.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)

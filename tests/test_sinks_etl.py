@@ -152,3 +152,37 @@ def test_json_lines_roundtrip_with_asserted_schema(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in docs.collect()
     )
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, sf_dir, tmp_path
+):
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+    from praw_etl_student_dropout_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    dest = str(tmp_path / "orders_dyn")
+    orders.write.partitionBy("o_year").parquet(dest)
+    base_counts = {
+        r["o_year"]: r["count"]
+        for r in spark.read.parquet(dest).groupBy("o_year").count().collect()
+    }
+    # rewrite ONE year with a halved slice; other years must be untouched
+    year = sorted(base_counts)[0]
+    slice_df = orders.filter(
+        (F.col("o_year") == year) & (F.col("o_orderkey") % 2 == 0)
+    )
+    overwrite_partitions_dynamic(slice_df, dest, ["o_year"])
+    after = {
+        r["o_year"]: r["count"]
+        for r in spark.read.parquet(dest).groupBy("o_year").count().collect()
+    }
+    assert after[year] == slice_df.count() and after[year] < base_counts[year]
+    for y, n in base_counts.items():
+        if y != year:
+            assert after[y] == n, (y, n, after[y])
