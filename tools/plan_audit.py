@@ -1,0 +1,107 @@
+"""Whole-catalog physical-plan audit.
+
+Builds (without executing) the optimized physical plan of every catalog
+query and reports the operators that matter at scale: exchanges,
+broadcast vs sort-merge joins, nested-loop/cartesian fallbacks, Python
+evaluation nodes, and global sorts. The point is a one-screen regression
+check: a Python boundary or nested-loop join appearing in a query that
+never had one is a plan regression even while results stay correct.
+
+Usage: python tools/plan_audit.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Queries where a Python-eval node is the point (Arrow-batched UDF/UDAF/
+# mapInPandas surfaces) — anywhere else it's a hot-path regression.
+EXPECTED_PYTHON = {
+    "u2_sentiment_pandas_udf",
+    "u5_grouped_udaf",
+    "multimodal_features",
+    "multimodal_frame_sample",
+}
+# Queries whose join condition is genuinely non-equi (theta/range/
+# all-pairs scoring) — nested-loop there is the declared strategy.
+EXPECTED_NESTED_LOOP = {
+    "j4_theta_join",
+    "j6_range_join",
+    "d3b_fuzzy_name_pairs",
+    "d3_embedding_dup_exact",
+    "u7_knn_bruteforce",
+    "u7_knn_ivf",
+    "u7_kmeans_ivf",
+    "u7_text_search_hashed",
+    "llm_chunk_embed_dedup",
+    "q17_small_qty_share",  # decorrelated agg broadcast back (single-row)
+    "q14_promo_share",      # single-row sums cross-joined for the ratio
+    "j7_dpp_busiest_year",  # 1-row global max broadcast back
+    "llm_curation_funnel",  # 1-row contamination-id set joined in
+    "sample_stratified_mix",
+}
+
+
+def audit(plan: str) -> dict:
+    return {
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct"),
+        "python": plan.count("EvalPython") + plan.count("InPandas")
+        + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas"),
+        "global_sort": plan.count("Sort ") - plan.count("Sort [")
+        if False
+        else int("Exchange rangepartitioning" in plan and "TakeOrdered" not in plan),
+    }
+
+
+def main() -> int:
+    from praw_etl_student_dropout_spark.plans import catalog_all
+    from praw_etl_student_dropout_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = catalog_all()
+    wanted = sys.argv[1:] or list(reg)
+    problems = []
+    print(f"{'query':32s} {'exch':>4} {'bhj':>4} {'smj':>4} {'bnlj':>4} {'py':>3}")
+    for name in wanted:
+        try:
+            plan = (
+                reg[name]
+                .builder(spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:
+            print(f"{name:32s} PLAN-ERROR {str(e)[:120]}")
+            problems.append(f"{name}: plan error")
+            continue
+        a = audit(plan)
+        flags = []
+        if a["python"] and name not in EXPECTED_PYTHON:
+            flags.append("UNEXPECTED-PYTHON")
+        if a["bnlj"] and name not in EXPECTED_NESTED_LOOP:
+            flags.append("UNEXPECTED-NESTED-LOOP")
+        print(
+            f"{name:32s} {a['exchanges']:>4} {a['bhj']:>4} {a['smj']:>4} "
+            f"{a['bnlj']:>4} {a['python']:>3}  {' '.join(flags)}"
+        )
+        problems += [f"{name}: {f}" for f in flags]
+    print(f"\n{len(wanted) - len(set(p.split(':')[0] for p in problems))}/{len(wanted)} clean")
+    if problems:
+        print("PROBLEMS:", problems)
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
