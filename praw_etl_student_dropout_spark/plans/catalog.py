@@ -2163,3 +2163,39 @@ def a15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "f13_string_functions",
+    "F-string",
+    """
+    SELECT s_suppkey,
+           upper(s_name) AS name_upper,
+           reverse(s_name) AS name_rev,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_padded,
+           replace(s_name, '#', '-') AS name_dashed,
+           substr(s_name, 1, 8) AS name_head,
+           CAST(strpos(s_name, '#') AS INTEGER) AS hash_pos,
+           repeat('ab', 3) AS const_repeat,
+           CAST(length(s_name) AS INTEGER) AS name_len
+    FROM supplier
+    WHERE s_suppkey < 400
+    """,
+    doc="String-function family sweep (upper/reverse/lpad/replace/substr/"
+    "position/repeat/length) — every function 1-based and "
+    "whole-string on both engines, so the surface is bit-identical. "
+    "Pure narrow projection: no shuffle, scan prunes to two columns.",
+)
+def f13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")["supplier"]
+    return sup.filter(F.col("s_suppkey") < 400).select(
+        "s_suppkey",
+        F.upper("s_name").alias("name_upper"),
+        F.reverse(F.col("s_name")).alias("name_rev"),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_padded"),
+        F.replace(F.col("s_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.substring("s_name", 1, 8).alias("name_head"),
+        F.instr("s_name", "#").alias("hash_pos"),
+        F.repeat(F.lit("ab"), 3).alias("const_repeat"),
+        F.length("s_name").alias("name_len"),
+    )
