@@ -123,3 +123,51 @@ def test_mix_sources_weights(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         mix_sources([])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_connected_components_match_union_find(spark, edges):
+    from praw_etl_student_dropout_spark.operators.clusters import connected_components
+
+    # reference: driver-side union-find over the same edges
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+@given(
+    points=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_zorder_preserves_multiset(spark, points):
+    from praw_etl_student_dropout_spark.operators.maintenance import zorder_by
+
+    df = spark.createDataFrame(points, "x long, y long")
+    z = zorder_by(df, ["x", "y"], num_partitions=4, bits=6)
+    assert sorted(tuple(r) for r in z.collect()) == sorted(points)
