@@ -2199,3 +2199,72 @@ def f13_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("ab"), 3).alias("const_repeat"),
         F.length("s_name").alias("name_len"),
     )
+
+
+@register(
+    "j4b_nullsafe_join",
+    "J4 (null-safe equality)",
+    """
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey < 200
+    )
+    SELECT a.seg, count(*) AS n_pairs
+    FROM c a JOIN c b
+      ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
+    GROUP BY a.seg
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of silently dropping — the semantics an "
+    "idempotent load needs when natural keys can be absent. Still a hash "
+    "join: null-safe equality remains an equi-condition, not a theta "
+    "fallback.",
+)
+def j4b_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")["customer"]
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        )
+    )
+    a = cust.select(F.col("c_custkey").alias("k_a"), F.col("seg").alias("seg"))
+    b = cust.select(F.col("c_custkey").alias("k_b"), F.col("seg").alias("seg_b"))
+    return (
+        a.join(b, a["seg"].eqNullSafe(b["seg_b"]) & (F.col("k_a") < F.col("k_b")))
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "f14_safe_casts",
+    "F-safe (try_cast / null-safe arithmetic)",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS key_roundtrip,
+           round(o_totalprice / NULLIF(o_orderkey % 3, 0), 4) AS price_per_mod,
+           coalesce(TRY_CAST(o_orderpriority AS DOUBLE), -1.0) AS priority_num
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="Failure-safe scalar semantics: TRY_CAST yields NULL (never an "
+    "error) on malformed input, and division guards its zero divisor "
+    "with NULLIF so both engines produce NULL rather than diverging on "
+    "error behavior — the ingestion-edge discipline for dirty data at "
+    "scale (a bad record must become a NULL cell, not a failed stage).",
+)
+def f14_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.col("o_orderkey").cast("string").try_cast("int").alias("key_roundtrip"),
+        F.round(
+            F.col("o_totalprice") / F.nullif(F.col("o_orderkey") % 3, F.lit(0)), 4
+        ).alias("price_per_mod"),
+        F.coalesce(
+            F.col("o_orderpriority").try_cast("double"), F.lit(-1.0)
+        ).alias("priority_num"),
+    )
