@@ -2268,3 +2268,123 @@ def f14_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").try_cast("double"), F.lit(-1.0)
         ).alias("priority_num"),
     )
+
+
+@register(
+    "q4_priority_exists",
+    "SQ+A1 (TPC-H Q4 shape)",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (adapted: the fixture has no commit/receipt dates, "
+    "so 'late' means shipped >60 days after order date). The correlated "
+    "EXISTS decorrelates to a LEFT SEMI hash join on l_orderkey with the "
+    "date comparison as a residual condition; orders' quarter filter is "
+    "pushed to its scan so the semi-join probe side is already pruned.",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    quarter = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    late = quarter.join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q12_late_priority_buckets",
+    "P7+A5 (TPC-H Q12 shape)",
+    """
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 'late' ELSE 'ontime' END AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ship_bucket
+    """,
+    doc="TPC-H Q12 shape (adapted: ship-lateness bucket stands in for "
+    "l_shipmode): conditional sums pivot order priority into two "
+    "counters per bucket in one grouped pass. The year filter prunes "
+    "lineitem at the scan before the large-large join; the CASE key is "
+    "computed post-join, grouping a 2-value key (map-side combine "
+    "collapses everything before the shuffle).",
+)
+def q12_late_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    year = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = year.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.select(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                "late",
+            )
+            .otherwise("ontime")
+            .alias("ship_bucket"),
+            high.cast("int").alias("is_high"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum("is_high").cast("long").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    "J4+A1 (TPC-H Q13 shape)",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution. The priority "
+    "exclusion lives in the LEFT JOIN's ON clause (not WHERE — filtering "
+    "after the join would silently drop zero-order customers), "
+    "count(o_orderkey) counts matches only, and a second tiny "
+    "aggregation histograms the counts. Two shuffles total; the second "
+    "input is one row per customer.",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "5-LOW"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
