@@ -2388,3 +2388,185 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q8_market_share",
+    "J1+A6 (TPC-H Q8 shape)",
+    """
+    WITH volumes AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DOUBLE) END), 2) AS nation_rev,
+           round(sum(volume), 2) AS total_rev,
+           round(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                ELSE CAST(0 AS DOUBLE) END), 2)
+                 / round(sum(volume), 2), 6) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's market share of a region's ECONOMY "
+    "trade per year. Seven-table join where every dim (part, supplier, "
+    "customer, both nations, region) broadcasts and lineitem never "
+    "re-shuffles except into orders; share = single division of "
+    "cent-rounded sums (the cross-engine-safe ratio discipline).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    joined = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(asia), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            nation_vol.alias("nation_volume"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(F.sum("nation_volume"), 2).alias("nation_rev"),
+            F.round(F.sum("volume"), 2).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    "J1+A2 (TPC-H Q9 shape)",
+    """
+    WITH profits AS (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+               AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit,
+           count(*) AS n_lines
+    FROM profits GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (adapted: the fixture has no partsupp, so "
+    "p_retailprice*l_quantity stands in for ps_supplycost as the cost "
+    "term). Substring part filter prunes the broadcast build side before "
+    "the probe; profit terms carry <=4 decimal digits so double sums "
+    "stay exact and cent-rounding is bit-identical across engines.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    joined = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum("amount"), 2).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    "SQ+A1 (TPC-H Q15 shape)",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: supplier(s) achieving the max quarterly "
+    "revenue. The scalar max decorrelates to a broadcast of a 1-row "
+    "aggregate joined back against the per-supplier revenue (no global "
+    "sort, no window over an unpartitioned frame); ties surface as "
+    "multiple rows identically on both engines because the comparison "
+    "is on the cent-rounded sum.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
