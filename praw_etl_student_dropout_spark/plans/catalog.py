@@ -2570,3 +2570,222 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "q11_important_parts",
+    "SQ+A1 (TPC-H Q11 shape)",
+    """
+    WITH vals AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+    )
+    SELECT l_partkey, round(sum(val), 2) AS part_value
+    FROM vals GROUP BY l_partkey
+    HAVING round(sum(val), 2) >
+           (SELECT round(sum(val), 2) * CAST(0.002 AS DOUBLE) FROM vals)
+    """,
+    doc="TPC-H Q11 shape (adapted: lineitem value per part stands in for "
+    "partsupp stock value). HAVING against a global scalar subquery "
+    "decorrelates to a 1-row broadcast joined with a residual "
+    "comparison — the grouped side shuffles once and the total is a "
+    "second lightweight agg over the same filtered scan; both sides of "
+    "the comparison are cent-rounded before the one double multiply.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nation_suppliers = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = t["lineitem"].join(
+        F.broadcast(nation_suppliers), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+    )
+    per_part = vals.groupBy("l_partkey").agg(
+        F.round(F.sum("val"), 2).alias("part_value")
+    )
+    threshold = vals.agg(
+        (F.round(F.sum("val"), 2) * F.lit(0.002)).alias("threshold")
+    )
+    return (
+        per_part.join(
+            F.broadcast(threshold), F.col("part_value") > F.col("threshold")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    "SQ+A8 (TPC-H Q16 shape)",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape (adapted: lineitem bridges part->supplier in "
+    "place of partsupp; negative account balance stands in for the "
+    "complaints exclusion). The NOT IN over a non-nullable key compiles "
+    "to a broadcast LEFT ANTI join; negated brand/type predicates and "
+    "the size IN-list all push into the part scan; count(DISTINCT) "
+    "expands to a two-phase exact distinct aggregation.",
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    complaints = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    "SQ+J4 (TPC-H Q21 shape)",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND n_name = 'NATION_7'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (adapted: shipped >90 days after order date "
+    "stands in for receipt-after-commit): suppliers who were the SOLE "
+    "late shipper on a finished multi-supplier order. The EXISTS "
+    "becomes a LEFT SEMI and the NOT EXISTS a LEFT ANTI hash join, both "
+    "keyed on l_orderkey with the supplier-inequality (and the "
+    "correlated o_orderdate lateness bound, for l3) as residual "
+    "conditions — the classic double-decorrelation over the same fact.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    nation_sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    late1 = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .join(F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey"))
+    )
+    l2 = t["lineitem"].select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = t["lineitem"].select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    sole_late = late1.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (
+            F.col("l3_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_anti",
+    )
+    return sole_late.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "q22_idle_customers",
+    "SQ+J3 (TPC-H Q22 shape)",
+    """
+    WITH idle AS (
+      SELECT CAST(c_custkey % 10 AS BIGINT) AS code, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > CAST(0 AS DOUBLE))
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01')
+    )
+    SELECT code, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM idle GROUP BY code
+    """,
+    doc="TPC-H Q22 shape (adapted: custkey mod-10 stands in for the phone "
+    "country code; 'no orders since 2001' for 'no orders ever', since "
+    "every fixture customer has orders). Above-average balance is a "
+    "1-row broadcast with a residual >; the NOT EXISTS is a LEFT ANTI "
+    "against the date-pruned orders scan. The avg threshold is one "
+    "IEEE division of an exact sum by an exact count, so the strict "
+    "inequality cuts identically on both engines.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    threshold = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > F.lit(0.0))
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    idle = (
+        t["customer"]
+        .join(F.broadcast(threshold), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    )
+    return (
+        idle.select(
+            (F.col("c_custkey") % 10).cast("long").alias("code"), "c_acctbal"
+        )
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
