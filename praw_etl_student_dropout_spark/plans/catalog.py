@@ -2789,3 +2789,98 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    "SQ+J1 (TPC-H Q2 shape)",
+    """
+    SELECT p_partkey, p_name, s_name, l_extendedprice AS best_price,
+           count(*) AS n_offers
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 10 AND p_type = 'ECONOMY'
+      AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_partkey, p_name, s_name, l_extendedprice
+    """,
+    doc="TPC-H Q2 shape (adapted: cheapest lineitem offer per part stands "
+    "in for min partsupp supply cost). The correlated scalar min "
+    "decorrelates to a per-part aggregate joined back on (partkey, "
+    "price=min) — one extra shuffle over the fact instead of a "
+    "per-row subquery; the size/type slice prunes the broadcast part "
+    "side only, so the min is computed over ALL offers for the part "
+    "exactly as the correlation demands.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    mins = t["lineitem"].groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    sliced = t["part"].filter(
+        (F.col("p_size") == 10) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(sliced), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            mins,
+            (F.col("m_partkey") == F.col("l_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .groupBy(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("l_extendedprice").alias("best_price"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_offers"))
+    )
+
+
+@register(
+    "q20_part_promotion",
+    "SQ+J4 (TPC-H Q20 shape)",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 300
+    )
+    """,
+    doc="TPC-H Q20 shape (adapted: total shipped quantity of matching "
+    "parts in the year stands in for the half-of-stock correlation). IN "
+    "over a grouped-HAVING subquery decorrelates to a LEFT SEMI join "
+    "against the aggregated qualifier set; the quantity sum is exact "
+    "(integer-valued doubles), the substring filter prunes the "
+    "broadcast part side, and the year bound prunes lineitem at scan.",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    qualifying = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        t["supplier"]
+        .join(qualifying, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
