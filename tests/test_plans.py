@@ -313,3 +313,47 @@ def test_q19_or_predicate_pushed_to_part_scan(spark, sf_dir, registry):
     p = plan_of(registry["q19_disjunctive_filter"].builder(spark, sf_dir))
     part_scans = [l for l in p.splitlines() if "FileScan" in l and "part.parquet" in l]
     assert part_scans and any("Or(" in l for l in part_scans)
+
+
+def test_tpch_completion_decorrelations(spark, sf_dir, registry):
+    """The round-2 TPC-H completions must decorrelate like their SQL:
+    semi/anti hash joins keyed on the equi component, never per-row
+    re-scans, with the residual (inequality / correlated-date)
+    conditions attached to the hash join rather than forcing a
+    nested loop."""
+    # Q4: EXISTS with a correlated date bound -> LEFT SEMI hash join
+    p4 = plan_of(registry["q4_priority_exists"].builder(spark, sf_dir))
+    assert "LeftSemi" in p4
+    assert "BroadcastNestedLoopJoin" not in p4
+    # Q21: EXISTS + NOT EXISTS over the same fact -> one semi AND one
+    # anti hash join, both keyed on l_orderkey
+    p21 = plan_of(registry["q21_waiting_supplier"].builder(spark, sf_dir))
+    assert "LeftSemi" in p21
+    assert "LeftAnti" in p21
+    assert "CartesianProduct" not in p21
+    assert "BroadcastNestedLoopJoin" not in p21
+    # Q16: NOT IN over a non-nullable key -> broadcast LEFT ANTI, and
+    # the distinct count stays a two-phase hash aggregate
+    p16 = plan_of(registry["q16_supplier_count"].builder(spark, sf_dir))
+    assert "LeftAnti" in p16
+    assert "BroadcastNestedLoopJoin" not in p16
+    # Q2: correlated scalar min -> aggregate joined back as a hash join
+    # (partkey equality carries it; price equality is part of the key)
+    p2 = plan_of(registry["q2_min_cost_supplier"].builder(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "CartesianProduct" not in p2
+    # Q13: the ON-clause priority exclusion must sit BELOW the left
+    # join (scan-side filter), not above it where it would drop
+    # zero-order customers
+    p13 = optimized_of(registry["q13_order_distribution"].builder(spark, sf_dir))
+    assert "LeftOuter" in p13
+
+
+def test_q8_dims_broadcast_single_fact_shuffle(spark, sf_dir, registry):
+    """Q8's seven-table star: every dimension broadcasts; the only
+    sort-merge-eligible pair is lineitem x orders, so the plan carries
+    at most one large-large join however AQE resolves it."""
+    plan = plan_of(registry["q8_market_share"].builder(spark, sf_dir))
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan

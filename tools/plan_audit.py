@@ -44,6 +44,8 @@ EXPECTED_NESTED_LOOP = {
     "j7_dpp_busiest_year",  # 1-row global max broadcast back
     "llm_curation_funnel",  # 1-row contamination-id set joined in
     "sample_stratified_mix",
+    "q11_important_parts",  # 1-row global-value threshold broadcast back
+    "q22_idle_customers",   # 1-row avg-balance threshold broadcast back
 }
 
 
