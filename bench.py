@@ -48,6 +48,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_volume",
     "q17_small_qty_share",
+    "q8_market_share",
+    "q21_waiting_supplier",
     "j7_dpp_busiest_year",
     "llm_curation_funnel",
 ]
