@@ -159,3 +159,24 @@ def rolling_hash(col: Column, base: int = 31, mod: int = (1 << 61) - 1) -> Colum
         F.lit(0).cast("long"),
         lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(mod))) % F.lit(mod),
     )
+
+
+# PII patterns for curation-time redaction. Deliberately conservative,
+# RE2/Java-portable syntax (char classes + bounded repeats only) so the
+# same pattern string runs identically in Spark and a SQL oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,4}[\- (][0-9()\- ]{5,}[0-9]"
+PII_LONG_NUMBER = r"[0-9]{6,}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Training-data PII scrub: emails, phone-shaped runs, long digit runs.
+
+    Chained native regexp_replace (longest/most-specific pattern first so
+    an email's digits aren't half-eaten by the number pass). All-native:
+    the scrub runs inside codegen at full scan speed — at 100 TB this is
+    a per-row hot path where a Python UDF would dominate the job.
+    """
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_LONG_NUMBER, "<NUM>")

@@ -2884,3 +2884,61 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@register(
+    "a16_stats_moments",
+    "A ⊕ (variance / stddev / covariance / correlation)",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_q,
+             round(sum(l_quantity * l_quantity), 2) AS sumsq_q,
+             round(sum(l_discount), 2) AS sum_d,
+             round(sum(l_discount * l_discount), 4) AS sumsq_d,
+             round(sum(l_quantity * l_discount), 2) AS sum_qd
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sum_q,
+           round((sumsq_q - sum_q * sum_q / n) / (n - 1), 6) AS var_q,
+           round(sqrt((sumsq_q - sum_q * sum_q / n) / (n - 1)), 6) AS stddev_q,
+           round((sum_qd - sum_q * sum_d / n) / (n - 1), 6) AS covar_qd,
+           round((sum_qd - sum_q * sum_d / n)
+                 / (sqrt(sumsq_q - sum_q * sum_q / n)
+                    * sqrt(sumsq_d - sum_d * sum_d / n)), 6) AS corr_qd
+    FROM s
+    """,
+    doc="Second-moment statistics (sample variance/stddev, covariance, "
+    "Pearson correlation) computed from EXPLICIT exact power sums rather "
+    "than the engines' native var_samp/corr aggregates — the natives use "
+    "engine-specific streaming update orders (Welford-style) whose last "
+    "ulps differ across engines, while power sums of <=4-decimal values "
+    "round to bit-identical operands and the downstream algebra is then "
+    "one deterministic IEEE expression tree on both sides. One grouped "
+    "pass, fully partial-aggregatable (each power sum map-side combines; "
+    "no catastrophic cancellation at these magnitudes).",
+)
+def a16_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(q), 2).alias("sum_q"),
+        F.round(F.sum(q * q), 2).alias("sumsq_q"),
+        F.round(F.sum(d), 2).alias("sum_d"),
+        F.round(F.sum(d * d), 4).alias("sumsq_d"),
+        F.round(F.sum(q * d), 2).alias("sum_qd"),
+    )
+    css_q = F.col("sumsq_q") - F.col("sum_q") * F.col("sum_q") / F.col("n")
+    css_d = F.col("sumsq_d") - F.col("sum_d") * F.col("sum_d") / F.col("n")
+    cs_qd = F.col("sum_qd") - F.col("sum_q") * F.col("sum_d") / F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sum_q",
+        F.round(css_q / (F.col("n") - 1), 6).alias("var_q"),
+        F.round(F.sqrt(css_q / (F.col("n") - 1)), 6).alias("stddev_q"),
+        F.round(cs_qd / (F.col("n") - 1), 6).alias("covar_qd"),
+        F.round(cs_qd / (F.sqrt(css_q) * F.sqrt(css_d)), 6).alias("corr_qd"),
+    )

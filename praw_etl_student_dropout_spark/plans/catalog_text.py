@@ -391,3 +391,62 @@ def u6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("chunk_no").cast("int").alias("chunk_no"),
         "chunk_text", F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
     )
+
+
+@register(
+    "u6_redact_pii",
+    "U6 ⊕ (PII redaction)",
+    r"""
+    WITH contacts AS (
+      SELECT c_custkey,
+             concat_ws(' ', c_name,
+                       'user' || CAST(c_custkey AS VARCHAR) || '@example.com',
+                       '+1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+                       'ref ' || CAST(c_custkey * 1000003 AS VARCHAR)) AS contact
+      FROM customer WHERE c_custkey < 3000
+    )
+    SELECT c_custkey, contact,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9]{1,4}[\- (][0-9()\- ]{5,}[0-9]', '<PHONE>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_emails
+    FROM contacts
+    """,
+    doc="Curation-time PII scrub over a synthesized contact string "
+    "(fixture text is digit-free, so the query builds one from customer "
+    "keys): email -> phone -> long-number passes, most-specific first. "
+    "Chained native regexp_replace stays in codegen — the whole scrub is "
+    "a projection over a pruned 2-column scan with no shuffle at all; "
+    "patterns are RE2/Java-portable so both engines redact identically.",
+)
+def u6_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import PII_EMAIL, redact_pii
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    contact = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.concat(
+            F.lit("user"), F.col("c_custkey").cast("string"), F.lit("@example.com")
+        ),
+        F.concat(
+            F.lit("+1-555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ),
+        F.concat(F.lit("ref "), (F.col("c_custkey") * 1000003).cast("string")),
+    )
+    return (
+        cust.filter(F.col("c_custkey") < 3000)
+        .select("c_custkey", contact.alias("contact"))
+        .select(
+            "c_custkey",
+            "contact",
+            redact_pii(F.col("contact")).alias("redacted"),
+            F.regexp_count(F.col("contact"), F.lit(PII_EMAIL))
+            .cast("int")
+            .alias("n_emails"),
+        )
+    )

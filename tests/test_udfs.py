@@ -109,3 +109,34 @@ def test_chunk_text_udtf_matches_native_chunker(spark):
         (1, 2): ("g", 1),
         (2, 0): ("x y", 2),
     }
+
+
+def test_redact_pii_masks_emails_phones_numbers(spark):
+    from praw_etl_student_dropout_spark.functions.text import redact_pii
+
+    rows = [
+        ("mail me at jane.doe+spam@sub.example.co.uk today",),
+        ("call +1 (415) 555-0199 or 020-7946-0958 now",),
+        ("card 4111111111111111 acct 123456789",),
+        ("no pii here, just words and the number 42",),
+    ]
+    df = spark.createDataFrame(rows, ["t"]).select(
+        redact_pii(F.col("t")).alias("r")
+    )
+    got = [r.r for r in df.collect()]
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "call <PHONE> or <PHONE> now"
+    assert got[2] == "card <NUM> acct <NUM>"
+    # Short, innocuous numbers survive — redaction must not destroy text
+    assert got[3] == "no pii here, just words and the number 42"
+
+
+def test_redact_pii_idempotent(spark):
+    from praw_etl_student_dropout_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("a@b.io and 99887766 and +1-555-123-4567",)], ["t"]
+    )
+    once = df.select(redact_pii(F.col("t")).alias("r"))
+    twice = once.select(redact_pii(F.col("r")).alias("r"))
+    assert once.collect() == twice.collect()
