@@ -1,0 +1,93 @@
+"""Count-min sketch as a distributed DataFrame operator (SURVEY.md §2.4 A11 ⊕).
+
+Companion to the HLL cardinality sketches (`a11_approx_distinct`,
+`a11b_hll_sketch_union`): where HLL answers "how many distinct keys",
+count-min answers "how often does THIS key occur" in sublinear space.
+The sketch is an ordinary DataFrame of (sketch_row, bucket, cnt) — at
+most depth x width rows regardless of input size — so it inherits
+Spark's partial aggregation (map-side combine collapses each partition
+to <= depth x width cells before the shuffle), is trivially mergeable
+(union + re-sum, exactly how per-day sketches roll up to a month), and
+broadcasts for estimation joins.
+
+Estimates carry the classic CMS guarantee: never an underestimate, and
+overestimate <= ceil(e/width * N) with probability 1 - (1/2)^depth
+(hash rows are pairwise-independent xxhash64 seeds). At 100 TB this is
+the only way to answer per-key frequency questions whose exact answer
+would itself be a multi-TB group-by result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_build(
+    df: DataFrame, key: str | Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a (sketch_row, bucket, cnt) count-min sketch in ONE pass.
+
+    Each input row contributes `depth` cells via seeded xxhash64; the
+    explode fans out executor-side (no Python), and the single groupBy
+    is the only shuffle — its input is already combined map-side to at
+    most depth x width rows per partition.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("sketch_row"),
+                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.sketch_row", "c.bucket")
+        .groupBy("sketch_row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): union + re-sum.
+
+    Exact (counts are additive), which is what makes CMS a rollup-safe
+    statistic: shard-, day-, or source-level sketches combine without
+    revisiting the raw data.
+    """
+    from functools import reduce
+
+    out = reduce(DataFrame.unionByName, sketches)
+    return out.groupBy("sketch_row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Estimate each key's frequency: min over the key's depth cells.
+
+    The sketch side is <= depth x width rows, so it broadcasts; the keys
+    side re-derives its (sketch_row, bucket) coordinates with the same
+    seeded hashes and probes with an equi hash join — no shuffle of the
+    keys beyond their own dedup.
+    """
+    col = F.col(key)
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("sketch_row"),
+                F.pmod(F.xxhash64(col, F.lit(i)), F.lit(width)).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probed = (
+        keys.select(col.alias(key), F.explode(coords).alias("c"))
+        .select(key, "c.sketch_row", "c.bucket")
+        .join(F.broadcast(sketch), ["sketch_row", "bucket"], "left")
+        .na.fill({"cnt": 0})
+    )
+    return probed.groupBy(key).agg(F.min("cnt").alias("est_count"))

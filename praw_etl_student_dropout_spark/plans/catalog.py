@@ -2942,3 +2942,72 @@ def a16_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cs_qd / (F.col("n") - 1), 6).alias("covar_qd"),
         F.round(cs_qd / (F.sqrt(css_q) * F.sqrt(css_d)), 6).alias("corr_qd"),
     )
+
+
+@register(
+    "w4_time_range_frame",
+    "W3 (time-range frame)",
+    """
+    SELECT event_id, user_id, value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+             AS hour_sum,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS hour_cnt
+    FROM events
+    """,
+    doc="Time-based RANGE frame (sliding 1-hour trailing sum per user) — "
+    "the value-based frame kind W1-W3's ROWS frames don't cover. Spark "
+    "orders by unix_micros(ts) with rangeBetween(-3.6e9, 0), exactly "
+    "DuckDB's inclusive INTERVAL bound at microsecond precision; frames "
+    "are value-determined so tied timestamps contribute identically on "
+    "both engines (no ordering ambiguity). Partitioned by user_id: "
+    "state per window is bounded by the hour span, never the partition.",
+)
+def w4_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_cnt"),
+    )
+
+
+@register(
+    "w5_rank_family",
+    "W1 (relative-rank family)",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders WHERE o_orderkey < 500
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Relative-rank window family (percent_rank / cume_dist / ntile) "
+    "completing W1's ranking trio. The order key is made total with the "
+    "o_orderkey tiebreak so ntile bucket boundaries are deterministic; "
+    "percent_rank and cume_dist are exact small rationals, identical "
+    "after one division on both engines.",
+)
+def w5_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")["orders"].filter(F.col("o_orderkey") < 500)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

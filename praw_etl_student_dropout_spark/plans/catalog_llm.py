@@ -495,3 +495,33 @@ def d3_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return dup_clusters(pairs)
+
+
+@register(
+    "a17_cms_heavy_hitters",
+    "A11 ⊕ (count-min sketch)",
+    None,  # seeded-xxhash64 sketch — not reproducible in ANSI SQL; invariants in tests/test_properties.py
+    doc="Count-min-sketch frequency estimates for the exact top-10 "
+    "lineitem partkeys: the sketch (4 x 1024 cells, one pass, one "
+    "shuffle that map-side combines to <= 4096 rows per partition) "
+    "broadcasts into the estimation probe. Deterministic seeded "
+    "xxhash64 rows; estimates never undercount and overcount by at "
+    "most e/width x N w.h.p. — the sublinear per-key frequency "
+    "statistic for data too large to group exactly.",
+)
+def a17_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_estimate
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    sketch = cms_build(li, "l_partkey", depth=4, width=1024)
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    est = cms_estimate(sketch, top.select("l_partkey"), "l_partkey", depth=4, width=1024)
+    return (
+        top.join(est, "l_partkey")
+        .select("l_partkey", "exact_count", "est_count")
+    )

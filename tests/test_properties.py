@@ -171,3 +171,49 @@ def test_zorder_preserves_multiset(spark, points):
     df = spark.createDataFrame(points, "x long, y long")
     z = zorder_by(df, ["x", "y"], num_partitions=4, bits=6)
     assert sorted(tuple(r) for r in z.collect()) == sorted(points)
+
+
+def test_cms_never_underestimates_and_bounds_overcount(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    n_total = li.count()
+    depth, width = 4, 1024
+    sketch = cms_build(li, "l_partkey", depth=depth, width=width)
+    # Sketch never exceeds its cell budget however large the input
+    assert sketch.count() <= depth * width
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(
+        sketch, exact.select("l_partkey"), "l_partkey", depth=depth, width=width
+    )
+    joined = exact.join(est, "l_partkey").collect()
+    bound = 2.718281828 / width * n_total
+    under = [r for r in joined if r.est_count < r.exact]
+    assert not under, f"CMS must never underestimate: {under[:3]}"
+    # The e/width*N overcount bound holds with prob 1-(1/2)^depth per key;
+    # across all keys demand it for 95% and 3x it for every key.
+    within = sum(1 for r in joined if r.est_count - r.exact <= bound)
+    assert within >= 0.95 * len(joined)
+    assert all(r.est_count - r.exact <= 3 * bound for r in joined)
+
+
+def test_cms_merge_equals_whole_sketch(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    whole = cms_build(li, "l_partkey").collect()
+    merged = cms_merge(cms_build(half_a, "l_partkey"), cms_build(half_b, "l_partkey")).collect()
+    key = lambda r: (r.sketch_row, r.bucket)
+    assert sorted((key(r), r.cnt) for r in whole) == sorted(
+        (key(r), r.cnt) for r in merged
+    )
