@@ -189,3 +189,58 @@ def zorder_by(
         .sortWithinPartitions("__z")
         .drop("__z", *[f"__b{i}" for i in range(len(cols))])
     )
+
+
+def file_stats_index(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-data-file min/max/null-count index — the manifest statistics a
+    table format (Iceberg/Delta) would keep, built for a plain parquet
+    directory. One scan groups by ``input_file_name()``; the result is one
+    row per data file, so the index is listing-sized, not data-sized, and
+    can be persisted and refreshed incrementally after compaction.
+    Pair with :func:`pruned_read` for scan planning.
+    """
+    df = spark.read.parquet(path)
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def pruned_read(
+    spark: SparkSession,
+    stats: DataFrame,
+    col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Scan only the files whose [min, max] envelope intersects [lo, hi].
+
+    The candidate file list is collected driver-side — deliberately: at
+    any scale, manifest pruning is coordinator work over listing-sized
+    metadata (exactly what Iceberg planning does), and it happens BEFORE
+    the distributed scan is launched, so the executors never open a file
+    the predicate rules out. The data-level filter must still be applied
+    by the caller (envelopes admit false positives, never false
+    negatives); files that are all-NULL in ``col`` have NULL min/max and
+    are excluded, matching a NULL-rejecting range predicate.
+    """
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(f"max_{col}") >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(f"min_{col}") <= F.lit(hi))
+    files = [r.file for r in stats.filter(cond).select("file").collect()]
+    if not files:
+        # Preserve the schema contract on an empty prune
+        any_file = [r.file for r in stats.select("file").limit(1).collect()]
+        empty = spark.read.parquet(*any_file) if any_file else None
+        if empty is None:
+            raise ValueError("pruned_read: stats index is empty")
+        return empty.limit(0)
+    return spark.read.parquet(*files)

@@ -3011,3 +3011,54 @@ def w5_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "a18_yoy_growth",
+    "W2+A2 (analytic over aggregate)",
+    """
+    WITH rev AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      GROUP BY n_name, o_year
+    )
+    SELECT n_name, o_year, revenue,
+           round(revenue - lag(revenue)
+                 OVER (PARTITION BY n_name ORDER BY o_year), 2) AS yoy_delta
+    FROM rev
+    """,
+    doc="Year-over-year growth: analytic (lag) composed OVER an "
+    "aggregate. The window runs on the post-aggregation frame — 25 "
+    "nations x 7 years, thousands of times smaller than the fact — so "
+    "the sort inside each nation partition is trivial however large the "
+    "input; o_year is unique per nation, making the lag order total "
+    "without a tiebreak. Deltas subtract already-cent-rounded sums, so "
+    "the derived column is bit-identical across engines.",
+)
+def a18_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    return rev.select(
+        "n_name",
+        "o_year",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("yoy_delta"),
+    )

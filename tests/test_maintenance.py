@@ -98,3 +98,48 @@ def test_zorder_single_column_and_constant_column(spark):
     z = zorder_by(df, ["k", "const"], num_partitions=4, bits=8)
     assert z.count() == 100
     assert sorted(r["k"] for r in z.collect()) == list(range(100))
+
+
+def test_file_skipping_index_prunes_and_preserves_results(spark, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.operators.maintenance import (
+        file_stats_index,
+        pruned_read,
+        write_clustered,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    path = str(tmp_path / "orders_clustered")
+    # Cluster by order date so per-file envelopes are tight on it
+    write_clustered(
+        orders.withColumn("od", F.col("o_orderdate")),
+        path,
+        sort_cols=["od"],
+        max_records_per_file=200,
+    )
+    stats = file_stats_index(spark, path, ["od"]).cache()
+    n_files = stats.count()
+    assert n_files > 3, "need a multi-file layout to demonstrate pruning"
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-06-30").cast("timestamp")
+    lo_v, hi_v = (
+        spark.range(1).select(lo.alias("lo"), hi.alias("hi")).collect()[0]
+    )
+    pruned = pruned_read(spark, stats, "od", lo=lo_v, hi=hi_v)
+    import re
+
+    n_pruned_files = len(pruned.inputFiles())
+    assert n_pruned_files < n_files, "index must skip non-overlapping files"
+    got = (
+        pruned.filter((F.col("od") >= lo) & (F.col("od") <= hi))
+        .select("o_orderkey")
+        .collect()
+    )
+    want = (
+        spark.read.parquet(path)
+        .filter((F.col("od") >= lo) & (F.col("od") <= hi))
+        .select("o_orderkey")
+        .collect()
+    )
+    assert sorted(r.o_orderkey for r in got) == sorted(r.o_orderkey for r in want)
+    stats.unpersist()
