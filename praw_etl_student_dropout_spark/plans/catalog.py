@@ -3062,3 +3062,74 @@ def a18_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("yoy_delta"),
     )
+
+
+@register(
+    "f15_datetime_family",
+    "F4-F6 (calendar function sweep)",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow0,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           o_orderdate + INTERVAL 30 DAY AS plus_30d,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    doc="Calendar-function sweep (trunc-to-month, last_day, day-of-month, "
+    "day-of-week, quarter, interval add, day diff). Cross-engine trap "
+    "handled: DuckDB's dayofweek is 0=Sunday while Spark's is 1=Sunday, "
+    "so the surface is normalized to the 0-based convention; DATE-typed "
+    "results surface differently through the two engines' pandas "
+    "bridges (date32 object vs datetime64), so calendar outputs are "
+    "cast to TIMESTAMP on both sides. Pure projection over a pruned "
+    "scan.",
+)
+def f15_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow0"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        )
+        .cast("int")
+        .alias("days_since"),
+    )
+
+
+@register(
+    "a19_bitwise_agg",
+    "A ⊕ (bitwise aggregates)",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS band,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bor,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS bxor,
+           CAST(min(l_linenumber) AS INTEGER) AS mn,
+           CAST(max(l_linenumber) AS INTEGER) AS mx
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bitwise aggregate family (bit_and/bit_or/bit_xor) — order- and "
+    "grouping-insensitive by algebra (commutative, associative), so "
+    "partial/final aggregation across any partitioning is exact; the "
+    "flag-mask rollup pattern for permission/feature-bit columns.",
+)
+def a19_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    ln = F.col("l_linenumber").cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(ln).alias("band"),
+        F.bit_or(ln).alias("bor"),
+        F.bit_xor(ln).alias("bxor"),
+        F.min("l_linenumber").cast("int").alias("mn"),
+        F.max("l_linenumber").cast("int").alias("mx"),
+    )
