@@ -144,3 +144,21 @@ def read_jdbc(
             .option("numPartitions", num_partitions or 8)
         )
     return reader.load()
+
+
+def read_with_provenance(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read carrying row-level provenance from the hidden
+    ``_metadata`` struct: source file and row index within it.
+
+    The provenance a curation pipeline must keep to trace any training
+    document back to its origin (takedown requests, contamination
+    audits). Costs nothing: the columns come from the reader itself —
+    no join against a manifest, no extra scan — and survive every
+    downstream transformation as ordinary columns.
+    """
+    df = spark.read.parquet(path)
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_source_file"),
+        F.col("_metadata.row_index").alias("_source_row"),
+    )

@@ -268,3 +268,19 @@ def test_python_datasource_parallel_streaming(spark, tmp_path):
         assert spark.read.parquet(out).distinct().count() == expected
     finally:
         q.stop()
+
+
+def test_read_with_provenance_traces_rows_to_files(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.sources.readers import read_with_provenance
+
+    df = read_with_provenance(spark, f"{sf_dir}/orders.parquet")
+    rows = df.select("_source_file", "_source_row", "o_orderkey").collect()
+    assert all(r._source_file.endswith(".parquet") for r in rows)
+    # row index is unique within its file — the (file, row) pair is an id
+    seen = {(r._source_file, r._source_row) for r in rows}
+    assert len(seen) == len(rows)
+    # provenance survives transformation as ordinary columns
+    derived = df.filter(F.col("o_orderkey") % 7 == 0).groupBy("_source_file").count()
+    assert derived.count() >= 1

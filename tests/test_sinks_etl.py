@@ -186,3 +186,39 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
     for y, n in base_counts.items():
         if y != year:
             assert after[y] == n, (y, n, after[y])
+
+
+def test_quality_gate_observes_metrics_in_one_pass(spark, sf_dir, tmp_path):
+    import pytest
+
+    from praw_etl_student_dropout_spark.operators.quality import (
+        assert_gate,
+        null_and_range_checks,
+        with_quality_metrics,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    checks = null_and_range_checks(
+        required=["o_orderkey", "o_custkey"],
+        ranges={"o_totalprice": (0.0, 1e9)},
+    )
+    gated, obs = with_quality_metrics(orders, checks)
+    # The metrics ride along with the real action (here: a write)
+    gated.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    metrics = assert_gate(obs)
+    assert metrics["n_rows"] == orders.count()
+    assert metrics["nulls_o_orderkey"] == 0
+    assert metrics["oob_o_totalprice"] == 0
+
+    # A violated gate raises and reports the offending metric
+    bad = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, None).otherwise(F.col("o_custkey")),
+    )
+    gated2, obs2 = with_quality_metrics(
+        bad, null_and_range_checks(required=["o_custkey"]), name="quality2"
+    )
+    gated2.count()
+    with pytest.raises(ValueError, match="nulls_o_custkey"):
+        assert_gate(obs2)

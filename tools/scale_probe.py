@@ -54,6 +54,8 @@ PROBE_QUERIES = [
     "st4_session_window",    # per-row: session windows over events
     "j7_dpp_busiest_year",   # DPP: partition-pruned scan of the 8x copy
     "u6_chunk_documents",    # per-row: token-window fan-out (explode)
+    "q21_waiting_supplier",  # heaviest decorrelation: semi+anti over the fact
+    "llm_curation_funnel",   # compute-bound composed text pass
 ]
 
 
