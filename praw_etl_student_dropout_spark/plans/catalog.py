@@ -3133,3 +3133,65 @@ def a19_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_linenumber").cast("int").alias("mn"),
         F.max("l_linenumber").cast("int").alias("mx"),
     )
+
+
+@register(
+    "a20_multi_distinct",
+    "A8+A11 (multi-distinct single pass)",
+    """
+    SELECT count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END)
+             AS n_cust_f,
+           count(DISTINCT CAST(year(o_orderdate) AS INTEGER)) AS n_years,
+           count(*) AS n_orders
+    FROM orders
+    """,
+    doc="Several exact distinct counts (plus a plain count) in ONE "
+    "statement: Catalyst plans this with Expand — each input row is "
+    "replicated once per distinct group with a grouping id, then a "
+    "single two-phase aggregate dedups all of them together. Scale "
+    "note: Expand multiplies shuffled rows by the number of distinct "
+    "specs, so beyond a handful of columns (or at truly large "
+    "cardinality) the HLL sketch path (a11) is the right trade; the "
+    "conditional distinct (CASE inside COUNT DISTINCT) costs nothing "
+    "extra — NULLs are excluded from distinct counts on both engines.",
+)
+def a20_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("n_cust_f"),
+        F.countDistinct(F.year("o_orderdate").cast("int")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "f16_posexplode",
+    "F10 (lateral array expansion with ordinality)",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings WHERE vec_id < 20
+    """,
+    doc="Array→rows expansion with ordinality (posexplode): the lateral "
+    "fan-out used to pivot a 64-wide embedding into (id, position, "
+    "value) triples for component-level analytics. Executor-side "
+    "generate, zero Python, zero shuffle; Spark's 0-based pos is "
+    "normalized to the oracle's 1-based subscripts, and float "
+    "components widen to DOUBLE exactly on both engines.",
+)
+def f16_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "val_f"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.col("val_f").cast("double").alias("val"),
+        )
+    )
