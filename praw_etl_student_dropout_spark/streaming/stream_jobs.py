@@ -253,3 +253,49 @@ def run_update_merge(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_cms(
+    stream_df: DataFrame,
+    key: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """ST1 + A17 — maintain a count-min frequency sketch incrementally.
+
+    Each micro-batch builds its own (depth x width)-bounded sketch and
+    merges it into the persisted one — the sketch's exact additivity is
+    what makes this safe: merge(batch sketches) == sketch(all rows), so
+    the streaming result equals the batch result whatever the batch
+    boundaries were. State on disk stays <= depth x width rows forever;
+    the per-key frequency estimate over an unbounded stream costs
+    constant space, which is the point of the sketch at stream scale.
+    The swap is write-then-rename-free here (overwrite of a tiny table);
+    a concurrent-reader deployment would reuse maintenance.compact's
+    atomic directory swap.
+    """
+    from ..operators.sketches import cms_build, cms_merge
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = cms_build(batch_df, key, depth=depth, width=width)
+        try:
+            prior = spark.read.parquet(sketch_path)
+            merged = cms_merge(prior, fresh)
+        except Exception:
+            merged = fresh  # first batch: no sketch yet
+        # Materialize before overwriting the path we just read from
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

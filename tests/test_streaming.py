@@ -305,3 +305,36 @@ def test_update_mode_merge_upsert_converges_to_batch(spark, events_dir, sf_dir, 
         load_tables(spark, sf_dir, ["events"])["events"], "ts", "1 hour", ["event_type"]
     )
     assert _as_set(merged) == _as_set(batch)
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.operators.sketches import cms_build
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        read_event_stream,
+        streaming_cms,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    # Split events into two "arrival" files so the stream sees >=1 batch
+    src = tmp_path / "incoming"
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = read_event_stream(spark, str(src), schema=events.schema)
+    sketch_path = str(tmp_path / "sketch")
+    streaming_cms(
+        stream, "user_id", sketch_path, str(tmp_path / "ckpt"), depth=4, width=256
+    )
+    got = sorted(
+        ((r.sketch_row, r.bucket), r.cnt)
+        for r in spark.read.parquet(sketch_path).collect()
+    )
+    want = sorted(
+        ((r.sketch_row, r.bucket), r.cnt)
+        for r in cms_build(events, "user_id", depth=4, width=256).collect()
+    )
+    assert got == want
