@@ -3195,3 +3195,38 @@ def f16_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val_f").cast("double").alias("val"),
         )
     )
+
+
+@register(
+    "d5_union_by_name",
+    "D1 (schema-evolution union)",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 100
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey >= 100 AND o_orderkey < 200
+    )
+    SELECT o_orderkey, o_totalprice, coalesce(o_orderstatus, 'unknown') AS status
+    FROM (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+    """,
+    doc="Union across an evolved schema (a column added between snapshot "
+    "versions): columns align BY NAME, the missing one NULL-fills and is "
+    "then defaulted. This is D1's real production shape — the reference "
+    "unions per-run extracts whose field set drifts over time "
+    "(.MISSING_LARGE_BLOBS snapshots); positional UNION would silently "
+    "misalign. Pure narrow op: no shuffle, both branch filters push to "
+    "the shared scan.",
+)
+def d5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    v1 = o.filter(F.col("o_orderkey") < 100).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200)
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.col("o_orderstatus"), F.lit("unknown")).alias("status"),
+    )

@@ -157,8 +157,9 @@ def attributed_purchases_stream(
     stream: DataFrame,
     watermark: str = "1 hour",
     horizon_minutes: int = 30,
+    how: str = "inner",
 ) -> DataFrame:
-    """ST6 — stream-stream inner join with an event-time range bound.
+    """ST6 — stream-stream join with an event-time range bound.
 
     Attribution: each purchase joins the same user's clicks from the
     preceding ``horizon_minutes``. Both sides carry watermarks and the
@@ -166,6 +167,10 @@ def attributed_purchases_stream(
     state store can evict clicks past the horizon + watermark — the only
     way a stream-stream join survives unbounded input. Equality on
     user_id keeps the join hash-partitioned (no broadcast of a stream).
+    ``how="left_outer"`` additionally emits unattributed purchases with
+    NULL click columns — but only once the watermark has passed the
+    purchase's horizon (the row might still match a late click until
+    then); outer results are therefore watermark-delayed by design.
     """
     clicks = (
         stream.filter(F.col("event_type") == "click")
@@ -191,7 +196,7 @@ def attributed_purchases_stream(
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
-        "inner",
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",

@@ -338,3 +338,56 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
         for r in cms_build(events, "user_id", depth=4, width=256).collect()
     )
     assert got == want
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        attributed_purchases_stream,
+        read_event_stream,
+        run_available_now,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = tmp_path / "incoming"
+    events.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = read_event_stream(spark, str(src), schema=events.schema)
+    outer = attributed_purchases_stream(stream, how="left_outer")
+    run_available_now(outer, str(tmp_path / "ckpt"), "outer_join")
+    got = spark.table("outer_join")
+    inner_ids = {
+        r.purchase_id
+        for r in got.filter(F.col("click_id").isNotNull())
+        .select("purchase_id")
+        .collect()
+    }
+    null_rows = got.filter(F.col("click_id").isNull()).collect()
+    # Outer rows are purchases with NO click in the horizon; they must
+    # not also appear matched, and must exist for this fixture (most
+    # purchases have no same-user click within 30 minutes)
+    assert null_rows, "expected watermark-expired unmatched purchases"
+    assert all(r.purchase_id not in inner_ids for r in null_rows)
+    # Batch cross-check: every emitted unmatched purchase is genuinely
+    # unmatched in the batch interval join
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    matched_batch = {
+        r.purchase_id
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left_semi",
+        ).collect()
+    }
+    assert all(r.purchase_id not in matched_batch for r in null_rows)
