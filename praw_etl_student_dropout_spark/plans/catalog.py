@@ -3230,3 +3230,65 @@ def d5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.coalesce(F.col("o_orderstatus"), F.lit("unknown")).alias("status"),
     )
+
+
+@register(
+    "t6_gapfill_monthly",
+    "T+J4 (calendar densification)",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE o_totalprice > 450000 AND o_orderpriority = '1-URGENT'
+      GROUP BY month
+    ),
+    bounds AS (
+      SELECT CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS lo,
+             CAST(max(date_trunc('month', o_orderdate)) AS TIMESTAMP) AS hi
+      FROM orders
+    ),
+    calendar AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+      FROM bounds
+    )
+    SELECT c.month,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(revenue, CAST(0 AS DOUBLE)) AS revenue
+    FROM calendar c LEFT JOIN monthly m ON c.month = m.month
+    """,
+    doc="Time-series densification: a generated month calendar LEFT JOINs "
+    "the sparse aggregate so empty periods surface as explicit zero rows "
+    "(a chart or window function over the series needs every tick). The "
+    "calendar derives from a 1-row bounds aggregate via sequence+explode "
+    "— executor-side generation, and at ~one row per month it broadcasts "
+    "into the join however big the fact was; the aggregate itself is the "
+    "only shuffle.",
+)
+def t6_gapfill_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    monthly = (
+        o.filter(
+            (F.col("o_totalprice") > 450000)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    bounds = o.agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("lo"),
+        F.max(F.date_trunc("month", "o_orderdate")).alias("hi"),
+    )
+    calendar = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    return F.broadcast(calendar).join(monthly, "month", "left").select(
+        "month",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+    )
