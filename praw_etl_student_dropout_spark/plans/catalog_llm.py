@@ -525,3 +525,48 @@ def a17_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.join(est, "l_partkey")
         .select("l_partkey", "exact_count", "est_count")
     )
+
+
+@register(
+    "llm_shuffle_pack",
+    "U6 ⊕ (deterministic shuffle + sequence packing)",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS shuffle_key
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shuffle_key,
+             sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, shuffle_key,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS seq_first,
+           CAST(floor((cum_tokens - 1) / 2048) AS BIGINT) AS seq_last,
+           CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+    doc="Pretraining concat-and-chunk: deterministic Knuth-hash shuffle, "
+    "then every document's placement in the packed 2048-token training "
+    "sequences. The oracle states the semantics with one global window; "
+    "the Spark side computes the SAME prefix sum distributed — "
+    "range-repartition on the shuffle order, per-partition running sums, "
+    "and a per-partition-totals prefix broadcast back (operators/"
+    "packing.py) — so no single-partition window ever materializes. "
+    "Offsets are partition-layout-independent by construction.",
+)
+def llm_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(toks, "doc_id", "n_tokens", seq_len=2048)

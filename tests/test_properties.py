@@ -217,3 +217,28 @@ def test_cms_merge_equals_whole_sketch(spark, sf_dir):
     assert sorted((key(r), r.cnt) for r in whole) == sorted(
         (key(r), r.cnt) for r in merged
     )
+
+
+def test_pack_sequences_is_partition_layout_independent(spark, sf_dir):
+    from praw_etl_student_dropout_spark.functions.text import token_count
+    from praw_etl_student_dropout_spark.operators.packing import pack_sequences
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    key = lambda df: sorted(
+        (r.doc_id, r.cum_tokens, r.seq_first, r.seq_last, r.seq_offset)
+        for r in df.collect()
+    )
+    one = key(pack_sequences(docs, "doc_id", "n_tokens", num_partitions=1))
+    many = key(pack_sequences(docs, "doc_id", "n_tokens", num_partitions=7))
+    assert one == many
+    # Stream-packing invariants: total stream length is the token sum;
+    # a doc straddles a cut exactly when its span crosses a 2048 boundary
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert max(c for _, c, *_ in one) == total
+    for _, cum, first, last, off in one:
+        assert 0 <= off < 2048
+        assert first <= last
+        assert (first == last) == (off + (cum - (first * 2048 + off)) <= 2048)
