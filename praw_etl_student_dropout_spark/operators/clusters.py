@@ -79,3 +79,74 @@ def dup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> Data
     return comps.groupBy(F.col("comp").alias("comp_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank by power iteration as DataFrame rounds — (id, rank).
+
+    Each round is contribution-scatter (one join on src) + gather (one
+    groupBy on dst): rank'(v) = (1-d) + d * (sum over in-neighbors
+    rank(u)/outdeg(u) + dangling mass / N). Ranks are normalized to sum
+    to N (the "1 per vertex" convention). Same scale discipline as
+    :func:`connected_components`: lineage cut per round via
+    localCheckpoint, convergence by total absolute change, never a
+    driver-side adjacency structure — the graph stays a DataFrame and
+    each round costs exactly one shuffle of the edge list.
+    """
+    verts = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    out_deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    for _ in range(max_iter):
+        with_deg = ranks.join(out_deg, "id", "left")
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            e.join(with_deg, e["e_src"] == with_deg["id"])
+            .select(
+                F.col("e_dst").alias("id"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        new_ranks = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.alias("new")
+            .join(ranks.alias("old"), "id")
+            .agg(F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol * n:
+            break
+    return ranks

@@ -570,3 +570,33 @@ def llm_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return pack_sequences(toks, "doc_id", "n_tokens", seq_len=2048)
+
+
+@register(
+    "u9_pagerank_nations",
+    "U ⊕ (iterative fixpoint: PageRank)",
+    None,  # iterative float fixpoint — not ANSI-SQL-expressible; matches dense power iteration in tests/test_properties.py
+    doc="PageRank over the nation-level trade graph (supplier nation -> "
+    "customer nation edges derived from lineitem⋈orders⋈customer⋈"
+    "supplier): power iteration as join+groupBy rounds with dangling-"
+    "mass redistribution, lineage cut per round, convergence by total "
+    "change — the second iterative-fixpoint operator beside connected "
+    "components. One shuffle of the edge list per round; the graph "
+    "never leaves the executors.",
+)
+def u9_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import pagerank
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, max_iter=15, tol=1e-6)
+    return ranks.select("id", F.round("rank", 4).alias("rank"))

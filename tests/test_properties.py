@@ -242,3 +242,32 @@ def test_pack_sequences_is_partition_layout_independent(spark, sf_dir):
         assert 0 <= off < 2048
         assert first <= last
         assert (first == last) == (off + (cum - (first * 2048 + off)) <= 2048)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    import numpy as np
+
+    from praw_etl_student_dropout_spark.operators.clusters import pagerank
+
+    # Small digraph with a dangling node (3) and a cycle
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 2)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r.id: r.rank
+        for r in pagerank(edges, max_iter=60, tol=1e-10).collect()
+    }
+    # Reference: dense power iteration with identical semantics
+    n, d = 5, 0.85
+    out = {0: 2, 1: 1, 2: 2, 4: 1}
+    r = np.ones(n)
+    for _ in range(200):
+        nxt = np.full(n, 1 - d)
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        nxt += d * dangling / n
+        for s, t in edge_list:
+            nxt[t] += d * r[s] / out[s]
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-6, (v, got[v], r[v])
+    # mass conservation: ranks sum to N
+    assert abs(sum(got.values()) - n) < 1e-6
