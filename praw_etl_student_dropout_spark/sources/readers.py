@@ -162,3 +162,23 @@ def read_with_provenance(spark: SparkSession, path: str) -> DataFrame:
         F.col("_metadata.file_path").alias("_source_file"),
         F.col("_metadata.row_index").alias("_source_row"),
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source — the other columnar warehouse format Spark reads
+    natively (predicate pushdown and column pruning work the same as
+    parquet). Schema asserted when provided, mirroring read_json."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across files with EVOLVED schemas: ``mergeSchema``
+    unions the per-file schemas (added columns NULL-fill in old files) —
+    the read-side half of the schema-evolution story whose compute-side
+    half is ``unionByName(allowMissingColumns=True)`` (d5). Off by
+    default in Spark because footer-merging costs a listing pass; turn
+    it on per-read like this, not globally."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -87,3 +87,8 @@ def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_cols: list[
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (native, zstd) — format parity with the parquet path."""
+    df.write.mode(mode).option("compression", "zstd").orc(path)
