@@ -3292,3 +3292,49 @@ def t6_gapfill_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
         F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
     )
+
+
+@register(
+    "w6_locf_imputation",
+    "W2 (IGNORE NULLS carry-forward)",
+    """
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN value END AS reading
+      FROM events
+    )
+    SELECT event_id, user_id, reading,
+           last_value(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reading_locf
+    FROM sparse
+    """,
+    doc="Last-observation-carried-forward imputation: the IGNORE NULLS "
+    "window variant (plain lag/last treat NULL as a value and would "
+    "propagate gaps). The sensor-reading fill pattern for sparse "
+    "time-series; per-user partitions keep the running frame bounded, "
+    "and the (ts, event_id) tiebreak makes the carried value total-order "
+    "deterministic on both engines. Rows before any observation stay "
+    "NULL — imputation must not invent data.",
+)
+def w6_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("reading_locf"),
+    )
