@@ -3338,3 +3338,27 @@ def w6_locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reading",
         F.last("reading", ignorenulls=True).over(w).alias("reading_locf"),
     )
+
+
+@register(
+    "j9_cross_join",
+    "J4 (explicit cartesian)",
+    """
+    SELECT r_name, n_name,
+           CAST(r_regionkey = n_regionkey AS INTEGER) AS is_home
+    FROM region CROSS JOIN nation
+    """,
+    doc="Explicit cartesian product completing the join-type matrix "
+    "(inner/left/right/full/semi/anti/theta/as-of/range/null-safe/"
+    "cross). Legitimate ONLY because both sides are dims: 5 x 25 rows. "
+    "Spark requires the explicit crossJoin call — an accidental "
+    "cartesian through a missing join key raises instead of silently "
+    "exploding, which is the correct default at fact scale.",
+)
+def j9_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "region", "nation")
+    return t["region"].crossJoin(t["nation"]).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).cast("int").alias("is_home"),
+    )

@@ -46,6 +46,7 @@ EXPECTED_NESTED_LOOP = {
     "sample_stratified_mix",
     "q11_important_parts",  # 1-row global-value threshold broadcast back
     "q22_idle_customers",   # 1-row avg-balance threshold broadcast back
+    "j9_cross_join",        # declared cartesian of two tiny dims (5 x 25)
 }
 
 
