@@ -59,6 +59,7 @@ def _ensure_conf(spark: SparkSession) -> None:
     agreeing with the oracle)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # immutable conf on some deployments; session.get_spark sets it

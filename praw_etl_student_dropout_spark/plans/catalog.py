@@ -1191,7 +1191,8 @@ def w2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.when(
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
             <= 1800 * 1_000_000,
             0,
         )
@@ -2971,7 +2972,7 @@ def w4_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(

@@ -34,9 +34,13 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
-    # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
-    # rejects; read as long and convert in the loader (readers.load_tables).
+    # events.parquet has stored TIMESTAMP(NANOS) (vectorized reader
+    # rejects it; read as long, loader converts) and plain micros with
+    # isAdjustedToUTC=false (reads as TIMESTAMP_NTZ unless inference is
+    # off). Both confs + readers._normalize_timestamps make `ts` always
+    # surface as TIMESTAMP under the UTC session tz, matching DuckDB.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     # Files >128MB split; small fixture files still read in one task each.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),

@@ -35,26 +35,37 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] | None = 
     out: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
-        out[name] = _normalize_nanos(df, FIXTURE_TABLES.get(name))
+        out[name] = _normalize_timestamps(df, FIXTURE_TABLES.get(name))
     return out
 
 
-def _normalize_nanos(df: DataFrame, expected: T.StructType | None) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long under
-    ``spark.sql.legacy.parquet.nanosAsLong``; floor-divide to micros and
-    rebuild the timestamp (matches DuckDB's ns→us cast truncation)."""
+def _normalize_timestamps(df: DataFrame, expected: T.StructType | None) -> DataFrame:
+    """Canonicalize fixture timestamp columns to TIMESTAMP (LTZ, session
+    tz UTC) regardless of how the parquet writer encoded them:
+
+    - TIMESTAMP(NANOS) arrives as long under
+      ``spark.sql.legacy.parquet.nanosAsLong``; floor-divide to micros and
+      rebuild (matches DuckDB's ns→us cast truncation).
+    - micros with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ when
+      ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on (Spark 4
+      default); cast to TIMESTAMP — under the engine's UTC session tz the
+      wall-clock values are unchanged and every downstream cast/extract
+      behaves identically to DuckDB's naive reading.
+    """
     if expected is None:
         return df
-    fixes = {
-        f.name
-        for f in expected.fields
-        if isinstance(f.dataType, T.TimestampType)
-        and isinstance(df.schema[f.name].dataType, T.LongType)
-    }
-    for name in fixes:
-        # Integer `div`, NOT float division: ns-since-epoch exceeds 2^53,
-        # so a double round-trip shifts the microsecond value.
-        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    for f in expected.fields:
+        if not isinstance(f.dataType, T.TimestampType):
+            continue
+        actual = df.schema[f.name].dataType
+        if isinstance(actual, T.LongType):
+            # Integer `div`, NOT float division: ns-since-epoch exceeds
+            # 2^53, so a double round-trip shifts the microsecond value.
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+        elif isinstance(actual, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
