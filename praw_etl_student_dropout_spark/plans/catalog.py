@@ -3363,3 +3363,226 @@ def j9_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         (F.col("r_regionkey") == F.col("n_regionkey")).cast("int").alias("is_home"),
     )
+
+
+@register(
+    "a21_regr_family",
+    "A ⊕ (linear-regression aggregates)",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             round(sum(l_discount), 2) AS sx,
+             round(sum(l_discount * l_discount), 4) AS sxx,
+             round(sum(l_tax), 2) AS sy,
+             round(sum(l_tax * l_tax), 4) AS syy,
+             round(sum(l_discount * l_tax), 4) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Linear-regression aggregate family (regr_slope / regr_intercept / "
+    "regr_r2 equivalents) of l_tax on l_discount per returnflag, computed "
+    "from EXPLICIT exact power sums like a16 — the native regr_* "
+    "aggregates stream in engine-specific orders whose last ulps differ, "
+    "while 2-4-decimal power sums round to bit-identical operands and the "
+    "closed-form algebra is one deterministic IEEE tree on both sides. "
+    "One grouped pass, fully map-side combinable: at 100 TB this is six "
+    "partial sums per group, no second pass over the data.",
+)
+def a21_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    x, y = F.col("l_discount"), F.col("l_tax")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(x), 2).alias("sx"),
+        F.round(F.sum(x * x), 4).alias("sxx"),
+        F.round(F.sum(y), 2).alias("sy"),
+        F.round(F.sum(y * y), 4).alias("syy"),
+        F.round(F.sum(x * y), 4).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "a22_listagg",
+    "A ⊕ (ordered string aggregation)",
+    """
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+             AS segments,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Ordered string aggregation (LISTAGG / string_agg): the sorted "
+    "distinct market segments buying at each priority. Cross-engine "
+    "determinism comes from sorting INSIDE the aggregate result "
+    "(array_sort before concat) — never from input order, which no "
+    "distributed engine preserves through a shuffle. Spark side is "
+    "collect_set -> array_sort -> concat_ws over a broadcast customer "
+    "join; collect_set state is bounded by segment cardinality (5), not "
+    "row count, so the aggregation stays map-side cheap at any scale.",
+)
+def a22_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer")
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]),
+        t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        ),
+        F.count_distinct(F.col("c_mktsegment")).alias("n_segments"),
+    )
+
+
+@register(
+    "a23_price_histogram",
+    "A ⊕ (histogram / binning)",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           round(floor(o_totalprice / 50000) * 50000, 1) AS lo,
+           round((floor(o_totalprice / 50000) + 1) * 50000, 1) AS hi,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    doc="Equi-width histogram of order totals (width_bucket semantics "
+    "via floor-divide, which both engines evaluate identically; DuckDB "
+    "lacks width_bucket). Exact integer bucket ids + exact counts — no "
+    "float comparisons cross the hash gate. The single groupBy on a "
+    "derived low-cardinality key is the canonical scale shape: partial "
+    "counts combine map-side, the shuffle carries one row per bucket "
+    "per task regardless of table size.",
+)
+def a23_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(
+        bucket.cast("long").alias("bucket"),
+        F.round(bucket.cast("double") * 50000, 1).alias("lo"),
+        F.round((bucket.cast("double") + 1) * 50000, 1).alias("hi"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "f17_array_setops",
+    "F ⊕ (array set operations)",
+    """
+    SELECT p_partkey,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_intersect(regexp_split_to_array(lower(p_type), ' '),
+                            ['promo', 'economy', 'standard', 'brushed',
+                             'anodized', 'polished']))), ','), '')
+             AS style_words,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_concat(regexp_split_to_array(lower(p_type), ' '),
+                         regexp_split_to_array(lower(p_name), ' ')))), ','), '')
+             AS all_words,
+           coalesce(array_to_string(list_sort(list_filter(
+             list_distinct(regexp_split_to_array(lower(p_type), ' ')),
+             w -> NOT list_contains(['promo', 'economy', 'standard',
+                                     'brushed', 'anodized', 'polished'],
+                                    w))), ','), '') AS other_words
+    FROM part WHERE p_partkey <= 500
+    """,
+    doc="Array set algebra (intersect / union / except) over tokenized "
+    "part descriptors against a fixed vocabulary. Results canonicalize "
+    "as sorted-distinct-joined strings because set ops guarantee "
+    "membership, not order, and the driver hash needs one "
+    "representation. All JVM-side higher-order functions "
+    "(array_intersect / array_union / array_except + array_sort): no "
+    "UDF, codegen keeps it in one projection over the scan.",
+)
+def f17_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    vocab = F.array(
+        *[F.lit(w) for w in ["promo", "economy", "standard", "brushed", "anodized", "polished"]]
+    )
+    type_toks = F.split(F.lower(F.col("p_type")), " ")
+    cont_toks = F.split(F.lower(F.col("p_name")), " ")
+    return p.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.concat_ws(
+            ",", F.array_sort(F.array_distinct(F.array_intersect(type_toks, vocab)))
+        ).alias("style_words"),
+        F.concat_ws(
+            ",", F.array_sort(F.array_distinct(F.array_union(type_toks, cont_toks)))
+        ).alias("all_words"),
+        F.concat_ws(
+            ",", F.array_sort(F.array_distinct(F.array_except(type_toks, vocab)))
+        ).alias("other_words"),
+    )
+
+
+@register(
+    "w7_ewma",
+    "W ⊕ (exponential smoothing)",
+    """
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 50 AND value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(round(value, 2) ORDER BY rn),
+                             (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ewma
+    FROM ordered GROUP BY user_id
+    """,
+    doc="Exponentially-weighted moving average per user (alpha=0.5), the "
+    "classic smoothing op reference-class dashboards derive from event "
+    "values. Computed as a SEQUENTIAL left fold over the time-ordered "
+    "value list (collect_list -> array_sort -> aggregate) rather than a "
+    "window sum: running-window aggregation is segment-tree-combined in "
+    "some engines, so float addition order — and hence last-ulp results "
+    "— would differ; a fold fixes the association order on both sides, "
+    "and alpha=0.5 makes every weight an exact power of two. State per "
+    "user is its event list: bounded by per-key history, the same "
+    "contract as any sessionization; keys distribute across executors.",
+)
+def w7_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.round(F.col("value"), 2).alias("v")
+            )
+        )
+    )
+    vals = F.transform(arr, lambda s: s["v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return (
+        ev.filter((F.col("user_id") < 50) & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(ewma, 6).alias("ewma"),
+        )
+    )

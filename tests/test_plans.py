@@ -357,3 +357,16 @@ def test_q8_dims_broadcast_single_fact_shuffle(spark, sf_dir, registry):
     assert plan.count("SortMergeJoin") <= 1
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
+
+
+def test_new_agg_family_queries_native_and_partial(spark, sf_dir, registry):
+    """a21/a22/a23: single grouped pass with a partial/final split; w7's
+    sequential fold and f17's set algebra compile to JVM higher-order
+    expressions, never Python evaluation."""
+    for name in ("a21_regr_family", "a22_listagg", "a23_price_histogram"):
+        p = plan_of(registry[name].builder(spark, sf_dir))
+        assert "partial" in p.lower(), name
+        assert "EvalPython" not in p, name
+    for name in ("w7_ewma", "f17_array_setops"):
+        p = plan_of(registry[name].builder(spark, sf_dir))
+        assert "EvalPython" not in p, name
