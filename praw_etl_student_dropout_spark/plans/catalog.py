@@ -3586,3 +3586,148 @@ def w7_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ewma, 6).alias("ewma"),
         )
     )
+
+
+@register(
+    "a24_salted_hot_key_agg",
+    "A ⊕ (skew-mitigated two-phase aggregation)",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Two-phase SALTED aggregation over a hot low-cardinality key "
+    "(event_type has a handful of values — at 100 TB one reducer per "
+    "value would serialize the shuffle). Phase 1 groups by (key, salt) "
+    "with a 32-way hash salt so every core gets work; phase 2 re-groups "
+    "the 32 partials per key. The oracle is the PLAIN group-by: salting "
+    "is an execution strategy, not a semantics change, and the exact "
+    "counts + 2-decimal-rounded sums are identical. (Spark's own "
+    "partial aggregation does this implicitly for algebraic aggs; the "
+    "explicit form is the template for aggs that are NOT partial-able, "
+    "e.g. exact distinct lists per hot key.)",
+)
+def a24_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"].filter(F.col("value").isNotNull())
+    salted = ev.groupBy(
+        "event_type", F.pmod(F.hash("event_id"), F.lit(32)).alias("_salt")
+    ).agg(F.count(F.lit(1)).alias("_cnt"), F.sum("value").alias("_sum"))
+    return salted.groupBy("event_type").agg(
+        F.sum("_cnt").alias("cnt"),
+        F.round(F.sum("_sum"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "a25_incremental_agg",
+    "A ⊕ (incremental aggregate maintenance)",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Incremental materialized-aggregate maintenance: the table "
+    "arrives as a BASE batch (simulating yesterday's materialized "
+    "state) plus a DELTA batch (today's arrivals); the engine refreshes "
+    "by aggregating ONLY the delta and merging partials — "
+    "sum-of-counts and sum-of-sums — never rescanning base rows. The "
+    "oracle recomputes from scratch; counts are exact and sums agree "
+    "at the 2-decimal rounding the data carries. This is the O(delta) "
+    "refresh pattern that keeps a 100 TB warehouse's dashboards "
+    "current without 100 TB nightly scans (requires algebraic aggs; "
+    "holistic ones like exact median need the full re-pass).",
+)
+def a25_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    base = o.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) < 8)
+    delta = o.filter(F.pmod(F.col("o_orderkey"), F.lit(10)) >= 8)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("o_totalprice").alias("_s")
+        )
+
+    merged = partial(base).unionByName(partial(delta))
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("_n").alias("n_orders"),
+        F.round(F.sum("_s"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "etl_scd2_dim",
+    "ETL ⊕ (slowly-changing dimension type 2)",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), versioned AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked
+    ), collapsed AS (
+      SELECT user_id, version, event_type,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_rows
+      FROM versioned GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY version) AS valid_to,
+           n_rows
+    FROM collapsed
+    """,
+    doc="Slowly-changing-dimension type 2 build: each user's event_type "
+    "history collapses into [valid_from, valid_to) version intervals — "
+    "the warehouse pattern the reference's INSERT IGNORE dims "
+    "(etl_pipeline.py:97-109) silently lack (they keep only the first "
+    "version forever). Change points via lag() null-safe comparison, "
+    "version ids via running sum, interval close via lead(); the open "
+    "current version keeps valid_to NULL. Everything partitions by "
+    "user_id — one shuffle serves all three window passes and the "
+    "group-by, and per-key state is the user's history, never the table.",
+)
+def etl_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("chg").over(cum).alias("version"),
+    )
+    collapsed = versioned.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_rows")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return collapsed.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_rows",
+    )
