@@ -304,3 +304,63 @@ def streaming_cms(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """ST-custom on the transformWithStateInPandas API (Spark 4) — the
+    successor to ``stateful_user_stats``'s applyInPandasWithState, same
+    per-user running aggregate contract.
+
+    Differences that matter at scale: named state variables with
+    per-variable schemas (ValueState here; ListState/MapState for
+    unbounded-collection shapes), native TTL support, and the RocksDB
+    state store requirement — which is also what production deployments
+    want anyway (state spills to disk + changelog checkpoints instead of
+    living on the executor heap). Sessions must set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider before starting the query. The worker<->state-server
+    protocol additionally needs ``protobuf`` at runtime; in environments
+    without it, ``stateful_user_stats`` (applyInPandasWithState) provides
+    the same contract.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, s = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._agg.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -391,3 +391,60 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, sf_dir,
         ).collect()
     }
     assert all(r.purchase_id not in matched_batch for r in null_rows)
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
+    """ST-custom (Spark 4 transformWithStateInPandas) — per-user value
+    state accumulated across two micro-batches must equal the all-data
+    batch aggregate. Requires the RocksDB state store provider, and
+    protobuf for the worker<->state-server protocol (absent in some
+    environments, hence the guard — the applyInPandasWithState test
+    above covers the same state contract everywhere)."""
+    pytest.importorskip("google.protobuf")
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        stateful_user_stats_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_tables(spark, sf_dir, ["events"])["events"].filter(
+            F.col("user_id") < 20
+        )
+        in_dir = str(tmp_path / "in")
+        events.filter(F.col("event_id") % 2 == 0).write.parquet(in_dir)
+        events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stateful_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("user_stats_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {}
+        for r in spark.table("user_stats_tws").collect():
+            final[r.user_id] = (r.n_events, round(r.sum_value, 6))
+        expected = {
+            r.user_id: (r.n, round(r.s, 6))
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+            .collect()
+        }
+        assert final == expected
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
