@@ -52,6 +52,9 @@ HEADLINE = [
     "q21_waiting_supplier",
     "j7_dpp_busiest_year",
     "llm_curation_funnel",
+    "a25_incremental_agg",
+    "etl_scd2_dim",
+    "a24_salted_hot_key_agg",
 ]
 
 

@@ -56,6 +56,8 @@ PROBE_QUERIES = [
     "u6_chunk_documents",    # per-row: token-window fan-out (explode)
     "q21_waiting_supplier",  # heaviest decorrelation: semi+anti over the fact
     "llm_curation_funnel",   # compute-bound composed text pass
+    "etl_scd2_dim",          # per-key history: three windows on one shuffle
+    "a25_incremental_agg",   # O(delta) refresh: partial-merge aggregation
 ]
 
 
