@@ -370,3 +370,19 @@ def test_new_agg_family_queries_native_and_partial(spark, sf_dir, registry):
     for name in ("w7_ewma", "f17_array_setops"):
         p = plan_of(registry[name].builder(spark, sf_dir))
         assert "EvalPython" not in p, name
+
+
+def test_scd2_shares_one_shuffle(spark, sf_dir, registry):
+    """etl_scd2_dim's lag, running-sum, and lead windows plus the
+    collapse groupBy must all ride ONE hashpartitioning(user_id)
+    exchange — hashpartitioning on a subset of the grouping keys
+    satisfies the aggregate's clustering, so Catalyst inserts no
+    second shuffle. This is the property that makes the SCD2 build a
+    single exchange of the change feed at warehouse scale."""
+    df = registry["etl_scd2_dim"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, exchanges
+    assert "user_id" in exchanges[0]
