@@ -89,3 +89,32 @@ def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
     return session_agg(ev, "ts", "30 minutes", ["user_id"])
+
+
+@register(
+    "st3b_window_distinct_users",
+    "ST3+A11",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY window_start
+    """,
+    doc="Distinct entities per tumbling window (hourly active users) — "
+    "the DAU/WAU shape every event dashboard needs. Exact distinct "
+    "plans via Expand (one extra shuffle keyed on (window, user_id)); "
+    "the streaming form swaps count_distinct for "
+    "approx_count_distinct, because exact distinct state is unbounded "
+    "per window while HLL state is constant — the documented "
+    "batch-exact/stream-approx trade (SCALING.md Streaming).",
+)
+def st3b_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("distinct_users"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(F.col("w.start").alias("window_start"), "distinct_users", "cnt")
+    )
