@@ -600,3 +600,81 @@ def u9_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, max_iter=15, tol=1e-6)
     return ranks.select("id", F.round("rank", 4).alias("rank"))
+
+
+@register(
+    "sample_hash_split",
+    "U6 ⊕ (deterministic train/val/test split)",
+    """
+    WITH b AS (
+      SELECT source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 10 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Reproducible 80/10/10 train/val/test split by content-stable "
+    "hash: bucket = first-6-hex-digits of md5(doc_id) mod 10. The split "
+    "is a PURE FUNCTION of the row key — no RNG, no state, no seed file "
+    "— so any engine, any partitioning, any rerun assigns every document "
+    "identically (the property that keeps eval sets uncontaminated "
+    "across pipeline versions; both engines compute the identical md5, "
+    "which is what makes this oracle-checkable at all). Embarrassingly "
+    "parallel: one projection + one grouped count.",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return (
+        docs.select(
+            "source",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "sample_k_per_group",
+    "U6+W1 ⊕ (deterministic per-group sampling)",
+    """
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    """,
+    doc="Deterministic k-per-group sample: order each group by "
+    "md5(key) — a fixed pseudo-random permutation — and keep the first "
+    "k. Reproducible sampling for eval subsets and data audits, with "
+    "the same scale shape as w1 top-k: WindowGroupLimit prunes to k "
+    "rows per group map-side BEFORE the shuffle, so the exchange "
+    "carries k×groups rows regardless of corpus size.",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("source", "doc_id", "rk")
+    )
