@@ -3731,3 +3731,79 @@ def etl_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         "n_rows",
     )
+
+
+@register(
+    "j8_pit_scd2_lookup",
+    "J4+ETL ⊕ (point-in-time temporal join)",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), versioned AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked
+    ), collapsed AS (
+      SELECT user_id, version, event_type, min(ts) AS valid_from
+      FROM versioned GROUP BY user_id, version, event_type
+    ), vd AS (
+      -- two changes at an identical timestamp create a zero-duration
+      -- version; only the superseding (max-version) one is ever current
+      SELECT user_id, valid_from, version, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, valid_from
+                                     ORDER BY version DESC) AS rn
+        FROM collapsed
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT event_id, user_id, ts + INTERVAL 30 MINUTE AS pts
+      FROM events WHERE user_id < 50
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(v.version AS BIGINT) AS version, v.event_type
+    FROM probes p
+    ASOF LEFT JOIN vd v
+      ON p.user_id = v.user_id AND p.pts >= v.valid_from
+    """,
+    doc="Point-in-time lookup against the SCD2 dimension (etl_scd2_dim's "
+    "read side): for each probe timestamp, the version current at that "
+    "instant. Spark expresses the temporal join as the as-of "
+    "composition (tag/union/carry-forward window, operators/joins.py::"
+    "asof_join) — ONE shuffle on user_id, no nested-loop interval scan; "
+    "DuckDB states the same semantics with its native ASOF JOIN. "
+    "Zero-duration versions (two changes at one timestamp) are deduped "
+    "to the superseding version on both sides, keeping tie order "
+    "engine-independent.",
+)
+def j8_pit_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    versions = etl_scd2_dim(spark, sf_dir).select(
+        "user_id", "valid_from", "version", "event_type"
+    )
+    vd = (
+        versions.groupBy("user_id", "valid_from")
+        .agg(F.max(F.struct("version", "event_type")).alias("_v"))
+        .select(
+            "user_id",
+            "valid_from",
+            F.col("_v.version").alias("version"),
+            F.col("_v.event_type").alias("event_type"),
+        )
+    )
+    ev = _t(spark, sf_dir, "events")["events"]
+    probes = ev.filter(F.col("user_id") < 50).select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("pts"),
+    )
+    joined = asof_join(
+        probes, vd, on="user_id", left_ts="pts", right_ts="valid_from",
+        right_values=["version", "event_type"],
+    )
+    return joined.select("event_id", "user_id", "version", "event_type")
