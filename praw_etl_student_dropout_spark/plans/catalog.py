@@ -3807,3 +3807,84 @@ def j8_pit_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values=["version", "event_type"],
     )
     return joined.select("event_id", "user_id", "version", "event_type")
+
+
+@register(
+    "w8_event_transitions",
+    "W2+A2 ⊕ (markov transition counts)",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    doc="User-journey transition matrix: per-user event bigrams via "
+    "lag(), counted over all users — the Markov-chain input for "
+    "session-flow and next-action analytics. One shuffle for the "
+    "per-user ordering, then a map-side-combinable count over the "
+    "tiny (type x type) key space; the window's per-key state is one "
+    "previous row, so the operator streams at any history length.",
+)
+def w8_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+
+
+@register(
+    "w9_zscore_normalize",
+    "W3+A16 ⊕ (group-wise feature normalization)",
+    """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS sx,
+             sum(l_quantity * l_quantity) OVER (PARTITION BY l_returnflag) AS sxx,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem WHERE l_orderkey < 2000
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round((l_quantity - sx / n)
+                 / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS qty_z
+    FROM s
+    """,
+    doc="Group-wise z-score normalization — the per-feature scaling step "
+    "of an ML pipeline, computed with UNBOUNDED-partition window sums of "
+    "integer-valued quantities: the power sums are exact in double at "
+    "any accumulation order (segment-tree or sequential), so the "
+    "normalization algebra is one deterministic IEEE tree on both "
+    "engines. Per-group constants ride the same single shuffle as the "
+    "row output — no separate aggregate+join round trip; at corpus "
+    "scale this is groupBy-free standardization of a 100 TB feature "
+    "column in one pass.",
+)
+def w9_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].filter(F.col("l_orderkey") < 2000)
+    w = Window.partitionBy("l_returnflag")
+    q = F.col("l_quantity")
+    sx = F.sum(q).over(w)
+    sxx = F.sum(q * q).over(w)
+    n = F.count(F.lit(1)).over(w)
+    z = (q - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(z, 6).alias("qty_z"),
+    )
