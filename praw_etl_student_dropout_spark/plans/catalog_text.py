@@ -450,3 +450,74 @@ def u6_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_emails"),
         )
     )
+
+
+@register(
+    "u10_tfidf_topterms",
+    "U6 ⊕ (TF-IDF term scoring)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(col=SQL_CLEAN.format(col='text'))}) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term != '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document — the classic keyword/relevance "
+    "scorer. Term frequencies and document frequencies are exact integer "
+    "aggregations; idf = ln((N+1)/(df+1)) is the one transcendental, so "
+    "the rank window orders by the ROUNDED score (identical on both "
+    "engines) with a term tiebreak — last-ulp ln() differences between "
+    "libm implementations cannot reorder ranks. Scale shape: one "
+    "explode, two shuffles (doc-term tf, term df), a term-keyed join "
+    "back, and WindowGroupLimit pruning to 3 rows per doc before the "
+    "final exchange. N arrives as a broadcast 1-row cross join, keeping "
+    "the whole plan lazy (no driver-side count action).",
+)
+def u10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import clean_text
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(clean_text(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
