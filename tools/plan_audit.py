@@ -42,6 +42,7 @@ EXPECTED_NESTED_LOOP = {
     "q17_small_qty_share",  # decorrelated agg broadcast back (single-row)
     "q14_promo_share",      # single-row sums cross-joined for the ratio
     "j7_dpp_busiest_year",  # 1-row global max broadcast back
+    "u10_tfidf_topterms",   # 1-row corpus-size N broadcast cross join
     "llm_curation_funnel",  # 1-row contamination-id set joined in
     "sample_stratified_mix",
     "q11_important_parts",  # 1-row global-value threshold broadcast back
