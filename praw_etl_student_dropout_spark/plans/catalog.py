@@ -3888,3 +3888,44 @@ def w9_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(z, 6).alias("qty_z"),
     )
+
+
+_RCTE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS node, n_name, n_regionkey,
+             lag(n_nationkey) OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey) AS parent
+      FROM nation
+    ), walk AS (
+      SELECT node, n_name, n_regionkey,
+             0 AS depth, CAST(n_name AS STRING) AS path
+      FROM edges WHERE parent IS NULL
+      UNION ALL
+      SELECT e.node, e.n_name, e.n_regionkey,
+             w.depth + 1, w.path || '>' || e.n_name
+      FROM edges e JOIN walk w ON e.parent = w.node
+    )
+    SELECT node, n_name, CAST(depth AS INTEGER) AS depth, path FROM walk
+"""
+
+
+@register(
+    "sql_recursive_hierarchy",
+    "SQL ⊕ (recursive CTE traversal)",
+    _RCTE_SQL.replace("AS STRING", "AS VARCHAR"),
+    doc="Hierarchy traversal via WITH RECURSIVE (Spark 4): nations chain "
+    "into per-region parent paths (lag() builds the edge list), and the "
+    "recursive walk emits depth + root-to-node path. The SAME SQL text "
+    "runs on both engines (modulo the STRING/VARCHAR type keyword) — "
+    "the strongest form of the sql_interface parity claim. Each "
+    "recursive step is one join of the frontier against the edge set, "
+    "so the iteration count is the hierarchy DEPTH, not its size — the "
+    "org-chart/BOM shape a warehouse needs; unbounded-depth graphs "
+    "belong to the dedicated fixpoint operators (u9_pagerank, "
+    "d3_dup_clusters' connected components).",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_RCTE_SQL)
