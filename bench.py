@@ -55,6 +55,7 @@ HEADLINE = [
     "a25_incremental_agg",
     "etl_scd2_dim",
     "a24_salted_hot_key_agg",
+    "u10_tfidf_topterms",
 ]
 
 
