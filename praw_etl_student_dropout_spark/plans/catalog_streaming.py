@@ -118,3 +118,59 @@ def st3b_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "distinct_users", "cnt")
     )
+
+
+@register(
+    "st6_attribution_batch",
+    "ST6 ⊕ (interval attribution join, batch twin)",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS amount
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(count(c.click_id) AS BIGINT) AS n_clicks,
+           round(max(p.amount), 2) AS amount
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+    GROUP BY p.purchase_id, p.user_id
+    """,
+    doc="Click->purchase attribution as a BATCH interval join — the "
+    "oracle-checkable twin of streaming/stream_jobs.py::"
+    "attributed_purchases_stream (same user-equality + 30-minute "
+    "event-time bound, minus watermarks). The user_id equality key "
+    "makes this a hash/sort-merge join with a residual range filter — "
+    "never a nested-loop interval scan — so the shuffle is keyed and "
+    "uniform; the left join keeps zero-click purchases with n_clicks=0 "
+    "(count over NULL right side). At 100 TB this co-partitions both "
+    "event roles in one exchange of the events table.",
+)
+def st6_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("click_id").alias("n_clicks"),
+        F.round(F.max("amount"), 2).alias("amount"),
+    )
