@@ -521,3 +521,111 @@ def u10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
+
+
+@register(
+    "u6_intra_doc_repetition",
+    "U6 ⊕ (repetition-fraction quality rule)",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 3, 0) + 2),
+               i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+             ) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6) AS rep_frac,
+           CAST(1.0 - len(list_distinct(grams)) * 1.0 / len(grams) > 0.2 AS BOOLEAN)
+             AS flag_repetitive
+    FROM g
+    """,
+    doc="Intra-document repetition fraction (the Gopher/C4-family "
+    "boilerplate rule the inter-document dedups can't see): 1 - "
+    "distinct/total word-3-grams, flagged above 0.2. Pure higher-order "
+    "array expressions over each row — sequence/transform/slice + "
+    "array_distinct, no explode, no shuffle, no UDF: the quality gate "
+    "stays embarrassingly parallel and fuses into whatever scan "
+    "feeds it.",
+)
+def u6_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    k = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(k - 3, F.lit(0)))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    n_g = F.size(grams)
+    n_d = F.size(F.array_distinct(grams))
+    rep = 1.0 - n_d * F.lit(1.0) / n_g
+    return docs.select(
+        "doc_id",
+        n_g.cast("long").alias("n_grams"),
+        n_d.cast("long").alias("n_distinct"),
+        F.round(rep, 6).alias("rep_frac"),
+        (rep > 0.2).alias("flag_repetitive"),
+    )
+
+
+@register(
+    "u6_vocab_oov",
+    "U6 ⊕ (vocabulary coverage / OOV rate)",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        ORDER BY cnt DESC, term ASC LIMIT 100
+      )
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (term)
+    GROUP BY source
+    """,
+    doc="Out-of-vocabulary rate per source against the corpus top-100 "
+    "vocabulary — the tokenizer-prep statistic that tells you which "
+    "sources a fixed vocab serves worst. Vocabulary selection is "
+    "deterministic (count desc, term asc); the per-source rate is a "
+    "MICRO-average from exact integer token counts, never an average "
+    "of per-doc ratios (float sums of ratios are accumulation-order "
+    "dependent; integer sums are not). Scale shape: one explode, one "
+    "term-count shuffle, then the 100-row vocab BROADCASTS back onto "
+    "the token stream — membership costs no second shuffle.",
+)
+def u6_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(100)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "term", "left")
+    return tagged.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
