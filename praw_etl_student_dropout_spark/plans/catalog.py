@@ -3929,3 +3929,133 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_RCTE_SQL)
+
+
+@register(
+    "w10_trailing_anomaly",
+    "W4+A16 ⊕ (trailing-window anomaly flag)",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS v100
+      FROM events WHERE value IS NOT NULL AND user_id < 30
+    ), s AS (
+      SELECT event_id, user_id, v100,
+             sum(v100) OVER w AS sx,
+             sum(v100 * v100) OVER w AS sxx,
+             count(*) OVER w AS n
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(n AS BIGINT) AS n_window,
+           round(CASE WHEN n > 1 AND sxx * n > sx * sx
+                 THEN (v100 - sx * 1.0 / n)
+                      / sqrt((sxx - sx * 1.0 * sx / n) / (n - 1))
+                 ELSE 0.0 END, 6) AS z_trailing,
+           CAST(n > 1 AND sxx * n > sx * sx
+                AND abs((v100 - sx * 1.0 / n)
+                        / sqrt((sxx - sx * 1.0 * sx / n) / (n - 1))) > 2.0
+                AS BOOLEAN) AS is_anomaly
+    FROM s
+    """,
+    doc="Per-event anomaly flag: z-score of each value against the same "
+    "user's trailing 1-hour window. Values convert to EXACT integer "
+    "cents first, so the window power sums are accumulation-order "
+    "independent (segment-tree vs sequential engines agree bitwise) and "
+    "the z algebra is one deterministic IEEE tree; degenerate windows "
+    "(n<=1 or zero variance) emit z=0 unflagged. Same time-range frame "
+    "as w4, so per-window state is bounded by the hour span — the "
+    "monitoring shape that flags metric spikes in event streams "
+    "without a second aggregation pass.",
+)
+def w10_trailing_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    c = ev.filter(F.col("value").isNotNull() & (F.col("user_id") < 30)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    v = F.col("v100")
+    sx = F.sum(v).over(w)
+    sxx = F.sum(v * v).over(w)
+    n = F.count(F.lit(1)).over(w)
+    ok = (n > 1) & (sxx * n > sx * sx)
+    z = (v - sx * F.lit(1.0) / n) / F.sqrt(
+        (sxx - sx * F.lit(1.0) * sx / n) / (n - 1)
+    )
+    return c.select(
+        "event_id",
+        "user_id",
+        n.alias("n_window"),
+        F.round(F.when(ok, z).otherwise(0.0), 6).alias("z_trailing"),
+        (ok & (F.abs(z) > 2.0)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "w11_activity_streaks",
+    "W1+W2 ⊕ (gaps-and-islands streaks)",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), grouped AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, min(d) AS streak_start,
+             CAST(count(*) AS BIGINT) AS streak_days
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id, streak_start, streak_days FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY streak_days DESC,
+                                            streak_start ASC) AS rk
+      FROM streaks
+    ) WHERE rk = 1
+    """,
+    doc="Longest consecutive-day activity streak per user — the "
+    "gaps-and-islands pattern (calendar-day islands, distinct from "
+    "w2_sessionize's gap-threshold sessions): distinct active days, "
+    "day MINUS row_number constant within each unbroken run, group on "
+    "that constant, keep the longest (earliest tiebreak). All exact "
+    "dates and ints; both window passes and the aggregate share the "
+    "user_id shuffle. The retention primitive behind 'day streak' "
+    "features and engagement cohorts.",
+)
+def w11_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"), F.count(F.lit(1)).alias("streak_days")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.select("*", F.row_number().over(wr).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "streak_start", "streak_days")
+    )
