@@ -4059,3 +4059,69 @@ def w11_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "streak_start", "streak_days")
     )
+
+
+@register(
+    "etl_snapshot_diff",
+    "ETL+J4 ⊕ (CDC snapshot diff)",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 < 9
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 IN (5, 6)
+                  THEN round(o_totalprice + 1.0, 2) ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 > 0
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows FROM (
+      SELECT CASE
+               WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 THEN 'update'
+               ELSE 'unchanged' END AS change_type
+      FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) GROUP BY change_type
+    """,
+    doc="Change-data-capture diff between two table snapshots: full "
+    "outer join on the key classifies every row insert / delete / "
+    "update / unchanged (null-safe column compares so NULL-to-value "
+    "transitions count as updates). The deterministic %10 carve-out "
+    "simulates a day's churn: keys ending 9 arrive, keys ending 0 "
+    "leave, 5-6 reprice. This diff is the input side of the "
+    "merge-upsert sink (operators/merge.py) and the audit that "
+    "validates any incremental load — one key-partitioned join, "
+    "columns compared in place, no driver collection.",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    old = o.filter(k % 10 < 9).select(
+        k.alias("old_key"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new = o.filter(k % 10 > 0).select(
+        k.alias("new_key"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.when((k % 10).isin(5, 6), F.round(F.col("o_totalprice") + 1.0, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    joined = old.join(new, old["old_key"] == new["new_key"], "full_outer")
+    change = (
+        F.when(F.col("old_key").isNull(), "insert")
+        .when(F.col("new_key").isNull(), "delete")
+        .when(
+            ~F.col("old_status").eqNullSafe(F.col("new_status"))
+            | ~F.col("old_price").eqNullSafe(F.col("new_price")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return joined.select(change.alias("change_type")).groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
