@@ -4125,3 +4125,72 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(change.alias("change_type")).groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register(
+    "t4_pagination",
+    "T3 ⊕ (deterministic pagination)",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10 OFFSET 10
+    """,
+    doc="Page 2 of a deterministically-ordered result (LIMIT+OFFSET "
+    "with a unique tiebreak — without one, pagination across engines "
+    "or re-executions returns overlapping pages, the classic API "
+    "pagination bug). Spark executes offset+limit as a single "
+    "take-ordered boundary: each partition keeps its local top-20, "
+    "the driver merges and drops the first 10 — no global sort. Deep "
+    "OFFSET still costs O(offset+page) per partition; keyset "
+    "pagination (WHERE price < last_seen) is the documented 100 TB "
+    "alternative, expressible with the same ordering.",
+)
+def t4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(10)
+    )
+
+
+@register(
+    "a26_mad_robust",
+    "A12 ⊕ (median absolute deviation)",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_q
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(max(m.med_q), 6) AS median_qty,
+           round(quantile_cont(abs(l.l_quantity - m.med_q), 0.5), 6) AS mad_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    doc="Median absolute deviation per group — the robust dispersion "
+    "statistic outliers can't inflate (unlike a16's variance). Two "
+    "exact-percentile passes: the per-group median computes first and "
+    "BROADCASTS back onto the rows (3-row build side), then the median "
+    "of absolute deviations. Quantities are integer-valued doubles, so "
+    "both interpolated medians are exact in binary on both engines. At "
+    "100 TB each pass is one grouped percentile over the same "
+    "partitioning; the approx path swaps in approx_percentile with "
+    "identical plan shape.",
+)
+def a26_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_q")
+    )
+    joined = li.join(F.broadcast(med), "l_returnflag")
+    return joined.groupBy("l_returnflag").agg(
+        F.round(F.max("med_q"), 6).alias("median_qty"),
+        F.round(
+            F.expr("percentile(abs(l_quantity - med_q), 0.5)"), 6
+        ).alias("mad_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
