@@ -143,3 +143,40 @@ def test_file_skipping_index_prunes_and_preserves_results(spark, sf_dir, tmp_pat
     )
     assert sorted(r.o_orderkey for r in got) == sorted(r.o_orderkey for r in want)
     stats.unpersist()
+
+
+def test_cdc_diff_feeds_merge_to_convergence(spark, sf_dir, tmp_path):
+    """etl_snapshot_diff x merge_upsert integration: applying the CDC
+    delta (inserts + updates) to the old snapshot via merge, then
+    anti-joining the deletes, reproduces the new snapshot exactly —
+    the incremental load path agrees with a full reload."""
+    from praw_etl_student_dropout_spark.operators.merge import (
+        merge_upsert,
+        read_merged,
+    )
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    old = o.filter(k % 10 < 9)
+    new = o.filter(k % 10 > 0).withColumn(
+        "o_totalprice",
+        F.when((k % 10).isin(5, 6), F.round(F.col("o_totalprice") + 1.0, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+    base = str(tmp_path / "warehouse")
+    merge_upsert(spark, base, old, ["o_orderkey"])
+    # upserts = rows present in new that differ from or are absent in old
+    upserts = new.join(old, ["o_orderkey", "o_orderstatus", "o_totalprice"], "left_anti")
+    merge_upsert(spark, base, upserts, ["o_orderkey"])
+    deletes = old.select("o_orderkey").join(
+        new.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    converged = read_merged(spark, base).join(deletes, "o_orderkey", "left_anti")
+
+    assert converged.count() == new.count()
+    assert converged.exceptAll(new).isEmpty()
+    assert new.exceptAll(converged).isEmpty()
