@@ -4194,3 +4194,73 @@ def a26_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mad_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "a27_corr_matrix",
+    "A16 ⊕ (one-pass correlation matrix)",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             round(sum(l_quantity), 2) AS sq,
+             round(sum(l_quantity * l_quantity), 4) AS sqq,
+             round(sum(l_discount), 2) AS sd,
+             round(sum(l_discount * l_discount), 4) AS sdd,
+             round(sum(l_tax), 2) AS st,
+             round(sum(l_tax * l_tax), 4) AS stt,
+             round(sum(l_quantity * l_discount), 4) AS sqd,
+             round(sum(l_quantity * l_tax), 4) AS sqt,
+             round(sum(l_discount * l_tax), 4) AS sdt
+      FROM lineitem
+    )
+    SELECT pair, round(num / sqrt(den_a * den_b), 6) AS corr FROM (
+      SELECT 'quantity~discount' AS pair,
+             n * sqd - sq * sd AS num,
+             n * sqq - sq * sq AS den_a, n * sdd - sd * sd AS den_b FROM s
+      UNION ALL
+      SELECT 'quantity~tax', n * sqt - sq * st,
+             n * sqq - sq * sq, n * stt - st * st FROM s
+      UNION ALL
+      SELECT 'discount~tax', n * sdt - sd * st,
+             n * sdd - sd * sd, n * stt - st * st FROM s
+    )
+    """,
+    doc="Full pairwise correlation matrix of three measures from ONE "
+    "pass: ten exact power sums feed every pair's Pearson coefficient "
+    "(a16's determinism argument, matrix-shaped). The scan cost is "
+    "independent of the number of pairs — k measures need k(k+3)/2 "
+    "map-side-combinable sums, not k^2 scans — which is how a feature "
+    "store computes a 100-column correlation screen over 100 TB in a "
+    "single job.",
+)
+def a27_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    q, d, t = F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(q), 2).alias("sq"),
+        F.round(F.sum(q * q), 4).alias("sqq"),
+        F.round(F.sum(d), 2).alias("sd"),
+        F.round(F.sum(d * d), 4).alias("sdd"),
+        F.round(F.sum(t), 2).alias("st"),
+        F.round(F.sum(t * t), 4).alias("stt"),
+        F.round(F.sum(q * d), 4).alias("sqd"),
+        F.round(F.sum(q * t), 4).alias("sqt"),
+        F.round(F.sum(d * t), 4).alias("sdt"),
+    )
+    n = F.col("n")
+
+    def pair(name, sxy, sx, sy, sxx, syy):
+        num = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        den_a = n * F.col(sxx) - F.col(sx) * F.col(sx)
+        den_b = n * F.col(syy) - F.col(sy) * F.col(sy)
+        return s.select(
+            F.lit(name).alias("pair"),
+            F.round(num / F.sqrt(den_a * den_b), 6).alias("corr"),
+        )
+
+    return (
+        pair("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd")
+        .unionByName(pair("quantity~tax", "sqt", "sq", "st", "sqq", "stt"))
+        .unionByName(pair("discount~tax", "sdt", "sd", "st", "sdd", "stt"))
+    )

@@ -629,3 +629,41 @@ def u6_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "u6_pseudonymize",
+    "U6 ⊕ (deterministic pseudonymization)",
+    """
+    SELECT substring(md5('pepper-2026:' || CAST(user_id AS VARCHAR)), 1, 16)
+             AS user_token,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events WHERE user_id < 100
+    GROUP BY user_token
+    """,
+    doc="Deterministic pseudonymization: raw user ids are replaced by a "
+    "keyed-hash token (md5 over a pepper || id) BEFORE analytics, so "
+    "downstream joins and group-bys still line up on the token while "
+    "the raw id never leaves the trusted boundary — the "
+    "privacy-pipeline twin of u6_redact_pii's free-text scrubbing. "
+    "Same-input determinism is the point (unlike salted-per-run "
+    "anonymization): tokens are stable across runs and engines, which "
+    "is also what makes the oracle check possible. Pure projection + "
+    "one grouped count; rotating the pepper re-keys the whole corpus "
+    "in one scan.",
+)
+def u6_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    token = F.substring(
+        F.md5(F.concat(F.lit("pepper-2026:"), F.col("user_id").cast("string"))), 1, 16
+    )
+    return (
+        ev.filter(F.col("user_id") < 100)
+        .select(token.alias("user_token"), "event_type")
+        .groupBy("user_token")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
