@@ -62,10 +62,23 @@ def canon(rows, cols):
 
 fails = []
 import sys as _s
-for name in (_s.argv[1:] or ["w2_sessionize"]):
-    sdf = Q[name](spark, SF)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+names = _s.argv[1:] or ["w2_sessionize"]
+if names == ["--all"]:
+    names = sorted(Q)
+for name in names:
+    try:
+        sdf = Q[name](spark, SF)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        print(f"{name}: SPARK-ERROR {str(e)[:140]}")
+        fails.append(name)
+        continue
+    if name not in O:
+        # rows-only query (no SQL-expressible oracle) — driver records the
+        # weaker check; here just assert it runs and returns rows
+        print(f"{name}: spark={len(srows)} ROWS-ONLY")
+        continue
     rel = con.execute(O[name])
     ocols = [d[0] for d in rel.description]
     orows = rel.fetchall()
