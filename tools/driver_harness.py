@@ -52,8 +52,10 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                vals.append(round(v, 6))
+            if v is None:
+                vals.append("\x00null")
+            elif isinstance(v, float):
+                vals.append(f"{round(v, 6):.6f}")
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
