@@ -4264,3 +4264,104 @@ def a27_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pair("quantity~tax", "sqt", "sq", "st", "sqq", "stt"))
         .unionByName(pair("discount~tax", "sdt", "sd", "st", "sdd", "stt"))
     )
+
+
+@register(
+    "a28_chi_square",
+    "A16 ⊕ (chi-square independence test)",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(user_id % 2 AS BIGINT) AS cohort,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT c.event_type, c.cohort, c.o,
+             sum(c.o) OVER (PARTITION BY c.event_type) AS row_tot,
+             sum(c.o) OVER (PARTITION BY c.cohort) AS col_tot,
+             sum(c.o) OVER () AS n
+      FROM cells c
+    )
+    SELECT round(sum((o - row_tot * col_tot / n)
+                     * (o - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM margins
+    """,
+    doc="Chi-square independence statistic for event_type x cohort — the "
+    "categorical-association test an experimentation pipeline runs over "
+    "exact contingency counts. The table collapses to (types x cohorts) "
+    "cells BEFORE any float math, so the windowed margin sums add a "
+    "handful of exact integer-valued doubles (order-independent), and "
+    "the chi2 algebra is one deterministic IEEE tree. Scale: one "
+    "grouped count over the events table; everything after runs on the "
+    "tiny cell frame.",
+)
+def a28_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("long").alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    row_tot = F.sum("o").over(Window.partitionBy("event_type"))
+    col_tot = F.sum("o").over(Window.partitionBy("cohort"))
+    n = F.sum("o").over(Window.partitionBy())
+    e = row_tot * col_tot / n
+    m = cells.select("o", e.alias("e"))
+    return m.agg(
+        F.round(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 6).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+@register(
+    "a29_conversion_latency",
+    "A12+W2 ⊕ (conversion-latency percentiles)",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+      FROM events GROUP BY user_id
+    ), lat AS (
+      SELECT CAST(epoch_us(first_click) - epoch_us(first_view) AS BIGINT)
+               AS latency_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_click IS NOT NULL
+        AND first_click >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(latency_us, 0.5), 1) AS p50_us,
+           round(quantile_cont(latency_us, 0.9), 1) AS p90_us
+    FROM lat
+    """,
+    doc="First-view to first-click conversion latency, median and p90 "
+    "over users — the time-to-convert metric behind every funnel "
+    "dashboard. Latencies are EXACT integer microseconds (epoch_us "
+    "differences of min timestamps), so the interpolated percentiles "
+    "are deterministic on both engines. One grouped conditional-min "
+    "pass over events, then percentiles over the small per-user frame; "
+    "the conditional min is the same single-pass trick the insight "
+    "summary (a6) uses — never one scan per event type.",
+)
+def a29_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    ts = F.col("ts").cast("timestamp")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", ts)).alias("first_click"),
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_click").isNotNull()
+        & (F.col("first_click") >= F.col("first_view"))
+    ).select(
+        (F.unix_micros("first_click") - F.unix_micros("first_view")).alias(
+            "latency_us"
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_us, 0.5)"), 1).alias("p50_us"),
+        F.round(F.expr("percentile(latency_us, 0.9)"), 1).alias("p90_us"),
+    )
