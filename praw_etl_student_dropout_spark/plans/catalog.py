@@ -4365,3 +4365,63 @@ def a29_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(latency_us, 0.5)"), 1).alias("p50_us"),
         F.round(F.expr("percentile(latency_us, 0.9)"), 1).alias("p90_us"),
     )
+
+
+@register(
+    "a30_rfm_segments",
+    "A ⊕ (RFM segmentation)",
+    """
+    WITH rfm AS (
+      SELECT user_id,
+             max(ts) AS last_seen,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             CAST(ntile(4) OVER (ORDER BY last_seen DESC, user_id) AS INTEGER) AS r,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f,
+             CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS INTEGER) AS m
+      FROM rfm
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY segment
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation: one "
+    "grouped pass derives the three per-user metrics (monetary as exact "
+    "integer cents), quartile scores assign via ntile with a user_id "
+    "tiebreak (total order => identical buckets on any engine), and "
+    "segments aggregate to counts. The three global ntiles run over the "
+    "USERS frame, already reduced by the aggregation — at 100 TB of "
+    "events the sort cost is per-user rows, and range-partitioned sort "
+    "handles the global ordering without a single-machine bottleneck.",
+)
+def a30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    rfm = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast("long")
+        ).alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_seen"), F.asc("user_id")))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+        .alias("m"),
+    )
+    return scored.groupBy(
+        F.concat_ws("-", "r", "f", "m").alias("segment")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
