@@ -4425,3 +4425,48 @@ def a30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(
         F.concat_ws("-", "r", "f", "m").alias("segment")
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q23_market_basket",
+    "J4+A ⊕ (co-occurrence / market basket)",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 10
+    """,
+    doc="Market-basket co-occurrence: part pairs appearing in the same "
+    "order, top-10 by support — the 'bought together' primitive behind "
+    "recommendations. The self-join is keyed on l_orderkey (equi-join; "
+    "pair explosion bounded by per-order basket size squared, ~7 items "
+    "in TPC-H shapes), the a<b predicate halves the pairs and "
+    "canonicalizes them, and exact counts with full tiebreaks make the "
+    "top-10 deterministic. At 100 TB: distinct-collapse first (shrinks "
+    "the join input), then one orderkey-partitioned self-join — never "
+    "an all-pairs part join.",
+)
+def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(
+        b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(10)
+    )
