@@ -58,6 +58,7 @@ PROBE_QUERIES = [
     "llm_curation_funnel",   # compute-bound composed text pass
     "etl_scd2_dim",          # per-key history: three windows on one shuffle
     "a25_incremental_agg",   # O(delta) refresh: partial-merge aggregation
+    "q23_market_basket",     # orderkey-keyed self-join: pairs bounded by basket size
 ]
 
 
