@@ -4470,3 +4470,58 @@ def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(10)
     )
+
+
+@register(
+    "a31_contribution_shares",
+    "A10+W3 ⊕ (hierarchical contribution analysis)",
+    """
+    WITH rev AS (
+      SELECT r_name, n_name,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(cents AS BIGINT) AS cents,
+           round(cents * 1.0 / sum(cents) OVER (PARTITION BY r_name), 6)
+             AS share_of_region,
+           round(sum(cents) OVER (PARTITION BY r_name) * 1.0
+                 / sum(cents) OVER (), 6) AS region_share_of_total
+    FROM rev
+    """,
+    doc="Hierarchical contribution analysis: each nation's share of its "
+    "region's revenue and each region's share of the total, from ONE "
+    "grouped pass plus window sums over the tiny (region, nation) "
+    "aggregate. Revenue sums in EXACT integer cents, so the window "
+    "totals are accumulation-order independent and each share is a "
+    "single deterministic division. The percent-of-parent drill-down "
+    "every BI tool derives from a rollup — computed without rescanning "
+    "the fact table per level.",
+)
+def a31_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    region_tot = F.sum("cents").over(Window.partitionBy("r_name"))
+    grand_tot = F.sum("cents").over(Window.partitionBy())
+    return rev.select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.round(F.col("cents") * F.lit(1.0) / region_tot, 6).alias("share_of_region"),
+        F.round(region_tot * F.lit(1.0) / grand_tot, 6).alias("region_share_of_total"),
+    )
