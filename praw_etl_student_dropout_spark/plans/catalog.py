@@ -4392,15 +4392,21 @@ def a29_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RFM (recency/frequency/monetary) customer segmentation: one "
     "grouped pass derives the three per-user metrics (monetary as exact "
-    "integer cents), quartile scores assign via ntile with a user_id "
-    "tiebreak (total order => identical buckets on any engine), and "
-    "segments aggregate to counts. The three global ntiles run over the "
-    "USERS frame, already reduced by the aggregation — at 100 TB of "
-    "events the sort cost is per-user rows, and range-partitioned sort "
-    "handles the global ordering without a single-machine bottleneck.",
+    "integer cents), quartile scores assign via DISTRIBUTED ntile with a "
+    "user_id tiebreak (total order => identical buckets on any engine), "
+    "and segments aggregate to counts. A plain ntile().over(orderBy) "
+    "would compile to a single-partition WindowExec — the whole user "
+    "frame on one task. Instead operators.windows.distributed_ntile_multi "
+    "melts the frame to (user, metric, sort_value), repartitionByRange on "
+    "(metric, value) so each partition holds a contiguous slice of each "
+    "metric's order, ranks per (metric, partition) with a broadcast "
+    "prefix-sum of partition counts, assigns tiles by closed-form ntile "
+    "arithmetic, and pivots back — two wide shuffles total for all three "
+    "scores, no global sort to one machine. This is the plan that "
+    "survives 100 TB of events.",
 )
 def a30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.windows import distributed_ntile_multi
 
     ev = _t(spark, sf_dir, "events")["events"]
     rfm = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
@@ -4410,17 +4416,22 @@ def a30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast("long")
         ).alias("monetary_cents"),
     )
-    scored = rfm.select(
+    # Sort values must be ascending bigints: negate for the DESC order;
+    # unix_micros is order-preserving + injective on the timestamp.
+    last_seen = (
+        F.unix_micros(F.col("last_seen"))
+        if dict(rfm.dtypes)["last_seen"].startswith("timestamp")
+        else F.col("last_seen").cast("long")
+    )
+    scored = distributed_ntile_multi(
+        rfm,
+        4,
+        [
+            ("r", -last_seen),
+            ("f", -F.col("frequency")),
+            ("m", -F.col("monetary_cents")),
+        ],
         "user_id",
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("last_seen"), F.asc("user_id")))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
-        .alias("m"),
     )
     return scored.groupBy(
         F.concat_ws("-", "r", "f", "m").alias("segment")

@@ -13,6 +13,7 @@ Usage: python tools/plan_audit.py [name ...]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -51,6 +52,41 @@ EXPECTED_NESTED_LOOP = {
 }
 
 
+# Queries allowed to contain an UNPARTITIONED window: every entry here is
+# a window whose input frame is bounded by construction (one row per
+# shuffle partition — the distributed-prefix-sum offsets frame — or a
+# distinct-dimension-key frame), never the data-scale frame. Anywhere
+# else a global window means Spark moved the whole frame to ONE task.
+EXPECTED_GLOBAL_WINDOW = {
+    "llm_shuffle_pack",      # pack_sequences offsets frame (≤ #partitions rows)
+    "llm_chunk_embed_dedup", # same pack_sequences machinery
+    "j2_surrogate_key_swap", # dense_rank over DISTINCT dim keys (tiny by definition)
+    "etl_star_schema",       # same surrogate-key windows (operators/etl.py:29,49)
+    "a28_chi_square",        # sum() OVER () on the contingency-cell frame (types×2)
+    "a31_contribution_shares",  # grand-total window on (region,nation) frame (≤25)
+}
+
+
+def global_windows(plan: str) -> int:
+    """Count windowspecdefinitions with NO partition columns.
+
+    In plan text a partitioned spec leads with bare partition columns
+    (``windowspecdefinition(k#12, ts#3 ASC NULLS FIRST, ...``) while an
+    unpartitioned spec leads straight with an ordered column
+    (``windowspecdefinition(ts#3 ASC NULLS FIRST, ...``) or with the
+    frame itself (no ORDER BY). Each match is a single-partition
+    WindowExec at runtime.
+    """
+    pat = r"windowspecdefinition\((?:specifiedwindowframe|[^,()]+ (?:ASC|DESC))"
+    # De-duplicate per Window node line: one node may list the same spec
+    # once per window function; count nodes, not function references.
+    nodes = set()
+    for line in plan.splitlines():
+        if re.search(pat, line):
+            nodes.add(line.strip())
+    return len(nodes)
+
+
 def audit(plan: str) -> dict:
     return {
         "exchanges": plan.count("Exchange hashpartitioning")
@@ -64,6 +100,7 @@ def audit(plan: str) -> dict:
         "global_sort": plan.count("Sort ") - plan.count("Sort [")
         if False
         else int("Exchange rangepartitioning" in plan and "TakeOrdered" not in plan),
+        "gwin": global_windows(plan),
     }
 
 
@@ -76,7 +113,7 @@ def main() -> int:
     reg = catalog_all()
     wanted = sys.argv[1:] or list(reg)
     problems = []
-    print(f"{'query':32s} {'exch':>4} {'bhj':>4} {'smj':>4} {'bnlj':>4} {'py':>3}")
+    print(f"{'query':32s} {'exch':>4} {'bhj':>4} {'smj':>4} {'bnlj':>4} {'py':>3} {'gwin':>4}")
     for name in wanted:
         try:
             plan = (
@@ -96,9 +133,11 @@ def main() -> int:
             flags.append("UNEXPECTED-PYTHON")
         if a["bnlj"] and name not in EXPECTED_NESTED_LOOP:
             flags.append("UNEXPECTED-NESTED-LOOP")
+        if a["gwin"] and name not in EXPECTED_GLOBAL_WINDOW:
+            flags.append("UNEXPECTED-GLOBAL-WINDOW")
         print(
             f"{name:32s} {a['exchanges']:>4} {a['bhj']:>4} {a['smj']:>4} "
-            f"{a['bnlj']:>4} {a['python']:>3}  {' '.join(flags)}"
+            f"{a['bnlj']:>4} {a['python']:>3} {a['gwin']:>4}  {' '.join(flags)}"
         )
         problems += [f"{name}: {f}" for f in flags]
     print(f"\n{len(wanted) - len(set(p.split(':')[0] for p in problems))}/{len(wanted)} clean")
