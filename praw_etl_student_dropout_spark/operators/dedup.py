@@ -61,6 +61,42 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
+def shingle_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exploded ``(id, shingle)`` inverted index over word n-grams.
+
+    With ``max_doc_freq``, shingles appearing in MORE than that many
+    documents are dropped before any join: one groupBy count over the
+    index, then a broadcast ANTI join against the hot set. The hot set is
+    tiny by construction (only ubiquitous boilerplate phrases exceed a
+    sane cap), so the anti join is a broadcast; the rare-shingle bulk of
+    the index never reshuffles. This bounds the fan-out of any downstream
+    shingle self-join to ``max_doc_freq`` per shingle — without it a
+    single stop-phrase shared by k docs materializes k·(k-1)/2 candidate
+    pairs, quadratic at corpus scale.
+
+    ``word_shingles`` is distinct-per-doc, so ``count(*)`` per shingle is
+    exactly its document frequency.
+    """
+    sh = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """D3 stage 0 — exact dedup on the order-insensitive fingerprint
     (md5 of sorted cleaned tokens). Survivor = min id per fingerprint —
@@ -168,6 +204,7 @@ def contamination_pairs(
     id_col: str,
     shingle_n: int = 3,
     min_shared: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — corpus docs sharing ``>= min_shared``
     distinct word n-gram shingles with any benchmark doc.
@@ -175,13 +212,18 @@ def contamination_pairs(
     Shingle inverted-index equi-join (never corpus × benchmark): the
     benchmark side is typically tiny relative to the corpus, so Catalyst
     broadcasts its exploded shingle index and the corpus side never
-    shuffles. Returns (corpus_id, bench_id, shared_shingles). At 100 TB
-    add a document-frequency cap on shingles first — ubiquitous phrases
-    fan out quadratically and can't certify contamination alone.
+    shuffles. Returns (corpus_id, bench_id, shared_shingles).
+
+    ``max_doc_freq`` drops shingles whose CORPUS document frequency
+    exceeds the cap before the join (see :func:`shingle_index`): a
+    stop-phrase shared by k corpus docs and any benchmark doc fans out
+    k-fold per benchmark hit, and at 100 TB such phrases dominate the
+    join while certifying nothing — with the cap, evidence counts only
+    RARE shared shingles, which is the semantics a decontamination pass
+    wants anyway.
     """
-    c = _spread(corpus.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col).alias("corpus_id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    c = shingle_index(corpus, text_col, id_col, shingle_n, max_doc_freq).select(
+        F.col(id_col).alias("corpus_id"), "shingle"
     )
     b = benchmark.select(
         F.col(id_col).alias("bench_id"),
@@ -285,34 +327,66 @@ def simhash_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via a shingle inverted index.
 
     explode shingles → self-join on shingle (the inverted index) →
     count shared shingles per pair → jaccard = shared/(|A|+|B|-shared).
-    Only pairs sharing ≥1 shingle are ever materialized. Hot shingles
-    fan out quadratically — at scale, drop shingles with document
-    frequency above a cap first (they can't certify high Jaccard alone).
+    Only pairs sharing ≥1 shingle are ever materialized.
+
+    ``max_doc_freq`` bounds the self-join fan-out (see
+    :func:`shingle_index`): candidates come from the CAPPED index — a
+    shingle in k docs contributes at most cap·(cap-1)/2 pairs instead of
+    k·(k-1)/2 — and the reported Jaccard is then verified EXACTLY over
+    the full shingle arrays, so capping never distorts a reported value;
+    it can only miss pairs whose entire overlap is ubiquitous
+    boilerplate (which a near-dup pass should not pair on anyway).
     """
-    sh = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    l, r = sh.alias("l"), sh.alias("r")
-    shared = (
+    if max_doc_freq is None:
+        sh = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+            F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        ).persist()
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        l, r = sh.alias("l"), sh.alias("r")
+        shared = (
+            l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        return (
+            shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+            .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    idx = shingle_index(df, text_col, id_col, n, max_doc_freq).persist()
+    l, r = idx.alias("l"), idx.alias("r")
+    cands = (
         l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
     )
-    out = (
-        shared.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
-        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+    full = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    return (
+        cands.join(full.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(full.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
 
 
 def embedding_dup_pairs(

@@ -124,6 +124,79 @@ def u8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d3_ngram_jaccard_capped",
+    "D3",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    freq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY shingle),
+    capped AS (
+      SELECT inv.doc_id, inv.shingle FROM inv JOIN freq USING (shingle)
+      WHERE c <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM capped l JOIN capped r
+        ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                 (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    """,
+    doc="n-gram Jaccard with the hot-shingle document-frequency cap: "
+    "candidate pairs come from the index with df>4 shingles dropped "
+    "(broadcast anti join against the tiny hot set), bounding self-join "
+    "fan-out to cap^2 per shingle — the guard that keeps the inverted "
+    "index subquadratic when a stop-phrase appears in millions of docs. "
+    "Reported Jaccard is then verified EXACTLY over full shingle arrays, "
+    "so the cap affects only which pairs are surfaced, never their "
+    "values.",
+)
+def d3_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.0, max_doc_freq=4
+    )
+
+
+@register(
+    "u8_decontaminate_capped",
+    "D3+U8",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES.format(t='t')}) AS shingle FROM toks),
+    c AS (SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % 97 != 0),
+    freq AS (SELECT shingle, count(*) AS c FROM c GROUP BY shingle),
+    cc AS (SELECT corpus_id, c.shingle FROM c JOIN freq USING (shingle)
+           WHERE freq.c <= 4),
+    b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT corpus_id, bench_id, count(*) AS shared_shingles
+    FROM cc JOIN b USING (shingle)
+    GROUP BY corpus_id, bench_id
+    HAVING count(*) >= 2
+    """,
+    doc="Decontamination with the corpus-side document-frequency cap: "
+    "shingles in more than 4 corpus docs are dropped before the "
+    "benchmark join, so evidence counts only RARE shared shingles — "
+    "ubiquitous phrases can't flag contamination OR blow up the join.",
+)
+def u8_decontaminate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_pairs(
+        corpus, bench, "text", "doc_id", shingle_n=3, min_shared=2, max_doc_freq=4
+    )
+
+
+@register(
     "d3_minhash_pairs",
     "D3",
     None,  # xxhash64 signatures aren't SQL-reproducible; pytest bounds

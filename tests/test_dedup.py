@@ -153,3 +153,74 @@ def test_dup_clusters_cover_all_paired_docs(spark, sf_dir):
     ).first()
     assert stats["total"] == n_paired  # clusters partition the paired docs
     assert stats["mn"] >= 2  # every cluster came from at least one pair
+
+
+def _skew_docs(spark, n_docs: int = 60):
+    """Every doc opens with the same 6-token boilerplate (hot shingles in
+    ALL docs), then diverges into unique tokens; docs 0/1 and 2/3 are
+    planted near-dups sharing their unique tails too."""
+    rows = []
+    boiler = "terms of service apply to"
+    for i in range(n_docs):
+        tail_seed = i // 2 if i < 4 else i  # 0/1 and 2/3 share tails
+        tail = " ".join(f"tok{tail_seed}x{j}" for j in range(8))
+        rows.append((i, f"{boiler} {tail}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shingle_df_cap_bounds_candidate_fanout(spark):
+    from praw_etl_student_dropout_spark.operators.dedup import shingle_index
+
+    d = _skew_docs(spark)
+    join_on = lambda idx: (
+        idx.alias("l")
+        .join(
+            idx.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select("l.doc_id", "r.doc_id")
+        .distinct()
+        .count()
+    )
+    uncapped = join_on(shingle_index(d, "text", "doc_id", 3))
+    capped = join_on(shingle_index(d, "text", "doc_id", 3, max_doc_freq=5))
+    # the hot boilerplate shingles pair every doc with every other
+    assert uncapped >= 60 * 59 // 2
+    # with df>5 shingles dropped, only the planted dup pairs remain
+    assert capped == 2
+
+
+def test_ngram_jaccard_capped_values_match_uncapped(spark):
+    """The cap prunes CANDIDATES only; any surfaced pair's jaccard is
+    verified over full shingle arrays and must equal the uncapped value."""
+    d = _skew_docs(spark)
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", 3, threshold=0.5).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            d, "text", "doc_id", 3, threshold=0.5, max_doc_freq=5
+        ).collect()
+    }
+    assert set(capped) == {(0, 1), (2, 3)}
+    for pair, j in capped.items():
+        assert j == uncapped[pair]
+
+
+def test_contamination_cap_counts_only_rare_shingles(spark):
+    from praw_etl_student_dropout_spark.operators.dedup import contamination_pairs
+
+    d = _skew_docs(spark)
+    corpus = d.filter(F.col("doc_id") >= 2)
+    bench = d.filter(F.col("doc_id") < 2)
+    uncapped = contamination_pairs(corpus, bench, "text", "doc_id", 3, min_shared=2)
+    capped = contamination_pairs(
+        corpus, bench, "text", "doc_id", 3, min_shared=2, max_doc_freq=5
+    )
+    # boilerplate alone clears min_shared for EVERY corpus doc uncapped...
+    assert uncapped.count() == corpus.count() * 2
+    # ...but certifies nothing once hot shingles are dropped
+    assert capped.count() == 0
