@@ -394,21 +394,33 @@ def embedding_dup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    num_planes: int = 16,
+    num_planes: int = 64,
+    bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Embedding cosine near-dup via random-hyperplane LSH.
+    """Embedding cosine near-dup via BANDED random-hyperplane LSH.
 
-    Signature bit i = sign(v · plane_i); docs sharing the full signature
-    land in one bucket; pairs verify with exact cosine. Planes are a
-    deterministic function of (seed, dim) so runs reproduce. For higher
-    recall lower num_planes (bigger buckets) or add banded multi-probe.
+    ``num_planes`` sign bits (bit i = sign(v · plane_i)) split into
+    ``bands`` band signatures of ``r = num_planes/bands`` bits each; a
+    pair is a candidate if ANY band matches exactly (equi-self-join on
+    (band, band_sig), the MinHash-LSH shape), then verified with EXACT
+    cosine — no false positives ever; recall is the banding curve
+    1-(1-p^r)^b with p = 1 - θ/π. At cosine 0.95 (θ≈0.318, p≈0.899) the
+    default r=8, b=8 gives ≈0.99 recall vs ≈0.10 for the old single
+    16-bit full-signature bucket. ``r`` sets bucket granularity (2^r
+    buckets per band bounds unrelated-pair collisions), ``b`` buys back
+    recall: at corpus scale raise BOTH (r=16, b=12 keeps recall ≈0.90
+    with 65536 buckets per band). Planes are a deterministic function of
+    (seed, dim) so runs reproduce.
     """
     import numpy as np
 
     from ..functions.arrays import cosine_similarity
 
+    if num_planes % bands != 0:
+        raise ValueError("num_planes must be divisible by bands")
+    r_bits = num_planes // bands
     if dim is None:
         # One-row peek only as a fallback; callers on hot paths should pass
         # dim explicitly (schema metadata can't carry array length).
@@ -425,26 +437,62 @@ def embedding_dup_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
     vec = F.col(vec_col).cast("array<double>")
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(float(x)) for x in planes[i]]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    # All num_planes dot products in ONE expression: transform over the
+    # plane-matrix literal folds each plane against the vector (pure
+    # codegen, no UDF, one pass per plane).
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    )
+    dots = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    with_dots = df.select(F.col(id_col), dots.alias("_dots"))
+    band_sigs = F.array(
+        *[
+            sum(
+                (
+                    F.when(
+                        F.element_at("_dots", b * r_bits + j + 1) > 0,
+                        F.lit(1 << j),
+                    ).otherwise(F.lit(0))
+                    for j in range(r_bits)
+                ),
+                F.lit(0),
             )
-            > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(num_planes)
-    ]
-    sigs = df.select(F.col(id_col), F.col(vec_col), sum(bits, F.lit(0)).alias("bucket"))
-    l, r = sigs.alias("l"), sigs.alias("r")
+            for b in range(bands)
+        ]
+    )
+    banded = with_dots.select(
+        F.col(id_col), F.posexplode(band_sigs).alias("band", "band_sig")
+    ).persist()
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        cands.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b"
+        )
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -251,13 +251,17 @@ def d3_embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d3_embedding_dup_lsh",
     "D3+U7",
     None,  # approximate bucketing — pytest checks pairs ⊆ exact + recall
-    doc="Embedding near-dup via random-hyperplane LSH buckets (the scale "
-    "path: equi-join on signature, verify within buckets only).",
+    doc="Embedding near-dup via BANDED random-hyperplane LSH (the scale "
+    "path: equi-join per (band, band_sig), exact-cosine verify within "
+    "bucket collisions only — MinHash-LSH shape over sign bits). r=2-bit "
+    "bands keep per-band match probability high at this low 0.35 "
+    "threshold (recall ≈0.98); at a 0.95-dup threshold the defaults "
+    "r=8, b=8 apply.",
 )
 def d3_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return embedding_dup_pairs(
-        e, "embedding", "vec_id", threshold=0.35, num_planes=8, dim=64
+        e, "embedding", "vec_id", threshold=0.35, num_planes=16, bands=8, dim=64
     )
 
 
@@ -373,7 +377,7 @@ def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = hashing_embed(chunk_docs, text_col="text", id_col="chunk_id", dim=64)
     pairs = embedding_dup_pairs(
-        emb, "embedding", "chunk_id", threshold=0.9, num_planes=8, dim=64
+        emb, "embedding", "chunk_id", threshold=0.9, num_planes=8, bands=4, dim=64
     )
     return (
         pairs.select(

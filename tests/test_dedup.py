@@ -224,3 +224,41 @@ def test_contamination_cap_counts_only_rare_shingles(spark):
     assert uncapped.count() == corpus.count() * 2
     # ...but certifies nothing once hot shingles are dropped
     assert capped.count() == 0
+
+
+def test_banded_embedding_lsh_recall_at_095(spark):
+    """Planted near-dup clones (cosine >= 0.95): banded hyperplane LSH
+    must recover >= 0.9 of the exact pairs at the 0.95 threshold (the
+    banding curve gives ~0.99 for r=8, b=8 at p≈0.899), with zero false
+    positives (exact-cosine verify)."""
+    import numpy as np
+
+    from praw_etl_student_dropout_spark.functions.arrays import cosine_similarity
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(120):
+        v = rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+        if i < 40:  # clone with small perturbation -> cosine ~0.97
+            w = v + 0.25 * np.linalg.norm(v) / np.sqrt(32) * rng.standard_normal(32)
+            rows.append((1000 + i, [float(x) for x in w]))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("ea"), F.col("eb")) >= 0.95)
+        .collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            e, "embedding", "vec_id", threshold=0.95, num_planes=64, bands=8, dim=32
+        ).collect()
+    }
+    assert len(exact) >= 30  # fixture actually planted measurable dups
+    assert lsh <= exact  # no false positives
+    assert len(lsh) / len(exact) >= 0.9
