@@ -121,11 +121,15 @@ def asof_join(
 
     Composition of existing ops (union + window) rather than a custom
     operator: tag both sides, union, sort within key partitions, carry
-    the last right value forward with ``last(..., ignorenulls=True)``.
-    One shuffle on ``on`` — same cost as a sort-merge join, no
+    the last right ROW forward with ``last(..., ignorenulls=True)`` over
+    ONE struct of all right values — so every carried value comes from
+    the SAME matched right row even when individual right columns are
+    NULL (per-column carries would mix rows there, unlike a true ASOF
+    join). One shuffle on ``on`` — same cost as a sort-merge join, no
     nested-loop blowup.
     """
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
@@ -133,25 +137,35 @@ def asof_join(
         .withColumn("__ts", F.col(right_ts))
         .withColumn("__side", F.lit(0))
     )
+    struct_type = T.StructType(
+        [T.StructField(v, rt.schema[v].dataType) for v in right_values]
+    )
     lt_aligned = lt.select(
         *[F.col(c) for c in left.columns],
         "__ts",
         "__side",
-        *[F.lit(None).cast(rt.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     rt_aligned = rt.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on else F.col(on) for c in left.columns],
         "__ts",
         "__side",
-        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+        F.struct(*[F.col(v).alias(v) for v in right_values]).alias("__r"),
     )
     unioned = lt_aligned.unionByName(rt_aligned)
     w = W.partitionBy(on).orderBy("__ts", "__side").rowsBetween(W.unboundedPreceding, 0)
     carried = unioned.select(
         *unioned.columns,
-        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(v) for v in right_values],
+        F.last("__r", ignorenulls=True).over(w).alias("__r_match"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__ts", "__side", *[f"__r_{v}" for v in right_values])
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *unioned.columns,
+            *[F.col("__r_match").getField(v).alias(v) for v in right_values],
+        )
+        .drop("__ts", "__side", "__r")
+    )
 
 
 def salted_join(

@@ -3380,11 +3380,16 @@ def j9_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS intercept,
-           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+           round(CASE WHEN n > 1 AND n * sxx > sx * sx
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 ELSE 0.0 END, 6) AS slope,
+           round(CASE WHEN n > 1 AND n * sxx > sx * sx
+                 THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 ELSE 0.0 END, 6) AS intercept,
+           round(CASE WHEN n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy
+                 THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 ELSE 0.0 END, 6) AS r2
     FROM s
     """,
     doc="Linear-regression aggregate family (regr_slope / regr_intercept / "
@@ -3409,15 +3414,25 @@ def a21_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    # Degenerate-group guard (n<=1 or zero x/y variance): emit 0.0 on
+    # BOTH engines — Spark's non-ANSI division would yield NULL where
+    # DuckDB's IEEE float path yields ±Inf (same guard as w10).
+    ok_x = (n > 1) & (n * sxx > sx * sx)
+    ok_xy = ok_x & (n * syy > sy * sy)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return s.select(
         "l_returnflag",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(F.when(ok_x, slope).otherwise(F.lit(0.0)), 6).alias("slope"),
         F.round(
-            (n * sxy - sx * sy) * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            F.when(ok_x, (sy - slope * sx) / n).otherwise(F.lit(0.0)), 6
+        ).alias("intercept"),
+        F.round(
+            F.when(
+                ok_xy,
+                (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("r2"),
     )
@@ -3858,8 +3873,10 @@ def w8_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem WHERE l_orderkey < 2000
     )
     SELECT l_orderkey, l_linenumber, l_returnflag,
-           round((l_quantity - sx / n)
-                 / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS qty_z
+           round(CASE WHEN n > 1 AND sxx * n > sx * sx
+                 THEN (l_quantity - sx / n)
+                      / sqrt((sxx - sx * sx / n) / (n - 1))
+                 ELSE 0.0 END, 6) AS qty_z
     FROM s
     """,
     doc="Group-wise z-score normalization — the per-feature scaling step "
@@ -3867,7 +3884,10 @@ def w8_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer-valued quantities: the power sums are exact in double at "
     "any accumulation order (segment-tree or sequential), so the "
     "normalization algebra is one deterministic IEEE tree on both "
-    "engines. Per-group constants ride the same single shuffle as the "
+    "engines. Degenerate groups (single row or zero variance) emit z=0 "
+    "on BOTH engines — without the guard Spark's non-ANSI division "
+    "yields NULL where DuckDB's IEEE path yields ±Inf (same guard as "
+    "w10). Per-group constants ride the same single shuffle as the "
     "row output — no separate aggregate+join round trip; at corpus "
     "scale this is groupBy-free standardization of a 100 TB feature "
     "column in one pass.",
@@ -3881,7 +3901,10 @@ def w9_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.sum(q).over(w)
     sxx = F.sum(q * q).over(w)
     n = F.count(F.lit(1)).over(w)
-    z = (q - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    z = F.when(
+        (n > 1) & (sxx * n > sx * sx),
+        (q - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1)),
+    ).otherwise(F.lit(0.0))
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -60,9 +60,17 @@ def idempotent_append(
     callback: jdbc append, parquet append, ...). Returns the appended
     subset. Within-batch duplicates are also collapsed (first by key),
     matching INSERT IGNORE's first-wins behavior.
+
+    The delta is PINNED (persist + materialize) before the sink runs:
+    when ``existing`` lazily re-reads the same table the sink appends to
+    (JDBC, parquet re-read), an unpinned anti-join would re-evaluate
+    AFTER the write and return the empty post-append delta — or worse,
+    double-append under retries. The pin is one pass over the delta,
+    which the sink was about to pay anyway.
     """
     deduped = new_rows.dropDuplicates(keys)
-    fresh = anti_join_new_keys(deduped, existing, keys)
+    fresh = anti_join_new_keys(deduped, existing, keys).persist()
+    fresh.count()  # materialize BEFORE the sink mutates `existing`
     sink(fresh)
     return fresh
 

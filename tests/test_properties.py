@@ -271,3 +271,35 @@ def test_pagerank_matches_power_iteration(spark):
         assert abs(got[v] - r[v]) < 1e-6, (v, got[v], r[v])
     # mass conservation: ranks sum to N
     assert abs(sum(got.values()) - n) < 1e-6
+
+
+def test_asof_join_null_right_value_carries_whole_row(spark):
+    """ADVICE regression: a version row with a NULL value column must
+    NOT be patched with an older row's value — all carried columns come
+    from the single matched as-of row (struct carry), like DuckDB ASOF."""
+    from praw_etl_student_dropout_spark.operators.joins import asof_join
+
+    versions = spark.createDataFrame(
+        [
+            (1, 10, "v1", "typeA"),
+            (1, 20, "v2", None),     # latest version has NULL event_type
+            (2, 10, "w1", None),
+            (2, 30, "w2", "typeB"),
+        ],
+        ["key", "vts", "version", "event_type"],
+    )
+    probes = spark.createDataFrame(
+        [(1, 25), (2, 20), (2, 35), (1, 5)], ["key", "pts"]
+    )
+    got = {
+        (r.key, r.pts): (r.version, r.event_type)
+        for r in asof_join(
+            probes, versions, "key", "pts", "vts", ["version", "event_type"]
+        ).collect()
+    }
+    assert got == {
+        (1, 25): ("v2", None),      # NOT ("v2", "typeA")
+        (2, 20): ("w1", None),
+        (2, 35): ("w2", "typeB"),
+        (1, 5): (None, None),       # no version yet
+    }

@@ -400,7 +400,16 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
     protobuf for the worker<->state-server protocol (absent in some
     environments, hence the guard — the applyInPandasWithState test
     above covers the same state contract everywhere)."""
-    pytest.importorskip("google.protobuf")
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs the protobuf package for "
+        "the Python worker <-> state-server protocol (pyspark/sql/streaming/"
+        "proto/StateMessage_pb2.py imports google.protobuf at run time). "
+        "This container has no protobuf and no network; environments with "
+        "protobuf installed run this test unmodified — no other gate. The "
+        "applyInPandasWithState twin above asserts the identical "
+        "state-accumulation contract without protobuf.",
+    )
     from praw_etl_student_dropout_spark.streaming.stream_jobs import (
         stateful_user_stats_tws,
     )
@@ -433,9 +442,13 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
             .start()
         )
         q.awaitTermination()
+        # Memory-sink row order across batches is an implementation
+        # detail; state is monotonically cumulative, so the final state
+        # per user is the row with max n_events — never collect() order.
         final = {}
         for r in spark.table("user_stats_tws").collect():
-            final[r.user_id] = (r.n_events, round(r.sum_value, 6))
+            if r.user_id not in final or r.n_events > final[r.user_id][0]:
+                final[r.user_id] = (r.n_events, round(r.sum_value, 6))
         expected = {
             r.user_id: (r.n, round(r.s, 6))
             for r in events.groupBy("user_id")

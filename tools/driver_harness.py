@@ -45,6 +45,18 @@ Q = E.queries()
 O = E.oracle_sql()
 
 
+import datetime as _dt
+import time as _time
+
+if _time.timezone != 0:
+    # PySpark's non-Arrow collect() converts timestamps via the SYSTEM
+    # timezone (not the session tz), while DuckDB returns UTC-naive
+    # datetimes — on a non-UTC host the two diverge by the UTC offset
+    # and every timestamp comparison below is unreliable.
+    print("WARNING: system timezone is not UTC; timestamp comparisons "
+          "may differ by the UTC offset (run with TZ=UTC)")
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -55,7 +67,18 @@ def canon(rows, cols):
             if v is None:
                 vals.append("\x00null")
             elif isinstance(v, float):
+                # round(6) matches the catalog contract: every query that
+                # emits floats rounds them to <= 6 decimals ON BOTH
+                # ENGINES, so comparing at 6 is exact, not tolerant. A
+                # query emitting unrounded floats would need bit-equal
+                # comparison here — don't add one without updating this.
                 vals.append(f"{round(v, 6):.6f}")
+            elif isinstance(v, _dt.datetime):
+                # epoch micros, naive treated as UTC: tz-representation-
+                # proof (DuckDB returns UTC-naive; Spark attaches the
+                # session tz on Arrow paths).
+                ts = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
+                vals.append(str(int(ts.timestamp() * 1_000_000)))
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
