@@ -25,16 +25,34 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
+# Parquet footer schemas by absolute path, process-wide. A bare
+# spark.read.parquet() runs an eager schema-inference job (~0.3 s of
+# py4j + footer reads PER CALL on the driver); passing the schema makes
+# DataFrame creation pure metadata (~20 ms). Caching only the SCHEMA —
+# never a DataFrame — keeps this safe across sessions and across file
+# rewrites that preserve the schema (compaction); fixture files never
+# change schema within one process.
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] | None = None) -> dict[str, DataFrame]:
     """Load driver fixture tables from ``{sf_dir}/{name}.parquet``.
 
     The dict is lazy: each value is an unresolved scan, nothing is read
-    until an action runs, so loading all ten tables costs only metadata.
+    until an action runs, so loading all ten tables costs only metadata
+    (first load per path infers the footer schema; repeats hit
+    ``_SCHEMA_CACHE`` and skip the inference job entirely).
     """
     names = list(names) if names is not None else list(FIXTURE_TABLES)
     out: dict[str, DataFrame] = {}
     for name in names:
-        df = spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+        path = str(Path(sf_dir) / f"{name}.parquet")
+        cached = _SCHEMA_CACHE.get(path)
+        if cached is None:
+            df = spark.read.parquet(path)
+            _SCHEMA_CACHE[path] = df.schema
+        else:
+            df = spark.read.schema(cached).parquet(path)
         out[name] = _normalize_timestamps(df, FIXTURE_TABLES.get(name))
     return out
 
