@@ -123,6 +123,10 @@ def compact_parquet(
         fs.rename(old, hpath)  # roll back
         raise IOError(f"compact: could not publish compacted {path}")
     fs.delete(old, True)
+    # The swap happened behind Spark's file-status cache (metadataCacheTTL
+    # defaults to "forever"), so this session would keep planning scans
+    # against the pre-compaction listing — invalidate it.
+    spark.catalog.refreshByPath(path)
     after = data_file_sizes(spark, path)
     return {
         "files_before": len(before),
@@ -191,17 +195,7 @@ def zorder_by(
     )
 
 
-def file_stats_index(
-    spark: SparkSession, path: str, cols: list[str]
-) -> DataFrame:
-    """Per-data-file min/max/null-count index — the manifest statistics a
-    table format (Iceberg/Delta) would keep, built for a plain parquet
-    directory. One scan groups by ``input_file_name()``; the result is one
-    row per data file, so the index is listing-sized, not data-sized, and
-    can be persisted and refreshed incrementally after compaction.
-    Pair with :func:`pruned_read` for scan planning.
-    """
-    df = spark.read.parquet(path)
+def _stats_aggs(cols: list[str]) -> list:
     aggs: list = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -209,7 +203,79 @@ def file_stats_index(
             F.max(c).alias(f"max_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
         ]
-    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    return aggs
+
+
+def file_stats_index(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-data-file min/max/null-count index — the manifest statistics a
+    table format (Iceberg/Delta) would keep, built for a plain parquet
+    directory. One scan groups by ``input_file_name()``; the result is one
+    row per data file, so the index is listing-sized, not data-sized, and
+    can be persisted and refreshed incrementally after compaction
+    (:func:`refresh_file_stats`). Pair with :func:`pruned_read` for scan
+    planning.
+    """
+    df = spark.read.parquet(path)
+    return df.groupBy(F.input_file_name().alias("file")).agg(*_stats_aggs(cols))
+
+
+def data_file_paths(spark: SparkSession, path: str) -> list[str]:
+    """Fully-qualified URIs of the data files under ``path`` (recursive,
+    skipping _SUCCESS/_metadata/dotfiles) — same normalization that
+    ``input_file_name()`` produces, so index rows and listings join."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    out: list[str] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        out.append(p.toUri().toString())
+    return out
+
+
+def _norm_uri(uri: str) -> str:
+    """Scheme/slash-insensitive file identity (``file:///x`` == ``file:/x``)."""
+    if "://" in uri:
+        scheme, rest = uri.split("://", 1)
+    elif ":/" in uri:
+        scheme, rest = uri.split(":/", 1)
+    else:
+        scheme, rest = "", uri
+    return f"{scheme}:/{rest.lstrip('/')}"
+
+
+def refresh_file_stats(
+    spark: SparkSession, path: str, cols: list[str], prior: DataFrame
+) -> DataFrame:
+    """Incrementally refresh a :func:`file_stats_index` after appends or
+    :func:`compact_parquet`.
+
+    Compares the directory listing against the index's file set — both
+    listing-sized driver metadata, exactly the coordinator work a table
+    format's manifest refresh does — then (1) keeps prior rows whose
+    files still exist, (2) scans ONLY the new files for their stats, and
+    unions. After a full compaction every file is new and this degrades
+    gracefully to a rebuild; after an append only the appended files are
+    read, so the refresh cost tracks the delta, not the table.
+    """
+    listing = {_norm_uri(u): u for u in data_file_paths(spark, path)}
+    prior_files = [r.file for r in prior.select("file").collect()]
+    prior_norm = {_norm_uri(f) for f in prior_files}
+    still_present = [f for f in prior_files if _norm_uri(f) in listing]
+    new_files = [u for n, u in listing.items() if n not in prior_norm]
+    kept = prior.filter(F.col("file").isin(still_present)) if still_present else prior.limit(0)
+    if not new_files:
+        return kept
+    fresh = (
+        spark.read.parquet(*new_files)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*_stats_aggs(cols))
+    )
+    return kept.unionByName(fresh)
 
 
 def pruned_read(

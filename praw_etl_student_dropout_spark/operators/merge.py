@@ -80,3 +80,48 @@ def merge_upsert(
         fh.write(str(new_v))
     os.replace(tmp, os.path.join(base_dir, _MARKER))
     return new_v
+
+
+def list_versions(base_dir: str) -> list[int]:
+    """Committed snapshot versions under ``base_dir``, oldest first."""
+    try:
+        names = os.listdir(base_dir)
+    except FileNotFoundError:
+        return []
+    vs = []
+    for n in names:
+        if n.startswith("v") and n[1:].isdigit():
+            vs.append(int(n[1:]))
+    return sorted(vs)
+
+
+def vacuum(base_dir: str, keep_last: int = 2) -> list[int]:
+    """Snapshot retention: drop all but the newest ``keep_last`` versions.
+
+    Old snapshots are what make the marker swap in :func:`merge_upsert`
+    safe for concurrent readers (a reader that resolved ``_CURRENT``
+    before a merge keeps a valid directory), so retention is a policy
+    knob, not cleanup-on-write: keep enough history to cover the longest
+    running reader plus any time-travel window, then vacuum. The current
+    version is always kept regardless of ``keep_last``. Returns the
+    versions removed. Driver-side recursive delete is fine here: it
+    removes whole snapshot directories by name (listing-sized metadata
+    work, same as a table format's expire-snapshots action) — the data
+    files inside were written by Spark and are dropped wholesale.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("vacuum must keep at least the current version")
+    cur = _current_version(base_dir)
+    versions = list_versions(base_dir)
+    keep = set(sorted(versions)[-keep_last:])
+    if cur is not None:
+        keep.add(cur)
+    removed = []
+    for v in versions:
+        if v in keep:
+            continue
+        shutil.rmtree(os.path.join(base_dir, f"v{v}"))
+        removed.append(v)
+    return removed

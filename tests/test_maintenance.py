@@ -180,3 +180,79 @@ def test_cdc_diff_feeds_merge_to_convergence(spark, sf_dir, tmp_path):
     assert converged.count() == new.count()
     assert converged.exceptAll(new).isEmpty()
     assert new.exceptAll(converged).isEmpty()
+
+
+def test_refresh_file_stats_incremental_after_append_and_compact(spark, sf_dir, tmp_path):
+    """Manifest refresh cost must track the delta: after an append only
+    the new files are scanned; after compaction (all files replaced) the
+    refreshed index equals a from-scratch rebuild."""
+    from praw_etl_student_dropout_spark.operators.maintenance import (
+        file_stats_index,
+        refresh_file_stats,
+    )
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    path = str(tmp_path / "orders_idx")
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    first.repartition(4).write.parquet(path)
+    idx0 = file_stats_index(spark, path, ["o_totalprice"]).cache()
+    n0 = idx0.count()
+
+    second.repartition(3).write.mode("append").parquet(path)
+    idx1 = refresh_file_stats(spark, path, ["o_totalprice"], idx0).cache()
+    rebuilt1 = file_stats_index(spark, path, ["o_totalprice"])
+
+    def canon(df):
+        import os as _os
+
+        return sorted(
+            (_os.path.basename(r.file),) + tuple(r)[1:] for r in df.collect()
+        )
+
+    assert idx1.count() == n0 + 3
+    assert canon(idx1) == canon(rebuilt1)
+    # incremental: prior rows were reused, not re-derived — the new rows'
+    # files are exactly the appended ones
+    prior_files = {r.file for r in idx0.collect()}
+    assert {r.file for r in idx1.collect()} >= prior_files
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] < stats["files_before"]
+    idx2 = refresh_file_stats(spark, path, ["o_totalprice"], idx1)
+    rebuilt2 = file_stats_index(spark, path, ["o_totalprice"])
+    assert canon(idx2) == canon(rebuilt2)
+    # total row counts conserved through both refreshes
+    assert (
+        idx2.agg(F.sum("n_rows")).first()[0]
+        == orders.count()
+    )
+    idx0.unpersist(); idx1.unpersist()
+
+
+def test_merge_vacuum_retention(spark, tmp_path):
+    """Snapshot retention: vacuum drops old versions, never the current
+    one, and the table stays readable afterwards."""
+    from praw_etl_student_dropout_spark.operators.merge import (
+        list_versions,
+        merge_upsert,
+        read_merged,
+        vacuum,
+    )
+
+    base = str(tmp_path / "merged")
+    os.makedirs(base)
+    for i in range(4):
+        src = spark.range(5).select(
+            F.col("id").alias("k"), F.lit(i).alias("gen")
+        )
+        merge_upsert(spark, base, src, ["k"])
+    assert list_versions(base) == [0, 1, 2, 3]
+    removed = vacuum(base, keep_last=2)
+    assert removed == [0, 1]
+    assert list_versions(base) == [2, 3]
+    assert read_merged(spark, base).agg(F.max("gen")).first()[0] == 3
+    # keep_last=1 keeps only the current version; vacuum is idempotent
+    assert vacuum(base, keep_last=1) == [2]
+    assert vacuum(base, keep_last=1) == []
+    assert read_merged(spark, base).count() == 5
