@@ -91,3 +91,41 @@ def cms_estimate(
         .na.fill({"cnt": 0})
     )
     return probed.groupBy(key).agg(F.min("cnt").alias("est_count"))
+
+
+def heavy_hitters(df: DataFrame, key: str, support: float = 0.01) -> DataFrame:
+    """EXACT heavy hitters (frequency >= support * N) in two passes.
+
+    Pass 1 generates candidates with Spark's built-in ``stat.freqItems``
+    (the Karp/Misra-Gries counter family): a single scan whose state is
+    O(1/support) per partition, with NO false negatives — every true
+    heavy hitter is in the candidate list, which is driver-sized
+    (<= ~1/support keys) by construction. Pass 2 counts ONLY the
+    candidate keys exactly (isin prunes at the scan; the groupBy's
+    aggregation state is bounded by the candidate count, never the key
+    cardinality) and drops freqItems' false positives against the exact
+    threshold.
+
+    This is the cross-check companion to :func:`cms_build`: CMS answers
+    point frequency queries from a mergeable sketch; this answers "which
+    keys are frequent" exactly, with bounded memory at any scale — the
+    exact one-shot groupBy it replaces has aggregation state
+    proportional to the number of distinct keys, which at 100 TB is
+    itself a multi-TB intermediate.
+    """
+    if not 0 < support < 1:
+        raise ValueError("support must be in (0, 1)")
+    candidates = [
+        c for c in df.stat.freqItems([key], support).first()[0] if c is not None
+    ]
+    total = df.count()
+    if not candidates:
+        return (
+            df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt")).limit(0)
+        )
+    return (
+        df.filter(F.col(key).isin(candidates))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(support) * F.lit(total))
+    )

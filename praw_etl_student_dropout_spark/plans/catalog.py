@@ -4559,3 +4559,60 @@ def a31_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") * F.lit(1.0) / region_tot, 6).alias("share_of_region"),
         F.round(region_tot * F.lit(1.0) / grand_tot, 6).alias("region_share_of_total"),
     )
+
+
+@register(
+    "a32_heavy_hitters",
+    "A11 ⊕ (exact heavy hitters via bounded-state candidates)",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt
+    FROM part
+    GROUP BY p_brand
+    HAVING count(*) >= 0.03125 * (SELECT count(*) FROM part)
+    """,
+    doc="Exact heavy hitters (keys with frequency >= support*N) in two "
+    "bounded-memory passes: stat.freqItems (Misra-Gries family, "
+    "O(1/support) state per partition, no false negatives) generates a "
+    "driver-sized candidate list, then one exact count restricted to "
+    "the candidates drops the false positives. Cross-checks the CMS "
+    "sketch family with an oracle-verifiable answer: unlike the "
+    "one-shot groupBy-HAVING the oracle runs, aggregation state here "
+    "is bounded by 1/support, not key cardinality — the property that "
+    "matters when the keys themselves are data-scale. Support 1/32 is "
+    "exactly representable in binary AND decimal so the threshold "
+    "comparison agrees bit-for-bit across engines.",
+)
+def a32_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from praw_etl_student_dropout_spark.operators.sketches import heavy_hitters
+
+    part = _t(spark, sf_dir, "part")["part"]
+    return heavy_hitters(part, "p_brand", support=0.03125)
+
+
+@register(
+    "f12_collation_ci_filter",
+    "F1-F3 ⊕ (collation-aware string comparison)",
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt
+    FROM part
+    WHERE p_type ILIKE '%eCoNoMy%'
+    GROUP BY p_brand
+    """,
+    doc="Case-insensitive predicate via Spark 4 collations: the column "
+    "is collated UTF8_LCASE and ordinary .contains() becomes "
+    "case-insensitive — no lower() rewrite of either operand, so the "
+    "expression keeps its simple form and the optimizer still sees a "
+    "deterministic scalar predicate it can push to the scan. The "
+    "oracle expresses the same semantics with ILIKE. At scale this is "
+    "preferable to wrapping both sides in lower(): collation is a "
+    "property of the comparison, not a per-row rewrite, and "
+    "collation-aware filters/joins/groupings all share the one "
+    "declaration.",
+)
+def f12_collation_ci_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")["part"]
+    return (
+        part.filter(F.collate(F.col("p_type"), "UTF8_LCASE").contains(F.lit("eCoNoMy")))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -211,3 +211,37 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     default in Spark because footer-merging costs a listing pass; turn
     it on per-read like this, not globally."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro module is on the session
+    classpath. Avro moved out of Spark core in 2.4; clusters add it with
+    ``--packages org.apache.spark:spark-avro_2.13:<spark-version>``.
+    This container has no network, so the capability is probed, never
+    assumed."""
+    try:
+        # The exact resolution the reader/writer performs — some
+        # org.apache.spark.sql.avro classes ship in core, so a bare
+        # Class.forName probe false-positives.
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Avro source — the row-oriented interchange format event buses
+    (Kafka + Schema Registry) standardize on. Requires the spark-avro
+    package (see :func:`avro_available`); raises a clear error rather
+    than Spark's generic ClassNotFound when it is missing."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; start the session with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("avro").load(path)

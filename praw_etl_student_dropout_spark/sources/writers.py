@@ -100,3 +100,15 @@ def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_cols: list[
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (native, zstd) — format parity with the parquet path."""
     df.write.mode(mode).option("compression", "zstd").orc(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (see readers.avro_available — package-gated)."""
+    from .readers import avro_available
+
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; start the session with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    df.write.mode(mode).format("avro").save(path)

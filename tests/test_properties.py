@@ -219,6 +219,48 @@ def test_cms_merge_equals_whole_sketch(spark, sf_dir):
     )
 
 
+def test_heavy_hitters_exact_and_cross_checks_cms(spark, sf_dir):
+    """heavy_hitters must equal the exact groupBy-HAVING answer (freqItems
+    candidates are a superset; the exact pass prunes), and CMS estimates
+    for the reported keys must dominate their exact counts — the two
+    approximate-frequency surfaces agree wherever both speak."""
+    from praw_etl_student_dropout_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        heavy_hitters,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    support = 1 / 128
+    hh = heavy_hitters(li, "l_linestatus", support=support).collect()
+    total = li.count()
+    exact = {
+        r.l_linestatus: r.cnt
+        for r in li.groupBy("l_linestatus").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r.cnt >= support * total
+    }
+    assert {r.l_linestatus: r.cnt for r in hh} == exact
+    sketch = cms_build(li, "l_linestatus")
+    keys = li.select("l_linestatus").distinct()
+    est = {
+        r.l_linestatus: r.est_count
+        for r in cms_estimate(sketch, keys, "l_linestatus").collect()
+    }
+    for k, cnt in exact.items():
+        assert est[k] >= cnt, f"CMS underestimates heavy hitter {k}"
+
+
+def test_heavy_hitters_no_qualifying_keys_returns_empty(spark):
+    from praw_etl_student_dropout_spark.operators.sketches import heavy_hitters
+
+    # 100 distinct keys, each 1% of rows: support 0.5 qualifies none
+    df = spark.range(100).select((F.col("id") % 100).alias("k"))
+    out = heavy_hitters(df, "k", support=0.5)
+    assert out.count() == 0
+    assert out.columns == ["k", "cnt"]
+
+
 def test_pack_sequences_is_partition_layout_independent(spark, sf_dir):
     from praw_etl_student_dropout_spark.functions.text import token_count
     from praw_etl_student_dropout_spark.operators.packing import pack_sequences

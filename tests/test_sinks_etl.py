@@ -261,3 +261,30 @@ def test_parquet_merge_schema_unions_evolved_files(spark, sf_dir, tmp_path):
     assert merged.count() == 200
     # Old files NULL-fill the added column
     assert merged.filter(F.col("o_orderstatus").isNull()).count() == 100
+
+
+def test_avro_roundtrip_or_documented_gate(spark, tmp_path):
+    """Avro is an external module since Spark 2.4; with it on the
+    classpath this round-trips, without it both entry points must fail
+    with the actionable --packages message (not a raw ClassNotFound)."""
+    import pytest
+
+    from praw_etl_student_dropout_spark.sources.readers import (
+        avro_available,
+        read_avro,
+    )
+    from praw_etl_student_dropout_spark.sources.writers import write_avro
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "avro_out")
+    if avro_available(spark):
+        write_avro(df, path)
+        back = read_avro(spark, path)
+        assert sorted((r.id, r.v) for r in back.collect()) == [
+            (i, 2 * i) for i in range(10)
+        ]
+    else:
+        with pytest.raises(RuntimeError, match="--packages"):
+            write_avro(df, path)
+        with pytest.raises(RuntimeError, match="--packages"):
+            read_avro(spark, path)
