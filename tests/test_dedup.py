@@ -262,3 +262,39 @@ def test_banded_embedding_lsh_recall_at_095(spark):
     assert len(exact) >= 30  # fixture actually planted measurable dups
     assert lsh <= exact  # no false positives
     assert len(lsh) / len(exact) >= 0.9
+
+
+def test_jaccard_prefix_equals_full_inverted_index(spark, sf_dir):
+    """Prefix filtering is lossless by theorem (pairs with Jaccard >= t
+    must share a prefix shingle): the result must EQUAL the full
+    inverted-index join at the same threshold — and the prefix index it
+    joins on must be strictly smaller than the full index."""
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = 0.3
+    got = sorted(
+        tuple(r)
+        for r in jaccard_prefix_pairs(docs, "text", "doc_id", n=3, threshold=t).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=t).collect()
+    )
+    assert got == want
+    assert len(got) > 0, "fixture must contain near-duplicate pairs"
+    # index-size reduction: sum of prefix lengths < total shingle count
+    sizes = docs.select(
+        F.size(word_shingles(F.col("text"), 3)).alias("n")
+    ).agg(
+        F.sum("n").alias("full"),
+        F.sum(
+            F.col("n") - F.ceil(F.lit(t) * F.col("n")).cast("int") + 1
+        ).alias("prefix"),
+    ).first()
+    assert sizes.prefix < sizes.full
