@@ -48,3 +48,47 @@ def mix_sources(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    buckets: tuple[int, int] = (8, 9),
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates can never straddle.
+
+    A content-hash split of doc ids (sample_hash_split) silently leaks:
+    a near-duplicate of a training document lands in the eval set with
+    probability ~20%, and the eval metric measures memorization. The fix
+    is to split by duplicate CLUSTER, not by document: connected
+    components over the near-dup pair graph label every doc with its
+    cluster's min id (docs with no dup edges are their own cluster), and
+    the md5 bucket is computed on the CLUSTER id — every member of a
+    cluster therefore shares a bucket by construction, not by audit.
+
+    Returns (id_col, comp, split). The components loop touches only docs
+    that appear in ``dup_pairs`` (the dup graph, tiny next to the
+    corpus); the corpus-sized work is one left join + one projection.
+    """
+    from .clusters import connected_components
+
+    labels = connected_components(dup_pairs).withColumnRenamed("id", id_col)
+    comp = docs.select(id_col).join(labels, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("comp"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("comp").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    val_b, test_b = buckets
+    return comp.select(
+        id_col,
+        "comp",
+        F.when(bucket == val_b, "val")
+        .when(bucket == test_b, "test")
+        .otherwise("train")
+        .alias("split"),
+    )

@@ -792,3 +792,60 @@ def d3_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return jaccard_prefix_pairs(docs, "text", "doc_id", n=3, threshold=0.4)
+
+
+@register(
+    "llm_leakage_safe_split",
+    "D3+iterative+U6 ⊕ (cluster-keyed train/val/test split)",
+    f"""
+    WITH RECURSIVE pairs AS ({_ngram_pairs_sql(0.3)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ),
+    assigned AS (
+      SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    b AS (
+      SELECT comp,
+             CAST(concat('0x', substring(md5(CAST(comp AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 10 AS bucket
+      FROM assigned
+    )
+    SELECT CASE WHEN bucket = 8 THEN 'val'
+                WHEN bucket = 9 THEN 'test' ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT comp) AS BIGINT) AS n_clusters
+    FROM b GROUP BY 1
+    """,
+    doc="Leakage-safe 80/10/10 split: md5 bucket keyed on the near-dup "
+    "CLUSTER id (connected components over Jaccard>=0.3 pairs; "
+    "singletons are their own cluster), so a near-duplicate of a "
+    "training doc structurally cannot land in val/test — the "
+    "memorization leak a doc-keyed hash split admits ~20% of the time "
+    "per dup pair. Composes three verified layers (exact similarity "
+    "join, min-label components, content-stable hash split); the "
+    "oracle restates the closure with a recursive CTE.",
+)
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    assigned = leakage_safe_split(docs, pairs)
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("comp").alias("n_clusters"),
+    )

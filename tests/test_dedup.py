@@ -298,3 +298,33 @@ def test_jaccard_prefix_equals_full_inverted_index(spark, sf_dir):
         ).alias("prefix"),
     ).first()
     assert sizes.prefix < sizes.full
+
+
+def test_leakage_safe_split_no_pair_straddles_splits(spark, sf_dir):
+    """The invariant the operator exists for: both ends of every near-dup
+    pair get the same split; singletons keep the plain hash-split
+    distribution shape (all three splits non-empty on the fixture)."""
+    from praw_etl_student_dropout_spark.operators.dedup import ngram_jaccard_pairs
+    from praw_etl_student_dropout_spark.operators.sampling import leakage_safe_split
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    assert pairs.count() > 0, "fixture must contain near-dup pairs"
+    assigned = leakage_safe_split(docs, pairs).persist()
+    a = assigned.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    straddling = (
+        pairs.join(a, "id_a").join(b, "id_b").filter("split_a != split_b").count()
+    )
+    assert straddling == 0
+    splits = {r.split for r in assigned.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+    assert assigned.count() == docs.count()
+    assigned.unpersist()
