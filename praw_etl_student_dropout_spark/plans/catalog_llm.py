@@ -849,3 +849,59 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("comp").alias("n_clusters"),
     )
+
+
+@register(
+    "llm_mixture_plan",
+    "A1+U6 ⊕ (token-budget mixture / epoch planning)",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({SQL_TOKS.format(col='text')})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS n_sources FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           CAST(500000.0 / n_sources AS DOUBLE) AS target_tokens,
+           round(CAST(least(1.0, (500000.0 / n_sources) / n_tokens) AS DOUBLE), 6)
+             AS sample_rate,
+           round(CAST((500000.0 / n_sources) / n_tokens AS DOUBLE), 6) AS epochs
+    FROM per_src CROSS JOIN tot
+    """,
+    doc="Mixture/epoch planning for a token budget: per-source token "
+    "totals (one grouped pass over the corpus) joined with the "
+    "source-count scalar give each source's target token allocation "
+    "under uniform weights, the sampling rate that hits it "
+    "(capped at 1.0 — you cannot sample more than once without "
+    "repeating), and the epoch multiplier when the source is smaller "
+    "than its allocation (>1 means the mixture repeats that source). "
+    "The numbers a sampling/mixing stage (sample_stratified_mix, "
+    "mix_sources) consumes as its fractions — computed by the engine "
+    "from the corpus itself, not hand-maintained. Corpus-sized work is "
+    "the single aggregation; everything after is broadcast-scalar "
+    "arithmetic.",
+)
+def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    tot = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
+    target = F.lit(500000.0) / F.col("n_sources")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            target.alias("target_tokens"),
+            F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 6).alias(
+                "sample_rate"
+            ),
+            F.round(target / F.col("n_tokens"), 6).alias("epochs"),
+        )
+    )
