@@ -905,3 +905,115 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(target / F.col("n_tokens"), 6).alias("epochs"),
         )
     )
+
+
+@register(
+    "d3_cross_source_dup_report",
+    "D3+A2 ⊕ (corpus provenance audit)",
+    f"""
+    WITH pairs AS ({_ngram_pairs_sql(0.3)})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.id_a
+    JOIN documents db ON db.doc_id = pairs.id_b
+    GROUP BY 1, 2
+    """,
+    doc="Which sources duplicate each other: near-dup pairs joined back "
+    "to provenance, counted per unordered source pair. The report that "
+    "tells a crawl operator whether dup mass is intra-source (re-crawls "
+    "— fix the fetcher) or cross-source (mirrors/syndication — fix the "
+    "source list). Pair volume is already sublinear in corpus size "
+    "after the similarity join; the provenance joins are id-keyed "
+    "lookups against the (small) pair set.",
+)
+def d3_cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    prov = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            prov.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            prov.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "d3_source_priority_dedup",
+    "D3+iterative+W1 ⊕ (provenance-ranked survivor selection)",
+    f"""
+    WITH RECURSIVE pairs AS ({_ngram_pairs_sql(0.3)}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a
+    ),
+    assigned AS (
+      SELECT d.doc_id, d.source, coalesce(l.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, source, comp,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY source ASC, doc_id ASC) AS rk
+      FROM assigned
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+    FROM ranked WHERE rk = 1 GROUP BY source
+    """,
+    doc="Dedup survivor selection by PROVENANCE RANK, not min id: within "
+    "each near-dup cluster keep the doc from the preferred source "
+    "(lexicographic source order stands in for a curated priority list; "
+    "doc_id breaks ties), then count survivors per source. This is how "
+    "production corpus dedup actually chooses — keep the canonical "
+    "edition, drop the mirrors — and it composes the similarity join, "
+    "connected components, and a per-cluster top-1 window "
+    "(WindowGroupLimit prunes to one row per cluster map-side).",
+)
+def d3_source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.clusters import connected_components
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    labels = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    assigned = (
+        docs.select("doc_id", "source")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("comp", F.col("doc_id")).alias("comp"),
+        )
+    )
+    w = Window.partitionBy("comp").orderBy(F.asc("source"), F.asc("doc_id"))
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+    )
