@@ -4616,3 +4616,61 @@ def f12_collation_ci_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@register(
+    "a33_aqp_sample_estimate",
+    "A ⊕ (approximate query processing with error bounds)",
+    """
+    WITH s AS (
+      SELECT l_extendedprice AS x
+      FROM lineitem
+      WHERE CAST(concat('0x', substring(
+              md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                  CAST(l_linenumber AS VARCHAR)), 1, 6)) AS BIGINT) % 100 = 0
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             round(sum(x), 2) AS sum_x,
+             round(sum(x * x), 2) AS sumsq_x
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS sample_n,
+           CAST(round(sum_x * 100, 2) AS DOUBLE) AS est_total,
+           round(sum_x / n, 6) AS est_mean,
+           round(1.96 * sqrt((sumsq_x - sum_x * sum_x / n) / (n - 1) / n), 6)
+             AS mean_ci95_halfwidth
+    FROM agg
+    """,
+    doc="Approximate query processing: a 1% DETERMINISTIC hash sample "
+    "(md5 of the row key — reproducible on any engine, no RNG state) "
+    "answers total/mean with a CLT 95% confidence half-width computed "
+    "from rounded power sums (the a16 cross-engine-stability pattern; "
+    "native stddev is Welford-streamed and accumulation-order "
+    "sensitive). At 100 TB this is the difference between scanning "
+    "1 TB and scanning everything for a dashboard number that only "
+    "needs ±1%; because the sample predicate is a pure function of the "
+    "key, the estimate is reproducible and auditable, and the same "
+    "predicate pushes down to the parquet scan.",
+)
+def a33_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long") % 100
+    s = li.filter(bucket == 0).select(F.col("l_extendedprice").alias("x"))
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("x"), 2).alias("sum_x"),
+        F.round(F.sum(F.col("x") * F.col("x")), 2).alias("sumsq_x"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sum_x"), F.col("sumsq_x")
+    return agg.select(
+        n.alias("sample_n"),
+        F.round(sx * 100, 2).cast("double").alias("est_total"),
+        F.round(sx / n, 6).alias("est_mean"),
+        F.round(
+            1.96 * F.sqrt((sxx - sx * sx / n) / (n - 1) / n), 6
+        ).alias("mean_ci95_halfwidth"),
+    )

@@ -345,3 +345,25 @@ def test_asof_join_null_right_value_carries_whole_row(spark):
         (2, 35): ("w2", "typeB"),
         (1, 5): (None, None),       # no version yet
     }
+
+
+def test_aqp_estimate_within_ci_of_exact(spark, sf_dir):
+    """The AQP estimate's 95% CI must cover the exact mean on the
+    fixture (a deterministic sample, so this is a fixed fact, not a
+    flaky probabilistic assertion), and the estimated total must be
+    within 3 CI-widths*n of exact."""
+    from praw_etl_student_dropout_spark.plans import catalog_all
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    est = catalog_all()["a33_aqp_sample_estimate"].builder(spark, sf_dir).first()
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    exact = li.agg(
+        F.avg("l_extendedprice").alias("mean"), F.sum("l_extendedprice").alias("tot")
+    ).first()
+    assert est.sample_n > 20
+    assert abs(est.est_mean - exact.mean) <= 3 * est.mean_ci95_halfwidth
+    # total inherits the mean's relative CI (fixed 1% sampling rate)
+    rel = abs(est.est_total - exact.tot) / exact.tot
+    assert rel <= 3 * est.mean_ci95_halfwidth / est.est_mean, (
+        f"1% sample total off by {rel:.1%}"
+    )

@@ -59,6 +59,8 @@ PROBE_QUERIES = [
     "etl_scd2_dim",          # per-key history: three windows on one shuffle
     "a25_incremental_agg",   # O(delta) refresh: partial-merge aggregation
     "q23_market_basket",     # orderkey-keyed self-join: pairs bounded by basket size
+    "d3_ngram_jaccard_capped",  # inverted-index similarity join, DF-capped
+    "d3_jaccard_prefix",     # prefix-filtered similarity join (lossless)
 ]
 
 
