@@ -785,7 +785,12 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full inverted-index join) must agree exactly. The candidate join "
     "touches a fraction of the index and hot boilerplate shingles drop "
     "out of long docs' prefixes entirely; recall is 1 by theorem, not "
-    "by tuning, which is what you want when dedup certificates matter.",
+    "by tuning, which is what you want when dedup certificates matter. "
+    "Caveat measured in the 8x scale probe (BASELINE.md): on the "
+    "fixture's 31-token vocabulary NO shingle is rare, so prefixes "
+    "prune nothing and the DF-sort prep is pure overhead vs the capped "
+    "inverted index — prefix filtering earns its constant on Zipfian "
+    "real-corpus vocabularies where most shingles are rare.",
 )
 def d3_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_prefix_pairs

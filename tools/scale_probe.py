@@ -78,6 +78,17 @@ def build_replicas(spark, out_dir: str, n: int) -> None:
             c = df
             for k in keys:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast(df.schema[k].dataType))
+            if name == "documents" and i > 0:
+                # The text analog of key-shifting: suffix every token with
+                # the replica id so replicas share ZERO shingles. Verbatim
+                # copies would make each doc an exact dup of its n-1
+                # replicas — similarity self-join output grows n² (the 8×
+                # probe showed 54× on the prefix join) and DF caps
+                # silently drop everything, neither of which measures the
+                # intended n×-rows-same-structure scaling.
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
