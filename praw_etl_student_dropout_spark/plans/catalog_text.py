@@ -667,3 +667,53 @@ def u6_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("event_type").alias("n_types"),
         )
     )
+
+
+@register(
+    "u11_unigram_logprob",
+    "U6+A1 ⊕ (corpus-LM perplexity proxy)",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(col='text')}) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id, ln(f.c * 1.0 / tot.n) AS lp
+      FROM tok t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+    )
+    SELECT doc_id,
+           round(avg(lp), 6) AS mean_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality score without an external LM: the "
+    "corpus's own unigram distribution scores each document's mean "
+    "token log-probability — the cheap first tier of the perplexity "
+    "filtering ladder (unigram → KenLM → neural LM), and the only tier "
+    "that is self-contained and oracle-checkable. Docs far below the "
+    "corpus-typical mean are token soup; far above are boilerplate "
+    "(only ultra-common tokens). Two shuffles: the unigram count "
+    "(vocabulary-sized state) and the per-doc regroup; the frequency "
+    "table joins back in — at real vocabulary sizes Catalyst/AQE "
+    "broadcast it while the corpus side stays put.",
+)
+def u11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

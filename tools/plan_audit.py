@@ -45,6 +45,7 @@ EXPECTED_NESTED_LOOP = {
     "j7_dpp_busiest_year",  # 1-row global max broadcast back
     "u10_tfidf_topterms",   # 1-row corpus-size N broadcast cross join
     "llm_mixture_plan",     # 1-row source-count scalar broadcast cross join
+    "u11_unigram_logprob",  # 1-row corpus-token-total scalar broadcast cross join
     "llm_curation_funnel",  # 1-row contamination-id set joined in
     "sample_stratified_mix",
     "q11_important_parts",  # 1-row global-value threshold broadcast back
