@@ -246,3 +246,244 @@ def hashing_embed(
             F.transform("embedding", lambda x: x / norm).alias("embedding"),
         )
     return out
+
+
+def _codebooks_lit(codebooks: list[list[list[float]]]) -> F.Column:
+    """m × k × d_sub nested literal (codebooks are tiny by design)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+            for book in codebooks
+        ]
+    )
+
+
+def _sq_dists(v: F.Column, book: F.Column) -> F.Column:
+    """Squared L2 distance from ``v`` to every centroid in ``book``."""
+    return F.transform(
+        book,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _argmin(arr: F.Column) -> F.Column:
+    """0-based index of the minimum, evaluating ``arr`` ONCE.
+
+    array_position(arr, array_min(arr)) references arr twice, and
+    subexpression elimination does not reach through higher-order
+    functions — bind it to a transform lambda variable instead (the
+    lang_id lesson).
+    """
+    return (
+        F.transform(
+            F.array(arr), lambda d: F.array_position(d, F.array_min(d))
+        )[0]
+        - 1
+    ).cast("int")
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: per-subspace Lloyd k-means.
+
+    Jégou et al., "Product Quantization for Nearest Neighbor Search"
+    (TPAMI 2011): split each vector into ``m`` subvectors and learn an
+    independent ``k``-centroid codebook per subspace; a vector is then
+    ``m`` small codes (m bytes at k<=256) instead of ``dim`` floats —
+    the memory step that makes billion-vector ANN fit a cluster at all.
+
+    All ``m`` subspace k-means run in ONE corpus pass per iteration
+    (explode to (id, subspace, subvector), assign by the broadcast
+    codebook literal, update with a (subspace, centroid, pos) grouped
+    mean). The only driver-side data is the codebooks themselves
+    (m*k*d/m floats — sketch-sized by construction; production trains
+    on a sample anyway). Initialization is deterministic id-stride
+    sampling, so runs reproduce. Empty clusters keep their previous
+    centroid.
+    """
+    first = corpus.select(corpus_vec).first()
+    if dim is None:
+        dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    vec = F.col(corpus_vec).cast("array<double>")
+    sub = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(vec, s * d + 1, d).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "e.s", "e.v")
+    n = corpus.count()
+    stride = max(n // k, 1)
+    seeds = (
+        sub.filter((F.col("id") % stride == 0) & (F.col("id") / stride < k))
+        .select("s", (F.col("id") / stride).cast("int").alias("c"), "v")
+        .collect()
+    )
+    codebooks: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in seeds:
+        codebooks[r.s][r.c] = list(r.v)
+    # stride rounding can leave tail slots empty — fill from any seed
+    for s in range(m):
+        fallback = next(c for c in codebooks[s] if c is not None)
+        codebooks[s] = [c if c is not None else list(fallback) for c in codebooks[s]]
+    for _ in range(iterations):
+        book = F.element_at(_codebooks_lit(codebooks), F.col("s") + 1)
+        assigned = sub.select(
+            "s", _argmin(_sq_dists(F.col("v"), book)).alias("c"), "v"
+        )
+        means = (
+            assigned.select("s", "c", F.posexplode("v").alias("pos", "val"))
+            .groupBy("s", "c", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        new_books = [[list(c) for c in book_] for book_ in codebooks]
+        for r in means:
+            new_books[r.s][r.c][r.pos] = r.mu
+        codebooks = new_books
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>[m]) — a NARROW projection, no shuffle: each
+    subspace's code is an argmin against the broadcast codebook literal
+    computed inline. This is the table you persist instead of the raw
+    vectors: m ints per row vs dim floats."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    vec = F.col(corpus_vec).cast("array<double>")
+    codes = F.array(
+        *[
+            _argmin(
+                _sq_dists(
+                    F.slice(vec, s * d + 1, d),
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in c])
+                            for c in codebooks[s]
+                        ]
+                    ),
+                )
+            )
+            for s in range(m)
+        ]
+    )
+    return corpus.select(F.col(corpus_id), codes.alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    k: int = 10,
+    rerank_corpus: DataFrame | None = None,
+    corpus_vec: str = "embedding",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC).
+
+    Per query, ONE lookup table: dot(query_subvector, centroid) for
+    every (subspace, centroid) — m*k floats. Per corpus row the score
+    is then m table lookups summed (zip_with codes against the LUT),
+    never a d-dimensional dot product: the work that scans a
+    billion-vector corpus is integer indexing over broadcast-sized
+    state. Returns (query_id, vec_id, score, rank) where score
+    approximates the inner product (= cosine when the corpus was
+    normalized before pq_train/pq_encode).
+
+    With ``rerank_corpus`` (the raw-vector table), ADC generates
+    ``rerank_factor * k`` candidates and the final top-k is EXACT
+    cosine over just those — the standard two-tier layout: codes drive
+    the corpus-wide scan, raw vectors are fetched for a per-query
+    handful. Quantization distortion then costs recall only when a true
+    neighbor falls out of the candidate set entirely, not rank order.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qv = F.col(query_vec).cast("array<double>")
+
+    def _sub_lut(s: int) -> F.Column:
+        # NB: capture s via closure, NOT a lambda default arg — a
+        # 2-parameter lambda is treated by transform() as
+        # (element, index) and the "default" gets the array index.
+        qs = F.slice(qv, s * d + 1, d)
+        return F.transform(
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]]
+            ),
+            lambda c: F.aggregate(
+                F.zip_with(qs, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    lut = F.array(*[_sub_lut(s) for s in range(m)])
+    q = queries.select(F.col(query_id), lut.alias("__lut"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda code, l: F.element_at(l, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = F.broadcast(q).crossJoin(encoded).select(
+        F.col(query_id), F.col(corpus_id), score.alias("score")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    n_cand = k * rerank_factor if rerank_corpus is not None else k
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )
+    if rerank_corpus is None:
+        return cands
+    from ..functions.arrays import cosine_similarity
+
+    exact = (
+        cands.select(query_id, corpus_id)
+        .join(queries.select(query_id, query_vec), query_id)
+        .join(rerank_corpus.select(corpus_id, corpus_vec), corpus_id)
+        .select(
+            query_id,
+            corpus_id,
+            cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )

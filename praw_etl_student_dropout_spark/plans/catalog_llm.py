@@ -1022,3 +1022,41 @@ def d3_source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_survivors"))
     )
+
+
+@register(
+    "u7_pq_adc_topk",
+    "U7 ⊕ (product quantization + ADC + exact re-rank)",
+    None,  # iterative k-means training — not SQL-expressible; recall,
+    # determinism, and code-shape invariants in tests/test_similarity.py
+    doc="Two-tier billion-vector ANN layout (Jégou et al., TPAMI 2011): "
+    "per-subspace k-means codebooks compress each vector to m small "
+    "codes; the corpus-wide scan scores by asymmetric distance "
+    "computation — m table lookups against a per-query LUT of "
+    "m*k dot products, no d-dim arithmetic per row — and the exact "
+    "cosine re-ranks only the rerank_factor*k ADC candidates. Codes "
+    "(m ints) replace raw vectors (d floats) in the scan tier, which "
+    "is the memory math that fits a billion vectors on a cluster. "
+    "Training: all m subspace k-means in ONE corpus pass per "
+    "iteration; codebooks are the only driver-side state.",
+)
+def u7_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import l2_norm
+    from ..operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
+        ).alias("embedding"),
+    ).persist()
+    books = pq_train(unit, m=16, k=32, iterations=2)
+    encoded = pq_encode(unit, books)
+    queries = unit.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(
+        queries, encoded, books, k=5, rerank_corpus=unit, rerank_factor=4
+    )

@@ -146,3 +146,57 @@ def test_hashing_embed_is_unit_norm(spark, sf_dir):
         F.min("n").alias("lo"), F.max("n").alias("hi")
     ).first()
     assert abs(row.lo - 1.0) < 1e-9 and abs(row.hi - 1.0) < 1e-9
+
+
+def test_pq_adc_recall_and_code_shape(spark, sf_dir):
+    """Product quantization: codes are m small ints, ADC top-k recalls
+    most of the exact cosine top-k on the normalized corpus, and
+    training is deterministic (same codebooks across runs)."""
+    from praw_etl_student_dropout_spark.functions.arrays import l2_norm
+    from praw_etl_student_dropout_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    unit = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
+        ).alias("embedding"),
+    ).persist()
+    # The synthetic embeddings are near-isotropic — PQ's worst case (no
+    # cluster structure to exploit), so this uses the production
+    # two-tier shape: finer quantizer + ADC candidates + exact re-rank.
+    m, kc = 16, 32
+    books = pq_train(unit, m=m, k=kc, iterations=2)
+    assert len(books) == m and all(len(b) == kc for b in books)
+    books2 = pq_train(unit, m=m, k=kc, iterations=2)
+    assert books == books2, "training must be deterministic"
+    encoded = pq_encode(unit, books).persist()
+    row = encoded.first()
+    assert len(row.codes) == m and all(0 <= c < kc for c in row.codes)
+    queries = unit.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(queries, unit, k=10).collect()
+    approx = pq_topk(
+        queries, encoded, books, k=10, rerank_corpus=unit, rerank_factor=4
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_r = sum(recalls) / len(recalls)
+    assert mean_r >= 0.7, f"mean PQ+rerank recall@10 {mean_r:.2f}"
+    # re-ranked scores are exact cosines: self-query must score 1.0 at rank 1
+    self_hit = [r for r in approx if r.query_id == r.vec_id]
+    assert all(abs(r.score - 1.0) < 1e-6 and r.rank == 1 for r in self_hit)
+    unit.unpersist(); encoded.unpersist()
