@@ -487,3 +487,92 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus_indexed: DataFrame,
+    centroids: DataFrame,
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector layout.
+
+    IVF bounds WHICH rows are touched (equi-join on the nprobe nearest
+    centroid ids — ~nprobe/num_centroids of the corpus), PQ bounds the
+    COST per touched row (ADC: m LUT lookups against the broadcast
+    per-query table, no d-dim arithmetic), and the exact re-rank over
+    rerank_factor*k survivors restores true cosine order. In production
+    the encoded table is written partitioned by centroid_id so a probe
+    is a partition-pruned scan of code columns only; raw vectors are
+    fetched per candidate for the re-rank.
+    """
+    q_probe = F.broadcast(queries).crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.col("centroid_id"),
+        cosine_similarity(F.col(query_vec), F.col("centroid_vec")).alias("c_score"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("c_score"), F.asc("centroid_id"))
+    probes = (
+        q_probe.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id, query_vec, "centroid_id")
+    )
+    routed = probes.join(
+        corpus_indexed.select(corpus_id, "centroid_id").join(encoded, corpus_id),
+        on="centroid_id",
+    ).select(query_id, query_vec, corpus_id, "codes")
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qv = F.col(query_vec).cast("array<double>")
+
+    def _sub_lut(s: int) -> F.Column:
+        qs = F.slice(qv, s * d + 1, d)
+        return F.transform(
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in codebooks[s]]
+            ),
+            lambda c: F.aggregate(
+                F.zip_with(qs, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    lut = F.array(*[_sub_lut(s) for s in range(m)])
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), lut, lambda code, l: F.element_at(l, code + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    cands = (
+        routed.select(F.col(query_id), F.col(corpus_id), adc.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank_factor)
+        .select(query_id, corpus_id)
+    )
+    exact = (
+        cands.join(queries.select(query_id, query_vec), query_id)
+        .join(
+            corpus_indexed.select(corpus_id, corpus_vec), corpus_id
+        )
+        .select(
+            query_id,
+            corpus_id,
+            cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )

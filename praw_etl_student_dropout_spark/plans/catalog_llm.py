@@ -1060,3 +1060,45 @@ def u7_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         queries, encoded, books, k=5, rerank_corpus=unit, rerank_factor=4
     )
+
+
+@register(
+    "u7_ivfpq_topk",
+    "U7 ⊕ (IVF-PQ composed ANN layout)",
+    None,  # iterative training + approximate routing — rows-only;
+    # recall + exact-rerank invariants in tests/test_similarity.py
+    doc="IVF-PQ, the composed billion-vector layout: IVF centroid "
+    "routing bounds WHICH rows each query touches (equi-join on the "
+    "nprobe nearest lists), PQ codes bound the COST per touched row "
+    "(ADC lookups, no d-dim math), exact cosine re-ranks the "
+    "candidate handful. Production writes the code table partitioned "
+    "by centroid_id so probes are partition-pruned scans.",
+)
+def u7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import l2_norm
+    from ..operators.similarity import (
+        assign_centroids,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+        sample_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
+        ).alias("embedding"),
+    ).persist()
+    centroids = sample_centroids(unit, num_centroids=8)
+    indexed = assign_centroids(unit, centroids)
+    books = pq_train(unit, m=16, k=32, iterations=2)
+    encoded = pq_encode(unit, books)
+    queries = unit.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        queries, indexed, centroids, encoded, books, k=5, nprobe=6, rerank_factor=4
+    )

@@ -200,3 +200,52 @@ def test_pq_adc_recall_and_code_shape(spark, sf_dir):
     self_hit = [r for r in approx if r.query_id == r.vec_id]
     assert all(abs(r.score - 1.0) < 1e-6 and r.rank == 1 for r in self_hit)
     unit.unpersist(); encoded.unpersist()
+
+
+def test_ivfpq_recall_and_touched_fraction(spark, sf_dir):
+    """The composed layout: IVF routing restricts which rows are scanned,
+    ADC+re-rank restores order; recall against brute force stays
+    reasonable while each query touches only the probed lists."""
+    from praw_etl_student_dropout_spark.functions.arrays import l2_norm
+    from praw_etl_student_dropout_spark.operators.similarity import (
+        assign_centroids,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+        sample_centroids,
+    )
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    unit = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
+        ).alias("embedding"),
+    ).persist()
+    centroids = sample_centroids(unit, num_centroids=8)
+    indexed = assign_centroids(unit, centroids).persist()
+    books = pq_train(unit, m=16, k=32, iterations=2)
+    encoded = pq_encode(unit, books)
+    queries = unit.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(queries, unit, k=10).collect()
+    approx = ivfpq_topk(
+        queries, indexed, centroids, encoded, books, k=10, nprobe=6, rerank_factor=4
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_r = sum(recalls) / len(recalls)
+    assert mean_r >= 0.5, f"mean IVF-PQ recall@10 {mean_r:.2f}"
+    # re-ranked scores are exact: self-query at rank 1 with cosine 1
+    self_hit = [r for r in approx if r.query_id == r.vec_id]
+    assert all(abs(r.score - 1.0) < 1e-6 and r.rank == 1 for r in self_hit)
+    unit.unpersist(); indexed.unpersist()

@@ -40,6 +40,7 @@ EXPECTED_NESTED_LOOP = {
     "u7_kmeans_ivf",
     "u7_text_search_hashed",
     "u7_pq_adc_topk",
+    "u7_ivfpq_topk",
     "llm_chunk_embed_dedup",
     "q17_small_qty_share",  # decorrelated agg broadcast back (single-row)
     "q14_promo_share",      # single-row sums cross-joined for the ratio
