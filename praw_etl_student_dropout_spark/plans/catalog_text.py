@@ -717,3 +717,50 @@ def u11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "u6_token_entropy",
+    "U6+A1 ⊕ (distributional quality signal)",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(col='text')}) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    tot AS (
+      SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id
+    )
+    SELECT cnt.doc_id,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy,
+           CAST(max(n) AS BIGINT) AS n_tokens
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id
+    """,
+    doc="Shannon entropy of each document's token distribution — the "
+    "quality signal orthogonal to length and stopword ratios: "
+    "copy-paste loops and keyword stuffing score LOW (mass on few "
+    "tokens) even when length and alpha-ratio gates pass, and "
+    "high-entropy outliers are often multilingual soup. One (doc, "
+    "token) grouped count, a per-doc total via a second partial agg, "
+    "entropy from the joined frequencies — all map-side combinable, "
+    "no per-doc state beyond the running sum.",
+)
+def u6_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    cnt = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.max("n").alias("n_tokens"),
+        )
+    )
