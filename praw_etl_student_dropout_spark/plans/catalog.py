@@ -4674,3 +4674,37 @@ def a33_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.96 * F.sqrt((sxx - sx * sx / n) / (n - 1) / n), 6
         ).alias("mean_ci95_halfwidth"),
     )
+
+
+@register(
+    "t6_incremental_topk",
+    "T3+A25 ⊕ (incremental top-k maintenance)",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+    doc="Top-k under append-only ingestion without rescanning history: "
+    "for monotone insert-only data, top-k(base ∪ delta) = "
+    "top-k(top-k(base) ∪ delta) — the k-row retained state replaces "
+    "the full base scan on every refresh (the incremental-session "
+    "top-k idea from the interactive-analysis literature). The engine "
+    "side computes the incremental form (base = 90% split, delta = "
+    "10%); the oracle computes the direct form over everything — the "
+    "hash match IS the proof of the maintenance identity. Each side's "
+    "top-k is TakeOrderedAndProject (per-partition heaps + driver "
+    "merge of k rows, never a global sort). Deletions/updates void "
+    "the identity — that path goes through the CDC diff + full "
+    "recompute, documented in a25.",
+)
+def t6_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    cols = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    order = [
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ]
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    delta = li.filter(F.col("l_orderkey") % 10 == 0)
+    retained = base.select(*cols).orderBy(*order).limit(100)
+    return retained.unionByName(delta.select(*cols)).orderBy(*order).limit(100)
