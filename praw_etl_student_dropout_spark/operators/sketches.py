@@ -129,3 +129,26 @@ def heavy_hitters(df: DataFrame, key: str, support: float = 0.01) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(support) * F.lit(total))
     )
+
+
+def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Estimate |A ⋈ B| on the sketched key from two count-min sketches.
+
+    The true join cardinality is the inner product Σ_k a_k·b_k of the
+    two key-frequency vectors; each CMS row's bucket-wise inner product
+    Σ_j cnt_a[j]·cnt_b[j] overestimates it (hash collisions only ever
+    ADD mass), so the MIN over the depth rows is the classic
+    Cormode-Muthukrishnan estimate: never an underestimate, error
+    bounded by e/width · N_a · N_b per row. This is how an optimizer
+    sizes a join from metadata without touching either table — the two
+    sketches are depth×width cells each, so the whole estimation joins
+    broadcast-sized state. Returns one row: (est_join_size).
+    """
+    a = sketch_a.select("sketch_row", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("sketch_row", "bucket", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["sketch_row", "bucket"])
+        .groupBy("sketch_row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est_join_size"))

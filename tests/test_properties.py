@@ -367,3 +367,25 @@ def test_aqp_estimate_within_ci_of_exact(spark, sf_dir):
     assert rel <= 3 * est.mean_ci95_halfwidth / est.est_mean, (
         f"1% sample total off by {rel:.1%}"
     )
+
+
+def test_cms_join_size_never_underestimates_and_is_tight(spark, sf_dir):
+    """The CMS inner-product join-size estimate must dominate the true
+    join cardinality and stay within the e/width * Na * Nb additive
+    bound (with 3x slack for the fixture's single trial)."""
+    from praw_etl_student_dropout_spark.operators.sketches import (
+        cms_build,
+        cms_join_size,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    li, od = t["lineitem"], t["orders"]
+    true_size = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    depth, width = 4, 2048
+    sa = cms_build(li, "l_orderkey", depth=depth, width=width)
+    sb = cms_build(od, "o_orderkey", depth=depth, width=width)
+    est = cms_join_size(sa, sb).first().est_join_size
+    assert est >= true_size, (est, true_size)
+    bound = 2.718281828 / width * li.count() * od.count()
+    assert est - true_size <= 3 * bound, (est, true_size, bound)
