@@ -4708,3 +4708,55 @@ def t6_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = li.filter(F.col("l_orderkey") % 10 == 0)
     retained = base.select(*cols).orderBy(*order).limit(100)
     return retained.unionByName(delta.select(*cols)).orderBy(*order).limit(100)
+
+
+@register(
+    "a34_skew_report",
+    "A ⊕ (join-key skew diagnosis)",
+    """
+    WITH c AS (
+      SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(min(cnt) AS BIGINT) AS min_cnt,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             round(avg(cnt), 6) AS avg_cnt,
+             quantile_cont(cnt, 0.50) AS p50_cnt,
+             quantile_cont(cnt, 0.99) AS p99_cnt
+      FROM c
+    )
+    SELECT n_keys, min_cnt, max_cnt, avg_cnt,
+           CAST(p50_cnt AS DOUBLE) AS p50_cnt,
+           CAST(p99_cnt AS DOUBLE) AS p99_cnt,
+           round(max_cnt / avg_cnt, 6) AS skew_factor
+    FROM stats
+    """,
+    doc="Join-key skew diagnosis in one pass over the key histogram: "
+    "count per key, then count/min/max/avg/median/p99 of the counts "
+    "and the max/avg skew factor — the number that decides between a "
+    "plain shuffle join (skew ~1), AQE skew-split (moderate), and "
+    "explicit salting (a hot key owning a reducer, see "
+    "a24_salted_hot_key_agg). At 100 TB this report is what you run "
+    "BEFORE the join: the histogram is one map-side-combined groupBy, "
+    "and its output is key-cardinality-sized, not data-sized. The "
+    "exact percentile is the oracle-checkable twin of the "
+    "approx_percentile you would use when key cardinality itself is "
+    "huge.",
+)
+def a34_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 6).alias("avg_cnt"),
+        F.expr("percentile(cnt, 0.50)").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+    ).select(
+        "*",
+        F.round(F.col("max_cnt") / F.col("avg_cnt"), 6).alias("skew_factor"),
+    )
