@@ -40,11 +40,27 @@ def current_path(base_dir: str) -> str | None:
     return None if v is None else os.path.join(base_dir, f"v{v}")
 
 
-def read_merged(spark: SparkSession, base_dir: str) -> DataFrame:
-    path = current_path(base_dir)
-    if path is None:
-        raise FileNotFoundError(f"no committed version under {base_dir}")
-    return spark.read.parquet(path)
+def read_merged(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``.
+
+    Any version still on disk (see :func:`vacuum` retention) is
+    readable — the snapshot layout makes time travel a directory pick,
+    no log replay. Reading a vacuumed version raises FileNotFoundError
+    with the retained versions listed.
+    """
+    if version is None:
+        path = current_path(base_dir)
+        if path is None:
+            raise FileNotFoundError(f"no committed version under {base_dir}")
+        return spark.read.parquet(path)
+    if version not in list_versions(base_dir):
+        raise FileNotFoundError(
+            f"version {version} not on disk under {base_dir} "
+            f"(retained: {list_versions(base_dir)})"
+        )
+    return spark.read.parquet(os.path.join(base_dir, f"v{version}"))
 
 
 def merge_upsert(

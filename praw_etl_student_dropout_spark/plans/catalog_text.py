@@ -764,3 +764,50 @@ def u6_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "u12_corpus_health",
+    "U6+A2 ⊕ (per-source corpus health report)",
+    f"""
+    WITH q AS ({_quality_sql()}),
+    l AS ({_lang_scalar_sql()})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(q.quality), 6) AS avg_quality,
+           CAST(count(*) FILTER (WHERE q.quality < 0.5) AS BIGINT)
+             AS n_low_quality,
+           CAST(count(*) FILTER (WHERE l.lang_guess = 'und') AS BIGINT)
+             AS n_lang_unknown,
+           round(avg(len({SQL_TOKS.format(col='d.text')})), 6) AS avg_tokens
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN l ON d.doc_id = l.doc_id
+    GROUP BY d.source
+    """,
+    doc="The per-source health dashboard a crawl operator watches: doc "
+    "count, mean quality, low-quality and language-unknown counts, "
+    "mean length — every signal computed in the SAME single pass over "
+    "the corpus (one projection evaluates quality, lang-id, and token "
+    "count per row; one grouped agg collapses per source). The "
+    "reference rescans its frame once per insight "
+    "(etl_pipeline.py:194-198); at 100 TB one-pass-many-metrics is "
+    "the difference between one corpus scan and five.",
+)
+def u12_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import lang_id, quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    per_doc = docs.select(
+        "source",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lg"),
+        token_count(F.col("text")).alias("nt"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.count_if(F.col("q") < 0.5).alias("n_low_quality"),
+        F.count_if(F.col("lg") == "und").alias("n_lang_unknown"),
+        F.round(F.avg("nt"), 6).alias("avg_tokens"),
+    )

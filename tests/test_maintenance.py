@@ -256,3 +256,26 @@ def test_merge_vacuum_retention(spark, tmp_path):
     assert vacuum(base, keep_last=1) == [2]
     assert vacuum(base, keep_last=1) == []
     assert read_merged(spark, base).count() == 5
+
+
+def test_merge_time_travel_reads_any_retained_version(spark, tmp_path):
+    import pytest
+
+    from praw_etl_student_dropout_spark.operators.merge import (
+        merge_upsert,
+        read_merged,
+        vacuum,
+    )
+
+    base = str(tmp_path / "tt")
+    os.makedirs(base)
+    for i in range(3):
+        src = spark.range(4).select(F.col("id").alias("k"), F.lit(i).alias("gen"))
+        merge_upsert(spark, base, src, ["k"])
+    # each retained snapshot reads back its own generation
+    for v in (0, 1, 2):
+        assert read_merged(spark, base, version=v).agg(F.max("gen")).first()[0] == v
+    vacuum(base, keep_last=1)
+    assert read_merged(spark, base).agg(F.max("gen")).first()[0] == 2
+    with pytest.raises(FileNotFoundError, match="retained"):
+        read_merged(spark, base, version=0)
