@@ -4760,3 +4760,48 @@ def a34_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.round(F.col("max_cnt") / F.col("avg_cnt"), 6).alias("skew_factor"),
     )
+
+
+@register(
+    "a35_mv_rollup_rewrite",
+    "A ⊕ (summary-table navigation / MV rollup rewrite)",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Aggregate-navigator rewrite: the query asks for per-returnflag "
+    "totals, but the engine answers it from the (returnflag, "
+    "linestatus) summary table — re-aggregating partial counts and "
+    "sums from the MV's handful of rows instead of scanning the fact. "
+    "Price totals are EXACT integer cents so partial merge order cannot "
+    "shift a rounded digit (the a31 pattern). "
+    "Valid because count/sum are algebraic (partials merge by "
+    "addition) and the MV's grouping is a refinement of the query's; "
+    "the oracle computes the direct form over the fact table, so the "
+    "hash match IS the proof of the rollup identity. At 100 TB this "
+    "turns a fact scan into a metadata-sized read — the core trick "
+    "behind every summary-table/cube engine — and composes with "
+    "a25_incremental_agg, which keeps the MV itself fresh in O(delta).",
+)
+def a35_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # the materialized summary at finer grain (in production: a stored
+    # table maintained incrementally; here built inline so the query is
+    # self-contained — the REWRITE below never touches `li` again)
+    mv = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum("l_quantity").alias("p_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "p_price_cents"
+        ),
+    )
+    return mv.groupBy("l_returnflag").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+        F.sum("p_price_cents").alias("sum_price_cents"),
+    )
