@@ -75,3 +75,49 @@ def build_fact(
             f"__nk_{surrogate}"
         )
     return out.select(*select_cols)
+
+
+def changelog_compact(
+    log,
+    key: str,
+    order: list[str],
+    op_col: str = "op",
+):
+    """Net-effect compaction of a CDC changelog: one row per key.
+
+    For a change stream (key, op ∈ {I,U,D}, payload, total order), the
+    net effect replayed downstream is:
+
+    - first=I, last=D  → key never existed for the consumer: DROPPED
+    - last=D           → net ``D`` (key deleted)
+    - first=I          → net ``I`` carrying the LAST payload
+    - otherwise        → net ``U`` carrying the LAST payload
+
+    One shuffle on the key; first/last rows come from min/max over a
+    struct with the order columns leading (the dedup_by_key trick), so
+    each column crosses the wire once and no per-key history is
+    buffered. This is what keeps a replicated table's apply cost
+    proportional to DISTINCT keys touched, not events received — the
+    log compaction every changelog consumer (Kafka compacted topics,
+    Debezium sinks, lakehouse MERGE batching) performs before apply.
+    """
+    from pyspark.sql import functions as F
+
+    ordered = F.struct(*[F.col(c) for c in order], F.col(op_col).alias("__op"))
+    per_key = log.groupBy(key).agg(
+        F.min(ordered).alias("__first"),
+        F.max(ordered).alias("__last"),
+    )
+    first_op = F.col("__first.__op")
+    last_op = F.col("__last.__op")
+    net = (
+        F.when((first_op == "I") & (last_op == "D"), F.lit(None))
+        .when(last_op == "D", F.lit("D"))
+        .when(first_op == "I", F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    return (
+        per_key.withColumn("net_op", net)
+        .filter(F.col("net_op").isNotNull())
+        .select(key, "net_op", *[F.col(f"__last.{c}").alias(c) for c in order])
+    )

@@ -4805,3 +4805,58 @@ def a35_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("p_qty"), 2).alias("sum_qty"),
         F.sum("p_price_cents").alias("sum_price_cents"),
     )
+
+
+@register(
+    "etl_changelog_compact",
+    "ETL ⊕ (CDC changelog net-effect compaction)",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ),
+    fl AS (
+      SELECT user_id,
+             first(op ORDER BY ts, event_id) AS first_op,
+             last(op ORDER BY ts, event_id) AS last_op,
+             last(ts ORDER BY ts, event_id) AS ts,
+             CAST(last(event_id ORDER BY ts, event_id) AS BIGINT) AS event_id
+      FROM log GROUP BY user_id
+    )
+    SELECT user_id, net_op, ts, event_id FROM (
+      SELECT user_id,
+             CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+                  WHEN last_op = 'D' THEN 'D'
+                  WHEN first_op = 'I' THEN 'I'
+                  ELSE 'U' END AS net_op,
+             ts, event_id
+      FROM fl
+    ) WHERE net_op IS NOT NULL
+    """,
+    doc="Changelog compaction before apply: collapse each key's I/U/D "
+    "event sequence to its net effect (insert-then-delete vanishes; "
+    "trailing delete wins; surviving keys carry the LAST payload) — "
+    "the Kafka-compacted-topic / Debezium-batch semantics that keep a "
+    "replica's MERGE cost proportional to distinct keys touched, not "
+    "events received. One shuffle: first/last rows via min/max over an "
+    "order-leading struct, no per-key history buffered. The op mapping "
+    "(signup→I, error→D, else U) is a deterministic stand-in for a "
+    "real CDC feed's op column; (ts, event_id) is the total order.",
+)
+def etl_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import changelog_compact
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    return changelog_compact(log, "user_id", ["ts", "event_id"])

@@ -288,3 +288,38 @@ def test_avro_roundtrip_or_documented_gate(spark, tmp_path):
             write_avro(df, path)
         with pytest.raises(RuntimeError, match="--packages"):
             read_avro(spark, path)
+
+
+def test_changelog_compact_semantics(spark):
+    """Crafted log covering all four net-effect branches; applying the
+    compacted log to an empty replica equals replaying the full log."""
+    from praw_etl_student_dropout_spark.operators.etl import changelog_compact
+
+    rows = [
+        # k=1: I then U → net I with last payload
+        (1, 1, "I", "a"), (1, 2, "U", "b"),
+        # k=2: I then D → dropped entirely
+        (2, 1, "I", "x"), (2, 2, "D", "x"),
+        # k=3: U then D → net D (existed before the log window)
+        (3, 1, "U", "y"), (3, 2, "D", "y"),
+        # k=4: U only → net U with last payload
+        (4, 1, "U", "p"), (4, 3, "U", "q"),
+    ]
+    log = spark.createDataFrame(rows, "k int, seq int, op string, payload string")
+    got = {
+        r.k: (r.net_op, r.seq)
+        for r in changelog_compact(log, "k", ["seq"]).collect()
+    }
+    assert got == {1: ("I", 2), 3: ("D", 2), 4: ("U", 3)}
+    # replay equivalence: naive full replay into a dict
+    state = {}
+    for k, seq, op, payload in sorted(rows, key=lambda r: (r[0], r[1])):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = seq
+    compact_state = {}
+    for k, (op, seq) in got.items():
+        if op != "D":
+            compact_state[k] = seq
+    assert compact_state == state
