@@ -4860,3 +4860,77 @@ def etl_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return changelog_compact(log, "user_id", ["ts", "event_id"])
+
+
+@register(
+    "etl_table_integrity_diff",
+    "ETL ⊕ (bucket-hash replica verification)",
+    """
+    WITH canon AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    a AS (
+      SELECT l_orderkey % 64 AS bucket,
+             sum(CAST(concat('0x', substring(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(cents AS VARCHAR)), 1, 12)) AS BIGINT)) AS h
+      FROM canon GROUP BY 1
+    ),
+    b AS (
+      SELECT l_orderkey % 64 AS bucket,
+             sum(CAST(concat('0x', substring(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CASE WHEN l_orderkey = 1 AND l_linenumber = 1
+                         THEN cents + 1 ELSE cents END AS VARCHAR)), 1, 12))
+               AS BIGINT)) AS h
+      FROM canon GROUP BY 1
+    )
+    SELECT a.bucket, CAST(count(*) AS BIGINT) AS n_diff_buckets
+    FROM a JOIN b ON a.bucket = b.bucket AND a.h != b.h
+    GROUP BY a.bucket
+    """,
+    doc="Replica anti-entropy at warehouse scale: each side reduces to "
+    "64 bucket hashes (sum of per-row md5-derived integers, grouped by "
+    "key hash) and only DIFFERING buckets are reported — comparing two "
+    "100 TB tables costs two scans and a 64-row join, and the differing "
+    "bucket ids tell the repair job which key ranges to re-sync "
+    "(recurse into a bucket for finer localization = the Merkle-tree "
+    "refinement). The 'replica' here injects one mutated row inline so "
+    "the query is self-contained and the answer is pinned: exactly the "
+    "mutated key's bucket differs. Sum-of-hashes makes the bucket "
+    "digest order- and partition-independent — the property that lets "
+    "both engines (and any shuffle layout) agree bit-for-bit.",
+)
+def etl_table_integrity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    def bucket_hashes(cents_col):
+        row = F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            cents_col.cast("string"),
+        )
+        h = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("long")
+        return (
+            li.select((F.col("l_orderkey") % 64).alias("bucket"), h.alias("h"))
+            .groupBy("bucket")
+            .agg(F.sum("h").alias("h"))
+        )
+
+    mutated = F.when(
+        (F.col("l_orderkey") == 1) & (F.col("l_linenumber") == 1), cents + 1
+    ).otherwise(cents)
+    a = bucket_hashes(cents)
+    b = bucket_hashes(mutated).withColumnRenamed("h", "h_b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("h") != F.col("h_b"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_diff_buckets"))
+    )
