@@ -138,23 +138,17 @@ def minhash_signatures(
     )
 
 
-def minhash_dedup_pairs(
+def _minhash_banded(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    threshold: float = 0.7,
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """D3 — near-dup pairs via MinHash + LSH banding, verified exactly.
-
-    bands×rows = num_hashes; a pair collides if any band signature
-    matches (P[collide] ≈ 1-(1-j^r)^b). Candidates then verify with the
-    TRUE Jaccard over distinct shingle sets, so output has no false
-    positives; recall is the LSH curve. Returns (id_a, id_b, jaccard)
-    with id_a < id_b and jaccard >= threshold.
-    """
+    """Exploded ``(id, band, band_sig)`` LSH index shared by the pair
+    join and the hot-bucket report — at scale this is the table you'd
+    write out and bucket by (band, band_sig)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_cols = F.array(
@@ -163,11 +157,78 @@ def minhash_dedup_pairs(
             for b in range(bands)
         ]
     )
+    return sigs.select(F.col(id_col), F.posexplode(band_cols).alias("band", "band_sig"))
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_bucket_size: int,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dropped-mass report for the capped LSH join: one row per
+    (band, band_sig) bucket whose membership exceeds ``max_bucket_size``,
+    with ``bucket_size`` (docs in the bucket) and ``pairs_skipped``
+    (candidate pairs the cap refuses to materialize). Run alongside a
+    capped :func:`minhash_dedup_pairs` so truncation is REPORTED, never
+    silent — a huge dropped mass means the corpus still carries exact
+    duplicates and :func:`exact_dedup` must run first."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sz = F.col("bucket_size")
+    return (
+        banded.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(sz > max_bucket_size)
+        .select("band", "band_sig", "bucket_size", (sz * (sz - 1) / 2).cast("long").alias("pairs_skipped"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """D3 — near-dup pairs via MinHash + LSH banding, verified exactly.
+
+    bands×rows = num_hashes; a pair collides if any band signature
+    matches (P[collide] ≈ 1-(1-j^r)^b). Candidates then verify with the
+    TRUE Jaccard over distinct shingle sets, so output has no false
+    positives; recall is the LSH curve. Returns (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard >= threshold.
+
+    ``max_bucket_size`` bounds the self-join fan-out the way
+    :func:`shingle_index`'s ``max_doc_freq`` does for n-gram Jaccard: a
+    (band, band_sig) bucket holding B docs materializes B·(B-1)/2
+    candidate pairs, and a degenerate corpus (mass EXACT duplicates —
+    what raw crawl data looks like) puts all B copies in the same bucket
+    in every band. With the cap, over-full buckets are dropped from the
+    join (broadcast anti join on the tiny hot-bucket set) and
+    :func:`minhash_hot_buckets` reports exactly what was skipped. The
+    contract for capped runs: :func:`exact_dedup` runs FIRST, so
+    surviving near-dup buckets are genuinely small; capping then only
+    sheds pathological boilerplate clusters, never normal near-dups.
+    """
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
     # The banded table is the LSH index: both sides of the candidate
     # self-join and nothing else. Persist it so the signature pipeline
-    # runs once — at scale this is the table you'd write out and bucket
-    # by (band, band_sig).
-    banded = sigs.select(F.col(id_col), F.posexplode(band_cols).alias("band", "band_sig")).persist()
+    # runs once.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     cands = (

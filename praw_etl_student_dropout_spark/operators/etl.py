@@ -96,14 +96,22 @@ def changelog_compact(
     One shuffle on the key; first/last rows come from min/max over a
     struct with the order columns leading (the dedup_by_key trick), so
     each column crosses the wire once and no per-key history is
-    buffered. This is what keeps a replicated table's apply cost
-    proportional to DISTINCT keys touched, not events received — the
-    log compaction every changelog consumer (Kafka compacted topics,
-    Debezium sinks, lakehouse MERGE batching) performs before apply.
+    buffered. EVERY non-key, non-op column rides in that struct — the
+    emitted I/U rows carry the last row's whole payload, not just the
+    order columns, so a generic CDC caller's value columns survive.
+    This is what keeps a replicated table's apply cost proportional to
+    DISTINCT keys touched, not events received — the log compaction
+    every changelog consumer (Kafka compacted topics, Debezium sinks,
+    lakehouse MERGE batching) performs before apply.
     """
     from pyspark.sql import functions as F
 
-    ordered = F.struct(*[F.col(c) for c in order], F.col(op_col).alias("__op"))
+    payload = [c for c in log.columns if c not in (key, op_col) and c not in order]
+    ordered = F.struct(
+        *[F.col(c) for c in order],
+        F.col(op_col).alias("__op"),
+        *[F.col(c) for c in payload],
+    )
     per_key = log.groupBy(key).agg(
         F.min(ordered).alias("__first"),
         F.max(ordered).alias("__last"),
@@ -119,5 +127,9 @@ def changelog_compact(
     return (
         per_key.withColumn("net_op", net)
         .filter(F.col("net_op").isNotNull())
-        .select(key, "net_op", *[F.col(f"__last.{c}").alias(c) for c in order])
+        .select(
+            key,
+            "net_op",
+            *[F.col(f"__last.{c}").alias(c) for c in order + payload],
+        )
     )

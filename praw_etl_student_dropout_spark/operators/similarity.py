@@ -308,12 +308,15 @@ def pq_train(
     codebook literal, update with a (subspace, centroid, pos) grouped
     mean). The only driver-side data is the codebooks themselves
     (m*k*d/m floats — sketch-sized by construction; production trains
-    on a sample anyway). Initialization is deterministic id-stride
-    sampling, so runs reproduce. Empty clusters keep their previous
-    centroid.
+    on a sample anyway). Initialization is a deterministic strided
+    row_number() sample per subspace — independent of id VALUES, so
+    sparse/offset/string ids all seed exactly k centroids. Empty
+    clusters keep their previous centroid.
     """
-    first = corpus.select(corpus_vec).first()
     if dim is None:
+        first = corpus.select(corpus_vec).first()
+        if first is None:
+            raise ValueError("pq_train: empty corpus")
         dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -334,16 +337,25 @@ def pq_train(
         ).alias("e"),
     ).select("id", "e.s", "e.v")
     n = corpus.count()
+    if n == 0:
+        raise ValueError("pq_train: empty corpus")
+    # Deterministic spread seeding by POSITION, not id arithmetic: rank
+    # rows per subspace (deterministic id order), take every stride-th.
+    # Sparse, offset, or string ids seed identically; id%stride seeding
+    # would find few or zero seeds there.
     stride = max(n // k, 1)
+    wseed = Window.partitionBy("s").orderBy("id")
+    rank0 = F.row_number().over(wseed) - 1
     seeds = (
-        sub.filter((F.col("id") % stride == 0) & (F.col("id") / stride < k))
-        .select("s", (F.col("id") / stride).cast("int").alias("c"), "v")
+        sub.select("s", rank0.alias("r"), "v")
+        .filter((F.col("r") % stride == 0) & (F.col("r") / stride < k))
+        .select("s", (F.col("r") / stride).cast("int").alias("c"), "v")
         .collect()
     )
     codebooks: list[list[list[float]]] = [[None] * k for _ in range(m)]
     for r in seeds:
         codebooks[r.s][r.c] = list(r.v)
-    # stride rounding can leave tail slots empty — fill from any seed
+    # n<k leaves tail slots empty — fill from any seed
     for s in range(m):
         fallback = next(c for c in codebooks[s] if c is not None)
         codebooks[s] = [c if c is not None else list(fallback) for c in codebooks[s]]
@@ -521,15 +533,6 @@ def ivfpq_topk(
         cosine_similarity(F.col(query_vec), F.col("centroid_vec")).alias("c_score"),
     )
     wq = Window.partitionBy(query_id).orderBy(F.desc("c_score"), F.asc("centroid_id"))
-    probes = (
-        q_probe.withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= nprobe)
-        .select(query_id, query_vec, "centroid_id")
-    )
-    routed = probes.join(
-        corpus_indexed.select(corpus_id, "centroid_id").join(encoded, corpus_id),
-        on="centroid_id",
-    ).select(query_id, query_vec, corpus_id, "codes")
     m = len(codebooks)
     d = len(codebooks[0][0])
     qv = F.col(query_vec).cast("array<double>")
@@ -547,9 +550,27 @@ def ivfpq_topk(
             ),
         )
 
+    # The per-query ADC lookup table is MATERIALIZED on the probe rows
+    # (nprobe per query) and carried through the centroid join — routed
+    # corpus rows then pay only the m element_at lookups. Evaluating the
+    # LUT expression in the scored select instead would recompute all
+    # m*k centroid dot products (O(k*d)) for EVERY touched corpus row,
+    # defeating the ADC cost model (pq_topk projects its LUT in `q` for
+    # the same reason).
     lut = F.array(*[_sub_lut(s) for s in range(m)])
+    probes = (
+        q_probe.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id, lut.alias("__lut"), "centroid_id")
+    )
+    routed = probes.join(
+        corpus_indexed.select(corpus_id, "centroid_id").join(encoded, corpus_id),
+        on="centroid_id",
+    ).select(query_id, "__lut", corpus_id, "codes")
     adc = F.aggregate(
-        F.zip_with(F.col("codes"), lut, lambda code, l: F.element_at(l, code + 1)),
+        F.zip_with(
+            F.col("codes"), F.col("__lut"), lambda code, l: F.element_at(l, code + 1)
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

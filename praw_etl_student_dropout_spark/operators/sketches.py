@@ -115,8 +115,15 @@ def heavy_hitters(df: DataFrame, key: str, support: float = 0.01) -> DataFrame:
     """
     if not 0 < support < 1:
         raise ValueError("support must be in (0, 1)")
+    # freqItems only guarantees survival for counts STRICTLY greater
+    # than support*N; a key with count exactly support*N could be
+    # evicted while the exact >= filter below would keep it. Running
+    # candidate generation at a slightly lower support closes that
+    # boundary — the candidate list stays driver-sized (~1/support).
     candidates = [
-        c for c in df.stat.freqItems([key], support).first()[0] if c is not None
+        c
+        for c in df.stat.freqItems([key], support * 0.99).first()[0]
+        if c is not None
     ]
     total = df.count()
     if not candidates:

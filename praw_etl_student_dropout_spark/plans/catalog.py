@@ -4884,7 +4884,7 @@ def etl_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(concat('0x', substring(md5(
                CAST(l_orderkey AS VARCHAR) || '|' ||
                CAST(l_linenumber AS VARCHAR) || '|' ||
-               CAST(CASE WHEN l_orderkey = 0 AND l_linenumber = 1
+               CAST(CASE WHEN l_orderkey = 0
                          THEN cents + 1 ELSE cents END AS VARCHAR)), 1, 12))
                AS BIGINT)) AS h
       FROM canon GROUP BY 1
@@ -4923,9 +4923,11 @@ def etl_table_integrity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("h").alias("h"))
         )
 
-    mutated = F.when(
-        (F.col("l_orderkey") == 0) & (F.col("l_linenumber") == 1), cents + 1
-    ).otherwise(cents)
+    # Mutate every row of orderkey 0 — that key exists at EVERY shipped
+    # scale factor (sf0.001/0.01/0.1), so exactly bucket 0 differs at
+    # every scale; a (orderkey, linenumber) point key only exists in
+    # some fixtures and would make the diff vacuously empty elsewhere.
+    mutated = F.when(F.col("l_orderkey") == 0, cents + 1).otherwise(cents)
     a = bucket_hashes(cents)
     b = bucket_hashes(mutated).withColumnRenamed("h", "h_b")
     return (

@@ -499,7 +499,12 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_cont", F.lit(True))
     )
-    flags = flags.join(F.broadcast(contaminated), "doc_id", "left").withColumn(
+    # No forced broadcast: the contaminated set is small by construction
+    # HERE, but at 100 TB a badly contaminated corpus can exceed the
+    # broadcast limit — leaving the strategy to AQE gives a broadcast
+    # exactly when the runtime size is under threshold and a shuffle
+    # hash join otherwise (the size-guarded form).
+    flags = flags.join(contaminated, "doc_id", "left").withColumn(
         "is_final",
         F.col("is_surv")
         & (F.col("doc_id") % 97 != 0)

@@ -328,3 +328,57 @@ def test_leakage_safe_split_no_pair_straddles_splits(spark, sf_dir):
     assert splits == {"train", "val", "test"}
     assert assigned.count() == docs.count()
     assigned.unpersist()
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark, sf_dir):
+    """Mass EXACT duplicates (what raw crawl data looks like) put all B
+    copies in one (band, band_sig) bucket per band → B·(B-1)/2 candidate
+    pairs without a cap. With max_bucket_size the hot buckets are dropped
+    from the join (bounded candidate count) and minhash_hot_buckets
+    reports exactly the skipped mass — truncation is never silent."""
+    from praw_etl_student_dropout_spark.operators.dedup import minhash_hot_buckets
+
+    d = docs(spark, sf_dir)
+    base = d.limit(10).select("doc_id", "text")
+    one = d.limit(1).select("text").first().text
+    b = 1000
+    clones = spark.range(b).select(
+        (F.col("id") + 2_000_000).alias("doc_id"), F.lit(one).alias("text")
+    )
+    degenerate = base.unionByName(clones)
+
+    capped = minhash_dedup_pairs(
+        degenerate, "text", "doc_id", threshold=0.9, max_bucket_size=50
+    )
+    got = capped.collect()
+    # the 1000-clone bucket is dropped: no pair may touch two clones
+    clone_pairs = [r for r in got if r.id_a >= 2_000_000 and r.id_b >= 2_000_000]
+    assert clone_pairs == []
+    assert len(got) <= 10 * 9 / 2  # bounded by the small-doc population
+
+    report = minhash_hot_buckets(
+        degenerate, "text", "doc_id", max_bucket_size=50
+    ).collect()
+    assert report, "hot buckets must be reported, not silently dropped"
+    biggest = max(r.bucket_size for r in report)
+    assert biggest >= b  # the clone bucket (clones + possibly the original)
+    assert max(r.pairs_skipped for r in report) >= b * (b - 1) // 2
+    # every reported bucket is genuinely over the cap
+    assert all(r.bucket_size > 50 for r in report)
+
+
+def test_minhash_cap_preserves_normal_pairs(spark, sf_dir):
+    """On a normal corpus (no over-full buckets) the capped run returns
+    exactly the uncapped pairs — the cap only sheds pathological mass."""
+    d = docs(spark, sf_dir)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            d, "text", "doc_id", threshold=0.5, max_bucket_size=100
+        ).collect()
+    }
+    assert capped == uncapped

@@ -389,3 +389,16 @@ def test_cms_join_size_never_underestimates_and_is_tight(spark, sf_dir):
     assert est >= true_size, (est, true_size)
     bound = 2.718281828 / width * li.count() * od.count()
     assert est - true_size <= 3 * bound, (est, true_size, bound)
+
+
+def test_heavy_hitters_exact_boundary_count(spark):
+    """A key whose count is EXACTLY support*N must be returned:
+    freqItems only guarantees survival for counts strictly greater than
+    support*N, so candidate generation runs at support*0.99."""
+    from praw_etl_student_dropout_spark.operators.sketches import heavy_hitters
+
+    # 'edge' appears exactly 20 times out of N=100 → support 0.2 boundary
+    rows = [("edge",)] * 20 + [(f"k{i}",) for i in range(80)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r.k: r.cnt for r in heavy_hitters(df, "k", support=0.2).collect()}
+    assert got == {"edge": 20}

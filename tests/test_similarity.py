@@ -249,3 +249,45 @@ def test_ivfpq_recall_and_touched_fraction(spark, sf_dir):
     self_hit = [r for r in approx if r.query_id == r.vec_id]
     assert all(abs(r.score - 1.0) < 1e-6 and r.rank == 1 for r in self_hit)
     unit.unpersist(); indexed.unpersist()
+
+
+def test_pq_train_id_robust_seeding(spark):
+    """Seeding is positional (row_number), not id arithmetic: sparse /
+    offset / string ids must all seed k centroids deterministically, and
+    an empty corpus raises explicitly instead of StopIteration."""
+    import pytest
+
+    from praw_etl_student_dropout_spark.operators.similarity import pq_train
+
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    # sparse + offset numeric ids (none divisible by the stride pattern)
+    sparse = spark.createDataFrame(
+        [(1_000_003 + 17 * i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(sparse, m=4, k=8, iterations=1)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert books == pq_train(sparse, m=4, k=8, iterations=1)
+
+    # string ids
+    s = spark.createDataFrame(
+        [(f"doc-{i:04d}", v) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>",
+    )
+    books_s = pq_train(s, m=4, k=8, iterations=1)
+    assert len(books_s) == 4 and all(len(b) == 8 for b in books_s)
+
+    # n < k still fills every slot (fallback duplication)
+    tiny = sparse.limit(3)
+    books_t = pq_train(tiny, m=4, k=8, iterations=1)
+    assert all(all(c is not None for c in b) for b in books_t)
+
+    # empty corpus: explicit error, with and without dim
+    empty = sparse.limit(0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_train(empty, m=4, k=8)
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_train(empty, m=4, k=8, dim=8)

@@ -323,3 +323,23 @@ def test_changelog_compact_semantics(spark):
         if op != "D":
             compact_state[k] = seq
     assert compact_state == state
+
+
+def test_changelog_compact_carries_payload_columns(spark):
+    """Payload columns NOT listed in `order` must still arrive from the
+    LAST row per key — a generic CDC caller's value columns survive."""
+    from praw_etl_student_dropout_spark.operators.etl import changelog_compact
+
+    rows = [
+        (1, 1, "I", "a", 10.0),
+        (1, 2, "U", "b", 20.0),
+        (4, 1, "U", "p", 1.5),
+        (4, 3, "U", None, 2.5),  # NULL payload on the last row stays NULL
+    ]
+    log = spark.createDataFrame(
+        rows, "k int, seq int, op string, name string, val double"
+    )
+    out = changelog_compact(log, "k", ["seq"])
+    assert set(out.columns) == {"k", "net_op", "seq", "name", "val"}
+    got = {r.k: (r.net_op, r.seq, r.name, r.val) for r in out.collect()}
+    assert got == {1: ("I", 2, "b", 20.0), 4: ("U", 3, None, 2.5)}
