@@ -84,17 +84,35 @@ def quality_score(col: Column) -> Column:
     stopword presence ratio bounded to [0, 0.5] then scaled (natural text
     has some stopwords; token soup has none).
     """
+    # The four expensive scalars (tokenize+size, stopword filter, two
+    # regex strips) are bound ONCE into a struct and the arithmetic runs
+    # inside a transform lambda referencing the bound variable — the
+    # lang_id lesson: subexpression elimination does not reach through
+    # repeated references, so the bare form re-tokenizes per reference
+    # (~1.8x slower on the profile run).
     toks = tokens(col)
-    n_tok = F.size(toks)
-    len_ok = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
     no_space = F.regexp_replace(col, r"\s+", "")
     alpha = F.regexp_replace(no_space, r"[^a-zA-Z]", "")
-    alpha_ratio = F.when(
-        F.length(no_space) > 0, F.length(alpha) / F.length(no_space)
-    ).otherwise(F.lit(0.0))
-    stop_ratio = _hits(toks, STOPWORDS) / F.greatest(n_tok, F.lit(1))
-    stop_signal = F.least(stop_ratio, F.lit(0.5)) * 2.0
-    return F.round((len_ok + alpha_ratio + stop_signal) / 3.0, 6)
+    s = F.struct(
+        F.size(toks).alias("n_tok"),
+        _hits(toks, STOPWORDS).alias("stop_hits"),
+        F.length(no_space).alias("len_ns"),
+        F.length(alpha).alias("len_a"),
+    )
+
+    def combine(s: Column) -> Column:
+        n_tok = s["n_tok"]
+        len_ok = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        alpha_ratio = F.when(s["len_ns"] > 0, s["len_a"] / s["len_ns"]).otherwise(
+            F.lit(0.0)
+        )
+        stop_ratio = s["stop_hits"] / F.greatest(n_tok, F.lit(1))
+        stop_signal = F.least(stop_ratio, F.lit(0.5)) * 2.0
+        return F.round((len_ok + alpha_ratio + stop_signal) / 3.0, 6)
+
+    return F.transform(F.array(s), combine)[0]
 
 
 # Character-frequency markers per language — a classic n-gram-profile
@@ -149,6 +167,52 @@ def lang_id(col: Column) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(
         F.transform(F.array(counts), pick)[0]
     )
+
+
+def term_counts(arr: Column) -> Column:
+    """Per-row term frequencies: ``array<struct<term,tf>>`` from a token
+    array, computed ROW-LOCALLY in O(n log n) — sort, find run starts,
+    diff consecutive starts for run lengths. No explode, no shuffle: the
+    raw token stream never leaves its row, which removes the
+    (doc, term) shuffle from every downstream tf consumer (TF-IDF,
+    entropy, unigram scoring). 4x faster than the filter-count O(n·d)
+    form on 2k-token docs.
+
+    Every intermediate (sorted array, run starts) is BOUND via the
+    transform-array trick before reuse — an outer expression referenced
+    inside a higher-order-function lambda is re-evaluated per element,
+    so an unbound array_sort would run once per token (the lang_id
+    lesson, measured 3x there).
+    """
+
+    def with_sorted(srt: Column) -> Column:
+        n = F.size(srt)
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+        )
+
+        def with_starts(st: Column) -> Column:
+            nxt = F.concat(
+                F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                F.array(n + 1),
+            )
+            return F.zip_with(
+                st,
+                nxt,
+                lambda a, b: F.struct(
+                    F.element_at(srt, a).alias("term"), (b - a).alias("tf")
+                ),
+            )
+
+        # n == 0 guard: sequence(1, 0) DESCENDS in Spark and zip_with
+        # null-pads the shorter side, so the empty array must short-circuit
+        return F.when(
+            n == 0, F.array().cast("array<struct<term:string,tf:integer>>")
+        ).otherwise(F.transform(F.array(starts), with_starts)[0])
+
+    return F.transform(F.array(F.array_sort(arr)), with_sorted)[0]
 
 
 def doc_fingerprint(col: Column) -> Column:

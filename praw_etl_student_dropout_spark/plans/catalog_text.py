@@ -483,24 +483,36 @@ def u6_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregations; idf = ln((N+1)/(df+1)) is the one transcendental, so "
     "the rank window orders by the ROUNDED score (identical on both "
     "engines) with a term tiebreak — last-ulp ln() differences between "
-    "libm implementations cannot reorder ranks. Scale shape: one "
-    "explode, two shuffles (doc-term tf, term df), a term-keyed join "
-    "back, and WindowGroupLimit pruning to 3 rows per doc before the "
-    "final exchange. N arrives as a broadcast 1-row cross join, keeping "
-    "the whole plan lazy (no driver-side count action).",
+    "libm implementations cannot reorder ranks. Scale shape: per-doc "
+    "term counts are computed ROW-LOCALLY (array_distinct + filter-count "
+    "inside a bound transform — no explode+groupBy, so the raw token "
+    "stream never shuffles); the (doc,term,tf) table is persisted and "
+    "reused for the df aggregation (map-side combined to vocabulary "
+    "size, skew-safe on hot terms — a df-via-window would buffer an "
+    "entire stopword partition), AQE broadcasts the vocab-sized df side "
+    "back onto tf, and WindowGroupLimit prunes to 3 rows per doc before "
+    "the one large exchange. N arrives as a broadcast 1-row cross join, "
+    "keeping the whole plan lazy (no driver-side count action).",
 )
 def u10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.text import clean_text
 
+    from ..functions.text import term_counts
+
     docs = _t(spark, sf_dir, "documents")["documents"]
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(clean_text(F.col("text")), r"\s+")).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    toks_arr = F.array_remove(F.split(clean_text(F.col("text")), r"\s+"), "")
+    tf = (
+        docs.select("doc_id", F.explode(term_counts(toks_arr)).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").cast("long").alias("tf"),
+        )
+        .persist()
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "term")
@@ -676,18 +688,18 @@ def u6_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT doc_id, unnest({SQL_TOKS.format(col='text')}) AS tok FROM documents
     ),
-    freq AS (
-      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS ctf FROM tok GROUP BY doc_id, tok
     ),
-    tot AS (SELECT sum(c) AS n FROM freq),
-    scored AS (
-      SELECT t.doc_id, ln(f.c * 1.0 / tot.n) AS lp
-      FROM tok t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
-    )
+    freq AS (
+      SELECT tok, sum(ctf) AS c FROM cnt GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS n FROM freq)
     SELECT doc_id,
-           round(avg(lp), 6) AS mean_logprob,
-           CAST(count(*) AS BIGINT) AS n_tokens
-    FROM scored GROUP BY doc_id
+           round(sum(ctf * ln(c * 1.0 / n)) / sum(ctf), 6) AS mean_logprob,
+           CAST(sum(ctf) AS BIGINT) AS n_tokens
+    FROM cnt JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
     """,
     doc="Perplexity-proxy quality score without an external LM: the "
     "corpus's own unigram distribution scores each document's mean "
@@ -695,26 +707,40 @@ def u6_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filtering ladder (unigram → KenLM → neural LM), and the only tier "
     "that is self-contained and oracle-checkable. Docs far below the "
     "corpus-typical mean are token soup; far above are boilerplate "
-    "(only ultra-common tokens). Two shuffles: the unigram count "
-    "(vocabulary-sized state) and the per-doc regroup; the frequency "
-    "table joins back in — at real vocabulary sizes Catalyst/AQE "
-    "broadcast it while the corpus side stays put.",
+    "(only ultra-common tokens). Scale shape: per-row run-length term "
+    "counts (term_counts — no explode of the raw token stream), so the "
+    "unigram table aggregates (doc,term) rows instead of every token "
+    "occurrence, and the frequency join touches the same compact rows "
+    "— the weighted mean Σtf·ln(c/N)/Σtf equals the per-token mean, "
+    "with the oracle computing the IDENTICAL weighted algebra. "
+    "Exchanges: the vocab-sized freq agg (AQE-broadcast back) and the "
+    "per-doc regroup of (doc,term) rows.",
 )
 def u11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import term_counts
+
     docs = _t(spark, sf_dir, "documents")["documents"]
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    cnt = (
+        docs.select("doc_id", F.explode(term_counts(tokens(F.col("text")))).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.term").alias("tok"),
+            F.col("p.tf").cast("long").alias("ctf"),
+        )
+        .persist()
     )
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    freq = cnt.groupBy("tok").agg(F.sum("ctf").alias("c"))
     tot = freq.agg(F.sum("c").alias("n"))
     return (
-        tok.join(freq, "tok")
+        cnt.join(freq, "tok")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg("lp"), 6).alias("mean_logprob"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("ctf") * F.log(F.col("c") / F.col("n"))) / F.sum("ctf"),
+                6,
+            ).alias("mean_logprob"),
+            F.sum("ctf").alias("n_tokens"),
         )
     )
 
@@ -729,41 +755,58 @@ def u11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (
       SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
     ),
-    tot AS (
-      SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id
+    agg AS (
+      SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS slc FROM cnt GROUP BY doc_id
     )
-    SELECT cnt.doc_id,
-           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy,
-           CAST(max(n) AS BIGINT) AS n_tokens
-    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
-    GROUP BY cnt.doc_id
+    SELECT doc_id,
+           round(ln(n) - slc / n, 6) AS entropy,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM agg
     """,
     doc="Shannon entropy of each document's token distribution — the "
     "quality signal orthogonal to length and stopword ratios: "
     "copy-paste loops and keyword stuffing score LOW (mass on few "
     "tokens) even when length and alpha-ratio gates pass, and "
-    "high-entropy outliers are often multilingual soup. One (doc, "
-    "token) grouped count, a per-doc total via a second partial agg, "
-    "entropy from the joined frequencies — all map-side combinable, "
-    "no per-doc state beyond the running sum.",
+    "high-entropy outliers are often multilingual soup. ZERO-shuffle "
+    "plan: per-row run-length term counts (term_counts — sort + run "
+    "boundaries, O(n log n) inside the row) feed the closed form "
+    "H = ln(n) - Σc·ln(c)/n as a pure array fold, so per-doc entropy "
+    "over a 100 TB corpus is one narrow map stage — no explode, no "
+    "(doc,token) exchange, nothing leaves its partition. Both engines "
+    "evaluate the SAME closed-form algebra (the oracle mirrors it) so "
+    "rounding at 6 decimals agrees.",
 )
 def u6_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import term_counts
+
     docs = _t(spark, sf_dir, "documents")["documents"]
-    cnt = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    p = F.col("c") / F.col("n")
-    return (
-        cnt.join(tot, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
-            F.max("n").alias("n_tokens"),
-        )
-    )
+    # Bound chain: term_counts evaluates ONCE (transform-array binding),
+    # its aggregates once, and the two output columns come out of a
+    # single inline() Generate — emitting them as two select exprs would
+    # duplicate the whole tree per column (CSE stops at HOF boundaries).
+    tc = term_counts(tokens(F.col("text")))
+    stats = F.transform(
+        F.array(tc),
+        lambda pairs: F.struct(
+            F.aggregate(pairs, F.lit(0), lambda acc, p: acc + p["tf"]).alias("n"),
+            F.aggregate(
+                pairs,
+                F.lit(0.0),
+                lambda acc, p: acc
+                + p["tf"].cast("double") * F.log(p["tf"].cast("double")),
+            ).alias("slc"),
+        ),
+    )[0]
+    row = F.transform(
+        F.array(stats),
+        lambda s: F.struct(
+            F.round(F.log(s["n"].cast("double")) - s["slc"] / s["n"], 6).alias(
+                "entropy"
+            ),
+            s["n"].cast("long").alias("n_tokens"),
+        ),
+    )[0]
+    return docs.select("doc_id", F.inline(F.array(row)))
 
 
 @register(
