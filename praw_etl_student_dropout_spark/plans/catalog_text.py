@@ -484,9 +484,9 @@ def u6_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the rank window orders by the ROUNDED score (identical on both "
     "engines) with a term tiebreak — last-ulp ln() differences between "
     "libm implementations cannot reorder ranks. Scale shape: per-doc "
-    "term counts are computed ROW-LOCALLY (array_distinct + filter-count "
-    "inside a bound transform — no explode+groupBy, so the raw token "
-    "stream never shuffles); the (doc,term,tf) table is persisted and "
+    "term counts are computed ROW-LOCALLY (term_counts: sorted-run "
+    "lengths inside bound transforms — no explode+groupBy, so the raw "
+    "token stream never shuffles); the (doc,term,tf) table is persisted and "
     "reused for the df aggregation (map-side combined to vocabulary "
     "size, skew-safe on hot terms — a df-via-window would buffer an "
     "entire stopword partition), AQE broadcasts the vocab-sized df side "
