@@ -93,6 +93,13 @@ register(
 # (mirror functions/text.py exactly; used by several oracles)
 SQL_CLEAN = r"trim(lower(regexp_replace({col}, 'http\S+|www\S+|[^a-zA-Z\s]', '', 'g')))"
 SQL_TOKS = r"regexp_split_to_array(trim({col}), '\s+')"
+# Twin of functions/text.py::token_count — 0 for blank text, where a bare
+# len(SQL_TOKS) counts the [''] split artifact as one token. Use this in
+# every oracle whose Spark side counts tokens via token_count().
+SQL_TOKEN_COUNT = (
+    r"CASE WHEN trim({col}) = '' THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim({col}), '\s+')) END"
+)
 
 
 def _sql_hits(toks: str, words: list[str]) -> str:
@@ -4236,7 +4243,10 @@ def a26_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(sum(l_discount * l_tax), 4) AS sdt
       FROM lineitem
     )
-    SELECT pair, round(num / sqrt(den_a * den_b), 6) AS corr FROM (
+    SELECT pair,
+           round(CASE WHEN den_a > 0 AND den_b > 0
+                 THEN num / sqrt(den_a * den_b) ELSE 0.0 END, 6) AS corr
+    FROM (
       SELECT 'quantity~discount' AS pair,
              n * sqd - sq * sd AS num,
              n * sqq - sq * sq AS den_a, n * sdd - sd * sd AS den_b FROM s
@@ -4277,9 +4287,16 @@ def a27_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = n * F.col(sxy) - F.col(sx) * F.col(sy)
         den_a = n * F.col(sxx) - F.col(sx) * F.col(sx)
         den_b = n * F.col(syy) - F.col(sy) * F.col(sy)
+        # Zero-variance guard (w9/a21 convention): without it Spark's
+        # non-ANSI 0/0 yields NULL where DuckDB's IEEE path yields NaN.
         return s.select(
             F.lit(name).alias("pair"),
-            F.round(num / F.sqrt(den_a * den_b), 6).alias("corr"),
+            F.round(
+                F.when(
+                    (den_a > 0) & (den_b > 0), num / F.sqrt(den_a * den_b)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("corr"),
         )
 
     return (

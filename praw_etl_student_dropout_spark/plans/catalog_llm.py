@@ -28,7 +28,7 @@ from ..operators.similarity import (
     ivf_topk,
     sample_centroids,
 )
-from .catalog import SQL_CLEAN, SQL_TOKS, _t, register
+from .catalog import SQL_CLEAN, SQL_TOKEN_COUNT, SQL_TOKS, _t, register
 
 # DuckDB mirror of dedup.word_shingles: distinct word n-grams (n=3),
 # whole-text shingle for short docs.
@@ -868,15 +868,18 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_src AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len({SQL_TOKS.format(col='text')})) AS BIGINT) AS n_tokens
+             CAST(sum({SQL_TOKEN_COUNT.format(col='text')}) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     tot AS (SELECT count(*) AS n_sources FROM per_src)
     SELECT source, n_docs, n_tokens,
            CAST(500000.0 / n_sources AS DOUBLE) AS target_tokens,
-           round(CAST(least(1.0, (500000.0 / n_sources) / n_tokens) AS DOUBLE), 6)
-             AS sample_rate,
-           round(CAST((500000.0 / n_sources) / n_tokens AS DOUBLE), 6) AS epochs
+           round(CAST(CASE WHEN n_tokens > 0
+                 THEN least(1.0, (500000.0 / n_sources) / n_tokens)
+                 ELSE 0.0 END AS DOUBLE), 6) AS sample_rate,
+           round(CAST(CASE WHEN n_tokens > 0
+                 THEN (500000.0 / n_sources) / n_tokens
+                 ELSE 0.0 END AS DOUBLE), 6) AS epochs
     FROM per_src CROSS JOIN tot
     """,
     doc="Mixture/epoch planning for a token budget: per-source token "
@@ -909,10 +912,21 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             target.alias("target_tokens"),
-            F.round(F.least(F.lit(1.0), target / F.col("n_tokens")), 6).alias(
-                "sample_rate"
-            ),
-            F.round(target / F.col("n_tokens"), 6).alias("epochs"),
+            # Zero-token-source guard (w9/a21 convention): Spark's
+            # non-ANSI x/0 yields NULL where DuckDB yields Inf.
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.least(F.lit(1.0), target / F.col("n_tokens")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("sample_rate"),
+            F.round(
+                F.when(F.col("n_tokens") > 0, target / F.col("n_tokens")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("epochs"),
         )
     )
 

@@ -21,7 +21,7 @@ from ..functions.text import (
 )
 from ..operators.etl import build_dim, build_fact
 from ..operators.joins import asof_join, range_bucket_join
-from .catalog import SQL_CLEAN, SQL_TOKS, _sql_hits, _t, register
+from .catalog import SQL_CLEAN, SQL_TOKEN_COUNT, SQL_TOKS, _sql_hits, _t, register
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -822,7 +822,7 @@ def u6_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_low_quality,
            CAST(count(*) FILTER (WHERE l.lang_guess = 'und') AS BIGINT)
              AS n_lang_unknown,
-           round(avg(len({SQL_TOKS.format(col='d.text')})), 6) AS avg_tokens
+           round(avg({SQL_TOKEN_COUNT.format(col='d.text')}), 6) AS avg_tokens
     FROM documents d
     JOIN q ON d.doc_id = q.doc_id
     JOIN l ON d.doc_id = l.doc_id

@@ -402,3 +402,108 @@ def test_heavy_hitters_exact_boundary_count(spark):
     df = spark.createDataFrame(rows, "k string").repartition(8)
     got = {r.k: r.cnt for r in heavy_hitters(df, "k", support=0.2).collect()}
     assert got == {"edge": 20}
+
+
+def test_term_counts_equals_explode_groupby(spark, sf_dir):
+    """term_counts (row-local sorted-run lengths) must equal the
+    explode+groupBy term frequencies on the real corpus, and handle the
+    degenerate rows (empty array, single token, all-same tokens)."""
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.functions.text import term_counts, tokens
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    via_rle = docs.select(
+        "doc_id", F.explode(term_counts(tokens(F.col("text")))).alias("p")
+    ).select("doc_id", "p.term", F.col("p.tf").cast("long").alias("tf"))
+    via_shuffle = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    assert via_rle.exceptAll(via_shuffle).count() == 0
+    assert via_shuffle.exceptAll(via_rle).count() == 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, []),                      # empty → no rows
+            (2, ["a"]),                   # single token
+            (3, ["x", "x", "x"]),         # one run
+            (4, ["b", "a", "b", "a"]),    # interleaved
+        ],
+        "id int, toks array<string>",
+    )
+    got = {
+        (r.id, r.term): r.tf
+        for r in edge.select(
+            "id", F.explode(term_counts(F.col("toks"))).alias("p")
+        ).select("id", "p.term", "p.tf").collect()
+    }
+    assert got == {(2, "a"): 1, (3, "x"): 3, (4, "a"): 2, (4, "b"): 2}
+    # empty array yields an empty (non-null) pair array
+    empties = edge.filter(F.col("id") == 1).select(
+        F.size(term_counts(F.col("toks"))).alias("n")
+    ).first()
+    assert empties.n == 0
+
+
+def test_degenerate_division_guards_agree_with_duckdb(spark, tmp_path):
+    """The w9/a21 guard convention, proven on data that actually TRIPS
+    the guards: a zero-variance lineitem (a27 correlations undefined)
+    and a zero-token documents source (mixture plan rate undefined).
+    Both engines must emit the same guarded 0.0 rather than Spark NULL
+    vs DuckDB Inf/NaN."""
+    import duckdb
+
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    cat = catalog_all()
+    sf = str(tmp_path)
+    import datetime
+
+    # zero-variance measures: every l_discount/l_tax identical
+    ship = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, 1, 1, 1, float(i % 3 + 1), 100.0, 0.05, 0.02, "N", "O", ship)
+            for i in range(20)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    # one source entirely blank → n_tokens = 0 for that source
+    spark.createDataFrame(
+        [(1, "", "en", "empty_src", 0), (2, "real text here", "en", "web", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    for t in ("lineitem", "documents"):
+        # Spark writes a part-file directory; glob inside it for DuckDB
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'"
+        )
+
+    for name in ("a27_corr_matrix", "llm_mixture_plan"):
+        spec = cat[name]
+        sdf = spec.builder(spark, sf)
+        got = {
+            tuple(None if v is None else round(v, 6) if isinstance(v, float) else v
+                  for v in row)
+            for row in (tuple(r) for r in sdf.collect())
+        }
+        want = {
+            tuple(None if v is None else round(v, 6) if isinstance(v, float) else v
+                  for v in row)
+            for row in con.execute(spec.oracle).fetchall()
+        }
+        assert got == want, f"{name}: {got} != {want}"
+        # guards actually fired: no NULL/NaN/Inf anywhere
+        for row in got:
+            for v in row:
+                assert v is not None
+                if isinstance(v, float):
+                    assert v == v and abs(v) != float("inf")

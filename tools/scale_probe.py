@@ -61,6 +61,8 @@ PROBE_QUERIES = [
     "q23_market_basket",     # orderkey-keyed self-join: pairs bounded by basket size
     "d3_ngram_jaccard_capped",  # inverted-index similarity join, DF-capped
     "d3_jaccard_prefix",     # prefix-filtered similarity join (lossless)
+    "u10_tfidf_topterms",    # row-local tf + vocab-broadcast df (round-4 shape)
+    "u6_token_entropy",      # zero-shuffle closed-form entropy (round-4 shape)
 ]
 
 
