@@ -102,20 +102,30 @@ def sample_centroids(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> DataFrame:
-    """Deterministic centroid seed set: every (n/k)-th vector by id.
+    """Deterministic centroid seed set: the ``num_centroids`` vectors
+    with the smallest md5(id) — a reproducible hash-spread sample.
 
-    A k-means refinement pass can replace this without changing the
-    query path; determinism matters more than centroid quality for
-    reproducible tests.
+    Id-type agnostic (sparse, offset, or string ids all yield exactly
+    min(n, k) centroids, where id%stride arithmetic could yield few or
+    NONE and silently empty every downstream probe) and scale-safe:
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-k, driver merge of k rows), never a global sort. A k-means
+    refinement pass can replace this without changing the query path;
+    determinism matters more than centroid quality for reproducible
+    tests.
     """
-    n = corpus.count()
-    stride = max(n // num_centroids, 1)
-    return (
-        corpus.filter((F.col(corpus_id) % stride == 0) & (F.col(corpus_id) / stride < num_centroids))
-        .select(
-            (F.col(corpus_id) / stride).cast("int").alias("centroid_id"),
-            F.col(corpus_vec).alias("centroid_vec"),
+    seeds = (
+        corpus.select(
+            F.col(corpus_vec),
+            F.md5(F.col(corpus_id).cast("string")).alias("__h"),
         )
+        .orderBy("__h")
+        .limit(num_centroids)
+    )
+    w = Window.orderBy("__h")  # k-row frame: the window is driver-trivial
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("centroid_id"),
+        F.col(corpus_vec).alias("centroid_vec"),
     )
 
 

@@ -291,3 +291,31 @@ def test_pq_train_id_robust_seeding(spark):
         pq_train(empty, m=4, k=8)
     with pytest.raises(ValueError, match="empty corpus"):
         pq_train(empty, m=4, k=8, dim=8)
+
+
+def test_sample_centroids_id_robust(spark):
+    """Hash-spread centroid seeding must yield exactly min(n,k) centroids
+    for sparse, offset, and string ids — id%stride arithmetic could
+    yield zero and silently empty every downstream probe."""
+    import random
+
+    from praw_etl_student_dropout_spark.operators.similarity import sample_centroids
+
+    rng = random.Random(3)
+    vecs = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(30)]
+    sparse = spark.createDataFrame(
+        [(7_000_001 + 13 * i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    c = sample_centroids(sparse, 8)
+    rows = c.collect()
+    assert sorted(r.centroid_id for r in rows) == list(range(8))
+    assert rows == sample_centroids(sparse, 8).collect()  # deterministic
+
+    s = spark.createDataFrame(
+        [(f"v{i}", v) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<double>",
+    )
+    assert sample_centroids(s, 8).count() == 8
+    # n < k: every row becomes a centroid
+    assert sample_centroids(sparse.limit(3), 8).count() == 3
