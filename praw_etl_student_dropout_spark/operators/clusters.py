@@ -24,11 +24,18 @@ def connected_components(
 ) -> DataFrame:
     """Label every vertex with its component id (the component's min id).
 
-    Iterates ``comp(v) = min(comp(v), min over neighbors comp(u))`` to a
-    fixpoint. Each round materializes via ``localCheckpoint`` to cut the
-    join-loop lineage (on a cluster with executor churn, swap in a
-    reliable ``checkpoint`` dir); convergence is detected by counting
-    changed labels, so the loop runs diameter+1 rounds, not ``max_iter``.
+    Each round combines neighbor-min propagation
+    ``comp(v) = min(comp(v), min over neighbors comp(u))`` with a
+    POINTER JUMP ``comp(v) = comp(comp(v))`` — the jump halves label-
+    chain depth per round, so convergence takes O(log diameter) rounds
+    instead of O(diameter); without it a near-dup CHAIN longer than
+    ``max_iter`` (drifting boilerplate) would silently mislabel. Each
+    round materializes via ``localCheckpoint`` to cut the join-loop
+    lineage (on a cluster with executor churn, swap in a reliable
+    ``checkpoint`` dir); convergence is detected by counting changed
+    labels. A graph that somehow fails to converge within ``max_iter``
+    (2^max_iter effective diameter) raises instead of returning wrong
+    components.
 
     Returns (id, comp).
     """
@@ -47,12 +54,22 @@ def connected_components(
             .groupBy("b")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["b"], "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: follow the label's own label (vertex-sized join)
+        parent = labels.select(
+            F.col("id").alias("__pid"), F.col("comp").alias("__pcomp")
+        )
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["b"], "left")
+            stepped.join(parent, stepped["comp"] == parent["__pid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("__pcomp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
@@ -65,8 +82,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (effective diameter covered is ~2^max_iter)"
+    )
 
 
 def dup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:

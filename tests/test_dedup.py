@@ -382,3 +382,21 @@ def test_minhash_cap_preserves_normal_pairs(spark, sf_dir):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A duplicate CHAIN longer than the round budget (drifting
+    boilerplate: a~b~c~...) must still collapse to one component —
+    pointer jumping gives O(log diameter) rounds; plain neighbor-min
+    would need diameter rounds and silently mislabel."""
+    from praw_etl_student_dropout_spark.operators.clusters import (
+        connected_components,
+    )
+
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components(edges, max_iter=12)  # 2^12 >> 120
+    assert {r.comp for r in out.collect()} == {0}
+    assert out.count() == n
