@@ -945,15 +945,17 @@ def p6_p8_cast_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
-           strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S')
-             AS ts_formatted,
+           strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS ts_formatted,
            CAST(year(ts) AS INT) AS y
     FROM events
     WHERE event_id < 1000
     """,
     doc="Epoch seconds round-trip + date formatting (datetime.fromtimestamp "
-    "etl_pipeline.py:54; strftime backup naming etl_pipeline.py:68), "
-    "session-pinned UTC so both engines agree.",
+    "etl_pipeline.py:54; strftime backup naming etl_pipeline.py:68). The "
+    "oracle builds a NAIVE timestamp from epoch micros (make_timestamp) "
+    "rather than to_timestamp, whose TIMESTAMPTZ renders in DuckDB's "
+    "session timezone — host-tz-proof, matching Spark's UTC session.",
 )
 def f4_f6_epoch_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]

@@ -46,18 +46,9 @@ O = E.oracle_sql()
 
 
 import datetime as _dt
-import time as _time
-
-if _time.timezone != 0:
-    # PySpark's non-Arrow collect() converts timestamps via the SYSTEM
-    # timezone (not the session tz), while DuckDB returns UTC-naive
-    # datetimes — on a non-UTC host the two diverge by the UTC offset
-    # and every timestamp comparison below is unreliable.
-    print("WARNING: system timezone is not UTC; timestamp comparisons "
-          "may differ by the UTC offset (run with TZ=UTC)")
 
 
-def canon(rows, cols):
+def canon(rows, cols, naive_is_local=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -74,11 +65,20 @@ def canon(rows, cols):
                 # comparison here — don't add one without updating this.
                 vals.append(f"{round(v, 6):.6f}")
             elif isinstance(v, _dt.datetime):
-                # epoch micros, naive treated as UTC: tz-representation-
-                # proof (DuckDB returns UTC-naive; Spark attaches the
-                # session tz on Arrow paths).
-                ts = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
-                vals.append(str(int(ts.timestamp() * 1_000_000)))
+                # Canonicalize to epoch micros. The naive-datetime tz
+                # interpretation differs BY ENGINE: PySpark's non-Arrow
+                # collect() builds naive datetimes via the SYSTEM-local
+                # fromtimestamp (naive_is_local=True recovers the true
+                # epoch via local .timestamp()), while DuckDB returns
+                # UTC-naive wall times. Handling each correctly makes the
+                # comparison hold under any host TZ, not just UTC.
+                if v.tzinfo is not None:
+                    epoch = v.timestamp()
+                elif naive_is_local:
+                    epoch = v.timestamp()  # local interpretation
+                else:
+                    epoch = v.replace(tzinfo=_dt.timezone.utc).timestamp()
+                vals.append(str(int(epoch * 1_000_000)))
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
@@ -108,7 +108,7 @@ for name in names:
     ocols = [d[0] for d in rel.description]
     orows = rel.fetchall()
     ok_cols = sorted(scols) == sorted(ocols)
-    ok_vals = canon(srows, scols) == canon(orows, ocols)
+    ok_vals = canon(srows, scols, naive_is_local=True) == canon(orows, ocols)
     status = "OK" if (ok_cols and ok_vals) else "MISMATCH"
     print(f"{name}: spark={len(srows)} oracle={len(orows)} cols_match={ok_cols} vals_match={ok_vals} {status}")
     if status != "OK":
