@@ -35,8 +35,16 @@ def duck_con() -> duckdb.DuckDBPyConnection:
     return con
 
 
-def normalize(rows: list[tuple], cols: list[str]):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+def normalize(rows: list[tuple], cols: list[str], naive_is_local: bool = False):
+    """Order-insensitive canonical form: sort columns by name, then rows.
+
+    ``naive_is_local``: naive datetimes from PySpark's non-Arrow collect()
+    are SYSTEM-local wall times (fromtimestamp), DuckDB's are UTC wall
+    times — canonicalize each to epoch micros so the comparison holds on
+    any host timezone (same convention as tools/driver_harness.py).
+    """
+    import datetime as _dt
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def canon(v):
@@ -48,6 +56,12 @@ def normalize(rows: list[tuple], cols: list[str]):
             return ("b", v)
         if v is None:
             return ("n",)
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None or naive_is_local:
+                epoch = v.timestamp()
+            else:
+                epoch = v.replace(tzinfo=_dt.timezone.utc).timestamp()
+            return ("ts", str(int(epoch * 1_000_000)))
         return (type(v).__name__, str(v))
 
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
@@ -150,7 +164,7 @@ def main() -> int:
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if not problems:
-            a = normalize(s_rows, s_cols)
+            a = normalize(s_rows, s_cols, naive_is_local=True)
             b = normalize(d_rows, d_cols)
             if a != b:
                 fd = float_diff(a, b)
