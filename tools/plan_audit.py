@@ -68,6 +68,13 @@ EXPECTED_GLOBAL_WINDOW = {
     "etl_star_schema",       # same surrogate-key windows (operators/etl.py:29,49)
     "a28_chi_square",        # sum() OVER () on the contingency-cell frame (types×2)
     "a31_contribution_shares",  # grand-total window on (region,nation) frame (≤25)
+    # sample_centroids assigns centroid ids with row_number over the
+    # post-limit(k) seed frame — ≤ num_centroids rows by construction
+    # (similarity.py), the codebook-sized exception the pack-offsets
+    # entries above also are.
+    "u7_knn_ivf",
+    "u7_kmeans_ivf",
+    "u7_ivfpq_topk",
 }
 
 
