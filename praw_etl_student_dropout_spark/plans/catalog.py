@@ -3424,7 +3424,8 @@ def a21_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
     # Degenerate-group guard (n<=1 or zero x/y variance): emit 0.0 on
-    # BOTH engines — Spark's non-ANSI division would yield NULL where
+    # BOTH engines — Spark's division by zero ERRORS under ANSI (the
+    # Spark 4 default) or yields NULL non-ANSI, where
     # DuckDB's IEEE float path yields ±Inf (same guard as w10).
     ok_x = (n > 1) & (n * sxx > sx * sx)
     ok_xy = ok_x & (n * syy > sy * sy)
@@ -3894,7 +3895,8 @@ def w8_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any accumulation order (segment-tree or sequential), so the "
     "normalization algebra is one deterministic IEEE tree on both "
     "engines. Degenerate groups (single row or zero variance) emit z=0 "
-    "on BOTH engines — without the guard Spark's non-ANSI division "
+    "on BOTH engines — without the guard Spark's division errors "
+    "under ANSI (Spark 4 default) or "
     "yields NULL where DuckDB's IEEE path yields ±Inf (same guard as "
     "w10). Per-group constants ride the same single shuffle as the "
     "row output — no separate aggregate+join round trip; at corpus "
@@ -4290,7 +4292,8 @@ def a27_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         den_a = n * F.col(sxx) - F.col(sx) * F.col(sx)
         den_b = n * F.col(syy) - F.col(sy) * F.col(sy)
         # Zero-variance guard (w9/a21 convention): without it Spark's
-        # non-ANSI 0/0 yields NULL where DuckDB's IEEE path yields NaN.
+        # 0/0 errors under ANSI (Spark 4 default) or yields NULL
+        # non-ANSI, where DuckDB's IEEE path yields NaN.
         return s.select(
             F.lit(name).alias("pair"),
             F.round(

@@ -913,7 +913,8 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             target.alias("target_tokens"),
             # Zero-token-source guard (w9/a21 convention): Spark's
-            # non-ANSI x/0 yields NULL where DuckDB yields Inf.
+            # division by zero ERRORS under ANSI (Spark 4 default)
+            # or yields NULL non-ANSI, where DuckDB yields Inf.
             F.round(
                 F.when(
                     F.col("n_tokens") > 0,
