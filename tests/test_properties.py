@@ -462,13 +462,21 @@ def test_degenerate_division_guards_agree_with_duckdb(spark, tmp_path):
     sf = str(tmp_path)
     import datetime
 
-    # zero-variance measures: every l_discount/l_tax identical
+    # zero-variance measures: every l_discount/l_tax identical; plus a
+    # SINGLE-ROW returnflag group ('R') and a constant-quantity group
+    # ('A') so the w9/a21 n>1-and-variance guards actually trip
     ship = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, 1, 1, float(i % 3 + 1), 100.0, 0.05, 0.02, "N", "O", ship)
+        for i in range(20)
+    ]
+    rows.append((100, 1, 1, 1, 7.0, 100.0, 0.05, 0.02, "R", "O", ship))
+    rows += [
+        (200 + i, 1, 1, 1, 4.0, 100.0, 0.05, 0.02, "A", "F", ship)
+        for i in range(5)
+    ]
     spark.createDataFrame(
-        [
-            (i, 1, 1, 1, float(i % 3 + 1), 100.0, 0.05, 0.02, "N", "O", ship)
-            for i in range(20)
-        ],
+        rows,
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
         "l_quantity double, l_extendedprice double, l_discount double, "
         "l_tax double, l_returnflag string, l_linestatus string, "
@@ -487,7 +495,12 @@ def test_degenerate_division_guards_agree_with_duckdb(spark, tmp_path):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'"
         )
 
-    for name in ("a27_corr_matrix", "llm_mixture_plan"):
+    for name in (
+        "a27_corr_matrix",
+        "llm_mixture_plan",
+        "w9_zscore_normalize",
+        "a21_regr_family",
+    ):
         spec = cat[name]
         sdf = spec.builder(spark, sf)
         got = {
