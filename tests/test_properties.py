@@ -520,3 +520,72 @@ def test_degenerate_division_guards_agree_with_duckdb(spark, tmp_path):
                 assert v is not None
                 if isinstance(v, float):
                     assert v == v and abs(v) != float("inf")
+
+
+@given(
+    toks=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "", "a b", "Ω"]), max_size=12),
+        min_size=0,
+        max_size=10,
+    )
+)
+@SET
+def test_term_counts_matches_python_counter(spark, toks):
+    """Generative twin of the fixture equivalence test: term_counts must
+    equal collections.Counter on arbitrary token arrays, including empty
+    arrays, empty-string tokens, multi-word strings, and non-ASCII."""
+    from collections import Counter
+
+    from praw_etl_student_dropout_spark.functions.text import term_counts
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = (
+        spark.createDataFrame(rows, "id int, toks array<string>")
+        if rows
+        else spark.createDataFrame([], "id int, toks array<string>")
+    )
+    got = {}
+    for r in df.select(
+        "id", F.explode(term_counts(F.col("toks"))).alias("p")
+    ).collect():
+        got.setdefault(r.id, {})[r.p.term] = r.p.tf
+    want = {i: dict(Counter(t)) for i, t in enumerate(toks) if t}
+    assert got == want
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),               # key
+            st.sampled_from(["I", "U", "D"]),                    # op
+            st.integers(min_value=-100, max_value=100),          # payload
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@SET
+def test_changelog_compact_replay_equivalence_generative(spark, log):
+    """For ANY op sequence: applying the compacted changelog to an empty
+    replica produces the same final state as replaying the full log."""
+    from praw_etl_student_dropout_spark.operators.etl import changelog_compact
+
+    rows = [(k, i, op, p) for i, (k, op, p) in enumerate(log)]
+    df = (
+        spark.createDataFrame(rows, "k int, seq int, op string, p int")
+        if rows
+        else spark.createDataFrame([], "k int, seq int, op string, p int")
+    )
+    # naive replay
+    state: dict[int, int] = {}
+    for k, seq, op, p in rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = p
+    # compacted apply: D deletes (no-op on empty), I/U upsert last payload
+    compact_state: dict[int, int] = {}
+    for r in changelog_compact(df, "k", ["seq"]).collect():
+        if r.net_op != "D":
+            compact_state[r.k] = r.p
+    assert compact_state == state
