@@ -67,3 +67,23 @@ def test_approx_percentile_within_bounds(spark):
     df = entry_mod.queries()["a12_approx_percentiles"](spark, "/root/testdata/sf0.01")
     for r in df.collect():
         assert abs(r.approx_median - r.exact_median) <= max(0.05 * r.exact_median, 1.0), r
+
+
+def test_graded_prefix_pins_first_50_oracle_backed():
+    """The driver grades the first 50 queries() slots. GRADED_PREFIX must
+    (a) hold exactly 50 names, (b) every name resolvable in the registry
+    (a renamed/removed query would silently slide a rows-only entry into
+    the graded window), (c) every one oracle-backed, and (d) actually BE
+    the catalog's first 50 in iteration order."""
+    from praw_etl_student_dropout_spark.plans import GRADED_PREFIX, catalog_all
+
+    cat = catalog_all()
+    assert len(GRADED_PREFIX) == 50
+    missing = [n for n in GRADED_PREFIX if n not in cat]
+    assert not missing, f"GRADED_PREFIX names not in registry: {missing}"
+    rows_only = [n for n in GRADED_PREFIX if cat[n].oracle is None]
+    assert not rows_only, f"rows-only queries in the graded window: {rows_only}"
+    assert list(cat)[:50] == GRADED_PREFIX
+    # the LLM-pipeline mandate stays visible to the hard signal
+    llm = {n for n in GRADED_PREFIX if n.startswith(("llm_", "d3_", "u6_", "u7_", "u8_", "u10_", "multimodal"))}
+    assert len(llm) >= 10, f"only {len(llm)} LLM-pipeline queries graded"
