@@ -175,7 +175,10 @@ def minhash_hot_buckets(
     (candidate pairs the cap refuses to materialize). Run alongside a
     capped :func:`minhash_dedup_pairs` so truncation is REPORTED, never
     silent — a huge dropped mass means the corpus still carries exact
-    duplicates and :func:`exact_dedup` must run first."""
+    duplicates and :func:`exact_dedup` must run first. Cost note: this
+    rebuilds the banded index (one extra corpus pass); at scale, write
+    the index out once and point both the pair join and this report at
+    the stored table."""
     banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
     sz = F.col("bucket_size")
     return (
@@ -216,7 +219,11 @@ def minhash_dedup_pairs(
     surviving near-dup buckets are genuinely small; capping then only
     sheds pathological boilerplate clusters, never normal near-dups.
     """
-    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # The banded table is the LSH index: persist BEFORE deriving the
+    # hot-bucket set so the signature pipeline materializes exactly once
+    # — the bucket-size aggregation, and both sides of the candidate
+    # self-join, all read the same cached index.
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n).persist()
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "band_sig")
@@ -225,10 +232,6 @@ def minhash_dedup_pairs(
             .select("band", "band_sig")
         )
         banded = banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
-    # The banded table is the LSH index: both sides of the candidate
-    # self-join and nothing else. Persist it so the signature pipeline
-    # runs once.
-    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     cands = (

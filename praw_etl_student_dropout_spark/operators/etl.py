@@ -93,30 +93,32 @@ def changelog_compact(
     - first=I          → net ``I`` carrying the LAST payload
     - otherwise        → net ``U`` carrying the LAST payload
 
-    One shuffle on the key; first/last rows come from min/max over a
-    struct with the order columns leading (the dedup_by_key trick), so
-    each column crosses the wire once and no per-key history is
-    buffered. EVERY non-key, non-op column rides in that struct — the
-    emitted I/U rows carry the last row's whole payload, not just the
-    order columns, so a generic CDC caller's value columns survive.
-    This is what keeps a replicated table's apply cost proportional to
-    DISTINCT keys touched, not events received — the log compaction
-    every changelog consumer (Kafka compacted topics, Debezium sinks,
-    lakehouse MERGE batching) performs before apply.
+    One shuffle on the key; first/last rows come from min_by/max_by
+    against the order-columns struct, so each column crosses the wire
+    once and no per-key history is buffered. EVERY non-key, non-op
+    column rides in the carried struct — the emitted I/U rows carry the
+    last row's whole payload, not just the order columns, so a generic
+    CDC caller's value columns survive; because only the ORDER columns
+    participate in comparison (min_by/max_by key), payload columns may
+    be any type, including non-orderable ones like maps. This is what
+    keeps a replicated table's apply cost proportional to DISTINCT keys
+    touched, not events received — the log compaction every changelog
+    consumer (Kafka compacted topics, Debezium sinks, lakehouse MERGE
+    batching) performs before apply.
     """
     from pyspark.sql import functions as F
 
     payload = [c for c in log.columns if c not in (key, op_col) and c not in order]
-    ordered = F.struct(
-        *[F.col(c) for c in order],
+    order_key = F.struct(*[F.col(c) for c in order])
+    carried = F.struct(
         F.col(op_col).alias("__op"),
-        *[F.col(c) for c in payload],
+        *[F.col(c) for c in order + payload],
     )
     per_key = log.groupBy(key).agg(
-        F.min(ordered).alias("__first"),
-        F.max(ordered).alias("__last"),
+        F.min_by(F.col(op_col), order_key).alias("__first_op"),
+        F.max_by(carried, order_key).alias("__last"),
     )
-    first_op = F.col("__first.__op")
+    first_op = F.col("__first_op")
     last_op = F.col("__last.__op")
     net = (
         F.when((first_op == "I") & (last_op == "D"), F.lit(None))

@@ -120,9 +120,12 @@ def heavy_hitters(df: DataFrame, key: str, support: float = 0.01) -> DataFrame:
     # evicted while the exact >= filter below would keep it. Running
     # candidate generation at a slightly lower support closes that
     # boundary — the candidate list stays driver-sized (~1/support).
+    # Clamp to freqItems' hard lower bound (its domain is [1e-4, 1]);
+    # at support == 1e-4 exactly, the boundary guarantee reverts to
+    # freqItems' strict-inequality contract.
     candidates = [
         c
-        for c in df.stat.freqItems([key], support * 0.99).first()[0]
+        for c in df.stat.freqItems([key], max(support * 0.99, 1e-4)).first()[0]
         if c is not None
     ]
     total = df.count()

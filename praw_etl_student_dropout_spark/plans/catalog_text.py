@@ -503,6 +503,9 @@ def u10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     toks_arr = F.array_remove(F.split(clean_text(F.col("text")), r"\s+"), "")
+    # NB: the persist is session-lifetime (no unpersist hook exists in a
+    # lazy builder); blocks are MEMORY_AND_DISK and LRU-evicted, so
+    # repeated invocations are bounded by the store, not additive.
     tf = (
         docs.select("doc_id", F.explode(term_counts(toks_arr)).alias("p"))
         .select(
@@ -720,6 +723,7 @@ def u11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import term_counts
 
     docs = _t(spark, sf_dir, "documents")["documents"]
+    # persist: session-lifetime, LRU-evicted (see u10's note)
     cnt = (
         docs.select("doc_id", F.explode(term_counts(tokens(F.col("text")))).alias("p"))
         .select(
@@ -784,6 +788,10 @@ def u6_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its aggregates once, and the two output columns come out of a
     # single inline() Generate — emitting them as two select exprs would
     # duplicate the whole tree per column (CSE stops at HOF boundaries).
+    # NULL text drops the doc (matches the oracle's unnest, which emits
+    # no rows for a NULL token array) — without the filter the inline()
+    # below would emit a (doc_id, NULL, NULL) row the oracle lacks.
+    docs = docs.filter(F.col("text").isNotNull())
     tc = term_counts(tokens(F.col("text")))
     stats = F.transform(
         F.array(tc),

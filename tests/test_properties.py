@@ -482,9 +482,14 @@ def test_degenerate_division_guards_agree_with_duckdb(spark, tmp_path):
         "l_tax double, l_returnflag string, l_linestatus string, "
         "l_shipdate timestamp",
     ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
-    # one source entirely blank → n_tokens = 0 for that source
+    # one source entirely blank → n_tokens = 0 for that source; one doc
+    # with NULL text → both engines must DROP it from per-doc outputs
     spark.createDataFrame(
-        [(1, "", "en", "empty_src", 0), (2, "real text here", "en", "web", 14)],
+        [
+            (1, "", "en", "empty_src", 0),
+            (2, "real text here", "en", "web", 14),
+            (3, None, "en", "web", 0),
+        ],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
 
@@ -500,6 +505,7 @@ def test_degenerate_division_guards_agree_with_duckdb(spark, tmp_path):
         "llm_mixture_plan",
         "w9_zscore_normalize",
         "a21_regr_family",
+        "u6_token_entropy",
     ):
         spec = cat[name]
         sdf = spec.builder(spark, sf)
@@ -589,3 +595,13 @@ def test_changelog_compact_replay_equivalence_generative(spark, log):
         if r.net_op != "D":
             compact_state[r.k] = r.p
     assert compact_state == state
+
+
+def test_heavy_hitters_minimum_support_boundary(spark):
+    """support=1e-4 (freqItems' hard domain floor) must work: the 0.99
+    candidate-widening is clamped to the floor instead of crashing."""
+    from praw_etl_student_dropout_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
+    got = {r.k: r.cnt for r in heavy_hitters(df, "k", support=1e-4).collect()}
+    assert got == {"a": 50, "b": 50}

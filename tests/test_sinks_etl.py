@@ -343,3 +343,25 @@ def test_changelog_compact_carries_payload_columns(spark):
     assert set(out.columns) == {"k", "net_op", "seq", "name", "val"}
     got = {r.k: (r.net_op, r.seq, r.name, r.val) for r in out.collect()}
     assert got == {1: ("I", 2, "b", 20.0), 4: ("U", 3, None, 2.5)}
+
+
+def test_changelog_compact_non_orderable_payload(spark):
+    """Map-typed payload columns must compact: only the ORDER columns
+    participate in comparison (min_by/max_by key), so payloads may be
+    any type — a min/max over a struct embedding the map would raise
+    INVALID_ORDERING_TYPE at plan time."""
+    from praw_etl_student_dropout_spark.operators.etl import changelog_compact
+
+    rows = [
+        (1, 1, "I", {"a": "1"}),
+        (1, 2, "U", {"b": "2"}),
+        (2, 1, "U", {"x": "9"}),
+    ]
+    log = spark.createDataFrame(
+        rows, "k int, seq int, op string, attrs map<string,string>"
+    )
+    got = {
+        r.k: (r.net_op, r.seq, dict(r.attrs))
+        for r in changelog_compact(log, "k", ["seq"]).collect()
+    }
+    assert got == {1: ("I", 2, {"b": "2"}), 2: ("U", 1, {"x": "9"})}
