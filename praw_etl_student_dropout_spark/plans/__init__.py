@@ -34,33 +34,47 @@ def catalog_all():
 #: LLM-data-pipeline surface (dedup, decontamination, text analysis,
 #: similarity, multimodal) so BOTH mandates are covered by the hard
 #: differential signal. Every name here is oracle-backed.
+#:
+#: Rotation history (VERDICT mandate: cycle never-graded entries through
+#: the hard signal each round while keeping every §2 operator family
+#: represented):
+#:   r4: slots 41-50 became the ten LLM-pipeline queries.
+#:   r5: swapped out ten long-stable slots (p3_regex_flag,
+#:       f5_year_extract, a1_group_count, a2_group_count_2key,
+#:       a8_distinct, j4_semi_join, d4_intersect, f9_from_json_struct,
+#:       a10_rollup, w2_lag_delta — all stayed green r1-r4 and their
+#:       families remain covered by other graded slots) for ten
+#:       never-driver-graded entries: q9_product_profit,
+#:       q10_returned_revenue, etl_scd2_dim, a16_stats_moments,
+#:       a24_salted_hot_key_agg, a25_incremental_agg, w5_rank_family,
+#:       f15_datetime_family, d3_dup_clusters, t6_gapfill_monthly.
 GRADED_PREFIX = [
     "flagship_star_pivot",
     "p1_project_clean",
-    "p3_regex_flag",
+    "q9_product_profit",
     "p7_case_bucket",
-    "f5_year_extract",
+    "q10_returned_revenue",
     "f9_json_extract",
-    "f9_from_json_struct",
+    "etl_scd2_dim",
     "f10_array_dot",
-    "a1_group_count",
-    "a2_group_count_2key",
+    "a16_stats_moments",
+    "a24_salted_hot_key_agg",
     "a4_q1_pricing_summary",
     "a6_insight_summary",
     "a7_mode",
-    "a8_distinct",
-    "a10_rollup",
+    "a25_incremental_agg",
+    "w5_rank_family",
     "j1_star_join_agg",
     "j2_surrogate_key_swap",
     "j3_anti_join",
     "j4_left_join",
-    "j4_semi_join",
+    "f15_datetime_family",
     "w1_topk_per_group",
-    "w2_lag_delta",
+    "d3_dup_clusters",
     "w3_running_sum",
     "t3_global_topk",
     "d2_dedup_by_key",
-    "d4_intersect",
+    "t6_gapfill_monthly",
     "p4_keyword_filter",
     "p6_p8_cast_fill",
     "f4_f6_epoch_datefmt",
