@@ -183,14 +183,24 @@ def term_counts(arr: Column) -> Column:
     inside a higher-order-function lambda is re-evaluated per element,
     so an unbound array_sort would run once per token (the lang_id
     lesson, measured 3x there).
+
+    NULL elements are dropped (``array_compact``) before counting: a
+    NULL token is not a term, and leaving it in would both break the
+    run-start comparison (``x != NULL`` is NULL, silently folding the
+    run into its neighbour) and emit a meaningless NULL-term row.
+    ``tokens()`` never yields NULLs, but this is a public helper.
     """
 
     def with_sorted(srt: Column) -> Column:
         n = F.size(srt)
+        # CASE WHEN, not `|`: conditional expressions evaluate only the
+        # taken branch, so element_at(srt, 0) — an ANSI-mode error — can
+        # never fire at i == 1 regardless of operand evaluation order.
         starts = F.filter(
             F.sequence(F.lit(1), n),
-            lambda i: (i == F.lit(1))
-            | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+            lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                F.element_at(srt, i) != F.element_at(srt, i - 1)
+            ),
         )
 
         def with_starts(st: Column) -> Column:
@@ -212,7 +222,7 @@ def term_counts(arr: Column) -> Column:
             n == 0, F.array().cast("array<struct<term:string,tf:integer>>")
         ).otherwise(F.transform(F.array(starts), with_starts)[0])
 
-    return F.transform(F.array(F.array_sort(arr)), with_sorted)[0]
+    return F.transform(F.array(F.array_sort(F.array_compact(arr))), with_sorted)[0]
 
 
 def doc_fingerprint(col: Column) -> Column:

@@ -160,14 +160,34 @@ def _minhash_banded(
     return sigs.select(F.col(id_col), F.posexplode(band_cols).alias("band", "band_sig"))
 
 
+def _hot_bucket_report(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(band, band_sig, bucket_size, pairs_skipped) for every bucket of
+    a prebuilt banded index exceeding ``max_bucket_size`` — the single
+    definition both the capped join and the user-facing report derive
+    from, so the two views can never disagree on parameterization."""
+    sz = F.col("bucket_size")
+    return (
+        banded.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(sz > max_bucket_size)
+        .select(
+            "band",
+            "band_sig",
+            "bucket_size",
+            (sz * (sz - 1) / 2).cast("long").alias("pairs_skipped"),
+        )
+    )
+
+
 def minhash_hot_buckets(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str,
     id_col: str,
     max_bucket_size: int,
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Dropped-mass report for the capped LSH join: one row per
     (band, band_sig) bucket whose membership exceeds ``max_bucket_size``,
@@ -175,18 +195,19 @@ def minhash_hot_buckets(
     (candidate pairs the cap refuses to materialize). Run alongside a
     capped :func:`minhash_dedup_pairs` so truncation is REPORTED, never
     silent — a huge dropped mass means the corpus still carries exact
-    duplicates and :func:`exact_dedup` must run first. Cost note: this
-    rebuilds the banded index (one extra corpus pass); at scale, write
-    the index out once and point both the pair join and this report at
-    the stored table."""
-    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sz = F.col("bucket_size")
-    return (
-        banded.groupBy("band", "band_sig")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .filter(sz > max_bucket_size)
-        .select("band", "band_sig", "bucket_size", (sz * (sz - 1) / 2).cast("long").alias("pairs_skipped"))
-    )
+    duplicates and :func:`exact_dedup` must run first.
+
+    Parameterization safety: the report is only meaningful under the
+    SAME (num_hashes, bands, shingle_n) as the capped join it describes
+    — mismatched banding yields different buckets and a silently wrong
+    report. Prefer :func:`minhash_dedup_pairs_with_report`, which builds
+    the index once and returns both views; or pass the prebuilt
+    ``banded`` index here (at scale, the stored table both the pair join
+    and this report point at) to skip the rebuild AND pin the banding.
+    """
+    if banded is None:
+        banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return _hot_bucket_report(banded, max_bucket_size)
 
 
 def minhash_dedup_pairs(
@@ -198,6 +219,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """D3 — near-dup pairs via MinHash + LSH banding, verified exactly.
 
@@ -218,19 +240,85 @@ def minhash_dedup_pairs(
     contract for capped runs: :func:`exact_dedup` runs FIRST, so
     surviving near-dup buckets are genuinely small; capping then only
     sheds pathological boilerplate clusters, never normal near-dups.
+
+    ``eager=True`` materializes the result and releases the internal
+    LSH-index/shingle-set caches immediately (see
+    :func:`..caching.materialize_and_release`); the returned DataFrame
+    is then persisted and owned by the caller.
     """
+    verified, _report, caches = _minhash_core(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_n, max_bucket_size
+    )
+    if eager:
+        from .caching import materialize_and_release
+
+        return materialize_and_release(verified, caches)
+    return verified
+
+
+def minhash_dedup_pairs_with_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_bucket_size: int,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    eager: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Capped MinHash dedup plus its dropped-mass report, from ONE
+    banded index: returns ``(pairs, hot_buckets)`` where ``pairs`` is
+    exactly :func:`minhash_dedup_pairs` with ``max_bucket_size`` set and
+    ``hot_buckets`` is :func:`minhash_hot_buckets` — guaranteed to share
+    the banding parameterization (and the cached index) with the join,
+    because both are derived from the same ``_minhash_banded`` table.
+    This is the production entry point for capped runs: the cap is never
+    silent, and the report can never describe different buckets than the
+    join skipped. ``eager=True`` materializes BOTH outputs then releases
+    the internal index caches; the returned DataFrames are persisted and
+    caller-owned."""
+    verified, report, caches = _minhash_core(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_n, max_bucket_size
+    )
+    if eager:
+        from .caching import materialize_and_release
+
+        report = report.persist()
+        verified = materialize_and_release(verified, [])
+        report.count()
+        for c in caches:
+            c.unpersist()
+        return verified, report
+    return verified, report
+
+
+def _minhash_core(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, DataFrame | None, list[DataFrame]]:
+    """Shared pipeline behind the pair join and the hot-bucket report.
+
+    Returns (verified_pairs, hot_report_or_None, persisted_intermediates).
+    The persisted list is surfaced so callers that materialize the result
+    eagerly can unpersist the index afterwards (see SCALING.md's cache
+    contract)."""
     # The banded table is the LSH index: persist BEFORE deriving the
     # hot-bucket set so the signature pipeline materializes exactly once
     # — the bucket-size aggregation, and both sides of the candidate
     # self-join, all read the same cached index.
-    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n).persist()
+    banded_idx = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n).persist()
+    banded = banded_idx
+    report = None
     if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band", "band_sig")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .filter(F.col("_bsz") > max_bucket_size)
-            .select("band", "band_sig")
-        )
+        report = _hot_bucket_report(banded_idx, max_bucket_size)
+        hot = report.select("band", "band_sig")
         banded = banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
@@ -258,7 +346,7 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    return verified, report, [banded_idx, shingle_sets]
 
 
 def contamination_pairs(

@@ -105,11 +105,21 @@ def changelog_compact(
     touched, not events received — the log compaction every changelog
     consumer (Kafka compacted topics, Debezium sinks, lakehouse MERGE
     batching) performs before apply.
+
+    Ordering contract: ``order`` SHOULD be a total order per key (a CDC
+    log's sequence number / LSN is). If it is not, ``op_col`` is
+    appended as a deterministic tiebreak, so the first/last OP — and
+    hence ``net_op`` — is stable across runs and partitionings
+    (min_by/max_by would otherwise pick an arbitrary tied row). Rows
+    that tie on BOTH order and op are true duplicates from the log's
+    point of view; which one's payload is carried is unspecified —
+    callers whose payloads differ at identical (order, op) must extend
+    ``order`` with an ingest id.
     """
     from pyspark.sql import functions as F
 
     payload = [c for c in log.columns if c not in (key, op_col) and c not in order]
-    order_key = F.struct(*[F.col(c) for c in order])
+    order_key = F.struct(*[F.col(c) for c in order], F.col(op_col))
     carried = F.struct(
         F.col(op_col).alias("__op"),
         *[F.col(c) for c in order + payload],

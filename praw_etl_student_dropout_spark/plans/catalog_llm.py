@@ -210,6 +210,31 @@ def d3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d3_minhash_pairs_capped",
+    "D3",
+    None,  # same non-SQL-reproducible signatures as d3_minhash_pairs;
+    # pytest proves the cap sheds only over-full buckets and the report
+    # shares the join's banding by construction.
+    doc="Production-shaped capped MinHash dedup: per-(band,band_sig) "
+    "bucket cap bounds the candidate self-join's fan-out on degenerate "
+    "corpora, with the dropped mass REPORTED via the same banded index "
+    "the join used (minhash_dedup_pairs_with_report) — truncation is "
+    "never silent and the report can't disagree with the join's "
+    "parameterization. Returns the verified pairs; the companion report "
+    "is exercised in tests/test_dedup.py.",
+)
+def d3_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_dedup_pairs_with_report
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs, _report = minhash_dedup_pairs_with_report(
+        docs, "text", "doc_id", max_bucket_size=200,
+        threshold=0.2, num_hashes=32, bands=16,
+    )
+    return pairs
+
+
+@register(
     "d3_simhash_pairs",
     "D3",
     None,
@@ -1065,13 +1090,15 @@ def u7_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_encode, pq_topk, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    unit = emb.select(
+    from .cache_registry import track
+
+    unit = track(emb.select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
         ).alias("embedding"),
-    ).persist()
+    ))  # plan-level persist owned by the cache registry
     books = pq_train(unit, m=16, k=32, iterations=2)
     encoded = pq_encode(unit, books)
     queries = unit.filter(F.col("vec_id") < 5).select(
@@ -1105,13 +1132,15 @@ def u7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    unit = emb.select(
+    from .cache_registry import track
+
+    unit = track(emb.select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x: x / l2_norm(F.col("embedding").cast("array<double>")),
         ).alias("embedding"),
-    ).persist()
+    ))  # plan-level persist owned by the cache registry
     centroids = sample_centroids(unit, num_centroids=8)
     indexed = assign_centroids(unit, centroids)
     books = pq_train(unit, m=16, k=32, iterations=2)

@@ -503,17 +503,19 @@ def u10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     toks_arr = F.array_remove(F.split(clean_text(F.col("text")), r"\s+"), "")
-    # NB: the persist is session-lifetime (no unpersist hook exists in a
-    # lazy builder); blocks are MEMORY_AND_DISK and LRU-evicted, so
-    # repeated invocations are bounded by the store, not additive.
-    tf = (
+    # A lazy builder can't unpersist (the caller's collect populates the
+    # cache), so the persist is OWNED by the plan cache registry:
+    # release_session_caches() frees it deterministically at task
+    # boundaries; until then blocks are MEMORY_AND_DISK, LRU-evicted.
+    from .cache_registry import track
+
+    tf = track(
         docs.select("doc_id", F.explode(term_counts(toks_arr)).alias("p"))
         .select(
             "doc_id",
             F.col("p.term").alias("term"),
             F.col("p.tf").cast("long").alias("tf"),
         )
-        .persist()
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -723,15 +725,16 @@ def u11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import term_counts
 
     docs = _t(spark, sf_dir, "documents")["documents"]
-    # persist: session-lifetime, LRU-evicted (see u10's note)
-    cnt = (
+    # persist owned by the plan cache registry (see u10's note)
+    from .cache_registry import track
+
+    cnt = track(
         docs.select("doc_id", F.explode(term_counts(tokens(F.col("text")))).alias("p"))
         .select(
             "doc_id",
             F.col("p.term").alias("tok"),
             F.col("p.tf").cast("long").alias("ctf"),
         )
-        .persist()
     )
     freq = cnt.groupBy("tok").agg(F.sum("ctf").alias("c"))
     tot = freq.agg(F.sum("c").alias("n"))

@@ -367,6 +367,63 @@ def test_minhash_bucket_cap_bounds_degenerate_corpus(spark, sf_dir):
     assert all(r.bucket_size > 50 for r in report)
 
 
+def test_minhash_with_report_shares_parameterization(spark, sf_dir):
+    """minhash_dedup_pairs_with_report builds ONE banded index and
+    derives both the capped join and the dropped-mass report from it, so
+    the report describes exactly the buckets the join skipped even under
+    NON-default banding (the failure mode: calling minhash_hot_buckets
+    separately with different num_hashes/bands silently reports
+    different buckets). Also: eager=True must leave no unowned cached
+    intermediates behind — only the caller-owned results."""
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        minhash_dedup_pairs_with_report,
+        minhash_hot_buckets,
+    )
+
+    d = docs(spark, sf_dir)
+    base = d.limit(10).select("doc_id", "text")
+    one = d.limit(1).select("text").first().text
+    clones = spark.range(300).select(
+        (F.col("id") + 2_000_000).alias("doc_id"), F.lit(one).alias("text")
+    )
+    degenerate = base.unionByName(clones)
+
+    # non-default banding on purpose
+    pairs, report = minhash_dedup_pairs_with_report(
+        degenerate, "text", "doc_id", max_bucket_size=50,
+        threshold=0.9, num_hashes=16, bands=4,
+    )
+    got_pairs = pairs.collect()
+    got_report = report.collect()
+    assert all(not (r.id_a >= 2_000_000 and r.id_b >= 2_000_000) for r in got_pairs)
+    assert got_report and max(r.bucket_size for r in got_report) >= 300
+    # the report equals minhash_hot_buckets under the SAME banding...
+    same = minhash_hot_buckets(
+        degenerate, "text", "doc_id", 50, num_hashes=16, bands=4
+    ).collect()
+    assert sorted(map(tuple, got_report)) == sorted(map(tuple, same))
+    # ...and differs from the default banding a naive caller would use —
+    # which is exactly why the report must be derived from the join's index
+    other = minhash_hot_buckets(degenerate, "text", "doc_id", 50).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, got_report))
+
+    # eager mode: intermediates released, results caller-owned
+    before = {
+        rid for rid, _ in spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    pairs2, report2 = minhash_dedup_pairs_with_report(
+        degenerate, "text", "doc_id", max_bucket_size=50,
+        threshold=0.9, num_hashes=16, bands=4, eager=True,
+    )
+    assert sorted(map(tuple, report2.collect())) == sorted(map(tuple, got_report))
+    pairs2.unpersist()
+    report2.unpersist()
+    after = {
+        rid for rid, _ in spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    assert after <= before, "eager run leaked a cached intermediate"
+
+
 def test_minhash_cap_preserves_normal_pairs(spark, sf_dir):
     """On a normal corpus (no over-full buckets) the capped run returns
     exactly the uncapped pairs — the cap only sheds pathological mass."""

@@ -530,7 +530,9 @@ def test_degenerate_division_guards_agree_with_duckdb(spark, tmp_path):
 
 @given(
     toks=st.lists(
-        st.lists(st.sampled_from(["a", "bb", "ccc", "", "a b", "Ω"]), max_size=12),
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "", "a b", "Ω", None]), max_size=12
+        ),
         min_size=0,
         max_size=10,
     )
@@ -539,7 +541,10 @@ def test_degenerate_division_guards_agree_with_duckdb(spark, tmp_path):
 def test_term_counts_matches_python_counter(spark, toks):
     """Generative twin of the fixture equivalence test: term_counts must
     equal collections.Counter on arbitrary token arrays, including empty
-    arrays, empty-string tokens, multi-word strings, and non-ASCII."""
+    arrays, empty-string tokens, multi-word strings, non-ASCII, and NULL
+    elements (dropped — a NULL token is not a term; previously a NULL at
+    the sort boundary silently folded the first post-NULL run into its
+    neighbour's tf)."""
     from collections import Counter
 
     from praw_etl_student_dropout_spark.functions.text import term_counts
@@ -555,7 +560,10 @@ def test_term_counts_matches_python_counter(spark, toks):
         "id", F.explode(term_counts(F.col("toks"))).alias("p")
     ).collect():
         got.setdefault(r.id, {})[r.p.term] = r.p.tf
-    want = {i: dict(Counter(t)) for i, t in enumerate(toks) if t}
+    want = {
+        i: dict(Counter(x for x in t if x is not None)) for i, t in enumerate(toks)
+    }
+    want = {i: c for i, c in want.items() if c}
     assert got == want
 
 

@@ -365,3 +365,30 @@ def test_changelog_compact_non_orderable_payload(spark):
         for r in changelog_compact(log, "k", ["seq"]).collect()
     }
     assert got == {1: ("I", 2, {"b": "2"}), 2: ("U", 1, {"x": "9"})}
+
+
+def test_changelog_compact_tied_order_is_deterministic(spark):
+    """Duplicate order keys within a key: op_col is appended to the
+    min_by/max_by comparison struct as a deterministic tiebreak, so
+    net_op is stable across runs and physical layouts (previously
+    min_by/max_by picked an arbitrary tied row, nondeterministically
+    flipping net_op)."""
+    from praw_etl_student_dropout_spark.operators.etl import changelog_compact
+
+    rows = [
+        # k=1: I and U both at seq=1 → first op must be I (min tiebreak),
+        # last op must be U (max tiebreak) → net I, deterministically.
+        (1, 1, "U"), (1, 1, "I"),
+        # k=2: D and U tied at the end → last = U (max tiebreak) → net U.
+        (2, 1, "U"), (2, 2, "D"), (2, 2, "U"),
+        # k=3: I and D tied at seq=1 → first=D, last=I → net U
+        # (not the dropped I..D branch) — deterministic either way.
+        (3, 1, "D"), (3, 1, "I"),
+    ]
+    expect = {1: "I", 2: "U", 3: "U"}
+    log = spark.createDataFrame(rows, "k int, seq int, op string")
+    for layout in (log, log.repartition(7, "seq"), log.coalesce(1)):
+        got = {
+            r.k: r.net_op for r in changelog_compact(layout, "k", ["seq"]).collect()
+        }
+        assert got == expect
