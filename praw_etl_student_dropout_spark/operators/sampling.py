@@ -2,20 +2,78 @@
 
 Every pretraining corpus is assembled by sampling: quality-stratified
 rates, per-source mixing weights, reproducible seeds. All of it is
-narrow (no shuffle) — each partition flips its own seeded coins, so the
-operators scale linearly and re-runs are bit-reproducible for a fixed
-seed and partitioning.
+narrow (no shuffle) — so the operators scale linearly.
+
+Two coin families, with different reproducibility contracts:
+
+- PARTITION coins (``sample_fraction`` / ``stratified_sample`` /
+  ``mix_sources``): Spark's native ``sample``/``sampleBy`` — one RNG
+  stream per partition, so re-runs are bit-reproducible only for a
+  fixed seed AND a fixed physical layout. Fine inside one job; wrong
+  for corpus assembly, where the same corpus must yield the same
+  sample after a repartition, a compaction, or an engine upgrade.
+- CONTENT-HASH coins (``sample_fraction_hash`` /
+  ``stratified_sample_hash`` / ``mix_sources_hash``): the keep/drop
+  decision is a PURE FUNCTION of (row key, seed) — hash the key,
+  threshold the hash. Identical output under any partitioning, any
+  row order, any executor count; the idiom ``sample_hash_split``
+  already uses for train/val/test. **This is the documented default
+  for corpus assembly.** ``method="md5"`` makes the coin
+  engine-portable (any SQL engine computes the same md5, so the
+  sample is oracle-checkable); ``method="xxhash64"`` (default) stays
+  on the fastest JVM hash.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Coin granularity: 2^20 buckets → fractions resolve to ~1e-6.
+_COIN_BUCKETS = 1 << 20
+
+
+def hash_coin(key: Column, seed: int, method: str = "xxhash64") -> Column:
+    """Uniform-[0,1) coin that is a pure function of (key, seed).
+
+    ``xxhash64``: fastest (one JVM hash, no string round-trip).
+    ``md5``: engine-portable — DuckDB/Trino/any-SQL compute the same
+    bits (first 6 hex digits mod 2^20), so hash-coin samples can be
+    differentially verified across engines.
+    """
+    if method == "xxhash64":
+        h = F.xxhash64(key, F.lit(seed))
+    elif method == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"#{seed}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_coin method: {method}")
+    return F.pmod(h, F.lit(_COIN_BUCKETS)) / float(_COIN_BUCKETS)
 
 
 def sample_fraction(df: DataFrame, fraction: float, seed: int = 7) -> DataFrame:
-    """Bernoulli sample: keep each row with probability ``fraction``."""
+    """Bernoulli sample: keep each row with probability ``fraction``.
+
+    Partition-coin: reproducible for a fixed seed AND partitioning.
+    Corpus assembly should use :func:`sample_fraction_hash`."""
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def sample_fraction_hash(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 7,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Layout-independent Bernoulli sample: keep a row iff
+    ``hash_coin(id, seed) < fraction``. Same rows survive under ANY
+    physical layout — repartition, coalesce, compaction, cluster
+    resize — because the coin depends only on the row key."""
+    return df.filter(hash_coin(F.col(id_col), seed, method) < F.lit(float(fraction)))
 
 
 def stratified_sample(
@@ -23,8 +81,59 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum rates (e.g. keep 100% of high-quality docs, 10% of
     low): ``sampleBy`` evaluates one seeded coin per row against its
-    stratum's fraction — strata absent from ``fractions`` drop entirely."""
+    stratum's fraction — strata absent from ``fractions`` drop entirely.
+
+    Partition-coin; corpus assembly should use
+    :func:`stratified_sample_hash`."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict,
+    seed: int = 7,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Layout-independent stratified sample: one content-hash coin per
+    row, thresholded against its stratum's rate (strata absent from
+    ``fractions`` drop entirely, matching ``sampleBy``)."""
+    rate = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        rate = F.when(cond, F.lit(float(frac))) if rate is None else rate.when(
+            cond, F.lit(float(frac))
+        )
+    rate = F.lit(0.0) if rate is None else rate.otherwise(F.lit(0.0))
+    return df.filter(hash_coin(F.col(id_col), seed, method) < rate)
+
+
+def mix_sources_hash(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str,
+    seed: int = 7,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Layout-independent weighted dataset mixing: each source sampled
+    by content-hash coin at its rate (seed offset per source, so a row
+    appearing in two sources draws independent coins), then unioned.
+    The narrow union-of-filtered-scans plan of :func:`mix_sources`,
+    with the same-corpus-same-sample guarantee regardless of layout."""
+    if not sources:
+        raise ValueError("mix_sources_hash needs at least one (df, fraction)")
+    parts = []
+    for i, (df, frac) in enumerate(sources):
+        part = (
+            df
+            if frac >= 1.0
+            else sample_fraction_hash(df, id_col, frac, seed=seed + i, method=method)
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def mix_sources(

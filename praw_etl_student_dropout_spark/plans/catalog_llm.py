@@ -437,6 +437,58 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def _md5_coin_sql(seed: int) -> str:
+    """DuckDB twin of sampling.hash_coin(method='md5'): first 8 hex
+    digits of md5(id '#' seed) mod 2^20, scaled to [0,1)."""
+    return (
+        "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), "
+        f"'#{seed}')), 1, 8)) AS BIGINT) % 1048576 / 1048576.0"
+    )
+
+
+@register(
+    "sample_stratified_mix_hash",
+    "D5-sampling ⊕ (layout-independent content-hash coins)",
+    f"""
+    WITH first_lang AS (SELECT min(lang) AS l FROM documents),
+    kept AS (
+      SELECT d.lang FROM documents d, first_lang
+      WHERE {_md5_coin_sql(11)} < CASE WHEN d.lang = first_lang.l
+                                       THEN 1.0 ELSE 0.25 END
+    ),
+    mixed_in AS (
+      SELECT d.lang FROM documents d, first_lang
+      WHERE d.lang = first_lang.l AND {_md5_coin_sql(14)} < 0.5
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM mixed_in)
+    GROUP BY lang
+    """,
+    doc="The stratified-sample + mixture pipeline with CONTENT-HASH "
+    "coins (md5(doc_id, seed) thresholded): the keep/drop decision is a "
+    "pure function of the row key, so the assembled corpus is identical "
+    "under any partitioning, any row order, any engine — which is why "
+    "this variant is oracle-checkable where the partition-coin "
+    "sample_stratified_mix is rows-only. The documented default for "
+    "corpus assembly at 100 TB: compaction/repartition/cluster-resize "
+    "can never silently change the training set.",
+)
+def sample_stratified_mix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mix_sources_hash, stratified_sample_hash
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    fractions = {lang: (1.0 if i == 0 else 0.25) for i, lang in enumerate(langs)}
+    sampled = stratified_sample_hash(
+        docs, "lang", "doc_id", fractions, seed=11, method="md5"
+    )
+    first_stratum = docs.filter(F.col("lang") == langs[0])
+    mixture = mix_sources_hash(
+        [(sampled, 1.0), (first_stratum, 0.5)], "doc_id", seed=13, method="md5"
+    )
+    return mixture.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _funnel_sql() -> str:
     from .catalog_text import _lang_scalar_sql, _quality_sql
 

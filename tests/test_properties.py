@@ -107,6 +107,71 @@ def test_sampling_reproducible_and_in_bounds(spark, sf_dir):
     assert strat.count() == docs.filter(F.col("lang") == keep).count()
 
 
+def test_hash_coin_sampling_layout_independent(spark, sf_dir):
+    """Content-hash coins must produce the IDENTICAL sample under any
+    physical layout (repartition(7), coalesce(1), sorted) and for both
+    hash methods — the property partition-coin sample()/sampleBy() does
+    not have, and the reason the hash variants are the documented
+    default for corpus assembly. Also: md5-coin output must match a
+    DuckDB evaluation of the same coin (engine portability)."""
+    import duckdb
+
+    from praw_etl_student_dropout_spark.operators.sampling import (
+        mix_sources_hash,
+        sample_fraction_hash,
+        stratified_sample_hash,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n = docs.count()
+    layouts = [docs, docs.repartition(7, "lang"), docs.coalesce(1), docs.orderBy(F.desc("doc_id"))]
+    for method in ("xxhash64", "md5"):
+        ids = [
+            {r.doc_id for r in sample_fraction_hash(d, "doc_id", 0.3, seed=42, method=method).select("doc_id").collect()}
+            for d in layouts
+        ]
+        assert ids[0] == ids[1] == ids[2] == ids[3]
+        assert 0.15 * n <= len(ids[0]) <= 0.45 * n
+        # strata absent from fractions drop entirely; identical across layouts
+        langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+        s_ids = [
+            {r.doc_id for r in stratified_sample_hash(d, "lang", "doc_id", {langs[0]: 1.0, langs[1]: 0.25}, seed=5, method=method).select("doc_id").collect()}
+            for d in layouts[:2]
+        ]
+        assert s_ids[0] == s_ids[1]
+        kept_langs = {
+            r.lang
+            for r in stratified_sample_hash(docs, "lang", "doc_id", {langs[0]: 1.0}, seed=5, method=method).select("lang").distinct().collect()
+        }
+        assert kept_langs == {langs[0]}
+        # mixture: layout-independent too
+        m_ids = [
+            sorted(r.doc_id for r in mix_sources_hash([(d, 0.4), (d, 0.2)], "doc_id", seed=9, method=method).select("doc_id").collect())
+            for d in layouts[:2]
+        ]
+        assert m_ids[0] == m_ids[1]
+
+    # md5 coin is engine-portable: DuckDB evaluates the same coin bits
+    import os
+
+    con = duckdb.connect()
+    path = os.path.join(sf_dir, "documents.parquet")
+    duck_ids = {
+        r[0]
+        for r in con.sql(
+            f"SELECT doc_id FROM '{path}' WHERE "
+            "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), '#42')), 1, 8)) AS BIGINT)"
+            " % 1048576 / 1048576.0 < 0.3"
+        ).fetchall()
+    }
+    spark_ids = {
+        r.doc_id
+        for r in sample_fraction_hash(docs, "doc_id", 0.3, seed=42, method="md5").select("doc_id").collect()
+    }
+    assert duck_ids == spark_ids
+
+
 def test_mix_sources_weights(spark, sf_dir):
     from praw_etl_student_dropout_spark.operators.sampling import mix_sources
     from praw_etl_student_dropout_spark.sources.readers import load_tables
