@@ -389,17 +389,40 @@ def contamination_pairs(
     )
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc: per-bit majority vote over token hashes.
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    feature: str = "token",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over feature hashes.
 
-    Single-pass array fold like ``minhash_signatures``: token → xxhash64
-    once, then ``zip_with`` adds its ±1 bit-vector into a 64-counter
-    accumulator; the sign vector packs back into one long (shiftleft
-    keeps bit 63 in JVM long space — a Python 1<<63 literal overflows the
-    signed py4j boundary). No explode, no shuffle.
+    ``feature``: ``"token"`` votes one ±1 vector per token OCCURRENCE —
+    cheap, but on Zipfian text the stopword head dominates the counters
+    and unrelated documents land within a few hamming bits of each other
+    (measured on the 12k-vocab corpus: hamming<=3 admits millions of
+    non-duplicate pairs). ``"shingle"`` votes per DISTINCT word
+    ``shingle_n``-gram — the features are nearly unique per document, so
+    signatures are close only when the documents genuinely share
+    content. Use shingles for near-dup detection on natural text; tokens
+    only when the corpus vocabulary is known to be high-entropy.
+
+    Single-pass array fold like ``minhash_signatures``: feature →
+    xxhash64 once, then ``zip_with`` adds its ±1 bit-vector into a
+    64-counter accumulator; the sign vector packs back into one long
+    (shiftleft keeps bit 63 in JVM long space — a Python 1<<63 literal
+    overflows the signed py4j boundary). No explode, no shuffle.
     """
+    if feature == "shingle":
+        feats = word_shingles(F.col(text_col), shingle_n)
+    elif feature == "token":
+        feats = tokens(clean_text(F.col(text_col)))
+    else:
+        raise ValueError(f"unknown simhash feature: {feature}")
     counters = F.aggregate(
-        F.transform(tokens(clean_text(F.col(text_col))), lambda t: F.xxhash64(t)),
+        F.transform(feats, lambda t: F.xxhash64(t)),
         F.array_repeat(F.lit(0).cast("long"), bits),
         # bit loops unrolled with literal indices (shiftright's bit count
         # must be a Python int); ±1 via bit*2-1
@@ -430,26 +453,97 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = 64
 
 
 def simhash_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    feature: str = "token",
+    shingle_n: int = 3,
+    blocks: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into ``bands`` chunks; any pair
-    within hamming d < bands must share at least one exact chunk →
-    equi-join per chunk, then exact popcount verify. No all-pairs scan.
+    Default banding is the PIGEONHOLE split: 64 bits into ``bands``
+    chunks; any pair within hamming d < bands shares at least one exact
+    chunk → equi-join per chunk, then exact popcount verify. No
+    all-pairs scan — but the chunk space is only ``2^(64/bands)``
+    (65,536 values at bands=4), so once the corpus outgrows it, birthday
+    collisions make the candidate join quadratic again (measured on the
+    52k-doc Zipfian corpus: the pigeonhole join materializes tens of
+    millions of candidates).
+
+    ``blocks=(m, k)`` switches to MULTI-INDEX banding (Norouzi et al.,
+    "Fast Search in Hamming Space with Multi-Index Hashing", CVPR'12):
+    split 64 bits into ``m`` blocks; a pair within hamming d touches at
+    most d blocks, so it agrees on some ``k <= m - d`` block subset —
+    join once per C(m, k) subset on the simhash MASKED to that subset's
+    bits. Same exactness guarantee (no candidate within the radius is
+    ever missed), but the join key carries ``k * 64/m`` bits (40 at
+    (8,5)) instead of 16, so buckets stay sparse at corpus scale. Cost:
+    C(m, k) index rows per doc (56 at (8,5)) — the classic
+    index-size-for-join-sparsity trade. Requires ``k <= m - max_hamming``.
+
+    ``feature="shingle"`` is the recommended pairing for natural text
+    (see :func:`simhash_signatures`): distinctive features keep
+    signatures — and therefore buckets — uncorrelated.
+
+    SCOPE (measured on the Zipfian corpus, BASELINE.md): with honest
+    (shingle) features, hamming<=3 on 64 bits certifies only
+    NEAR-IDENTICAL documents — exact dups and boilerplate with a few
+    edited tokens (recall 1.0 on planted exact dups, 15k pairs, 25 s).
+    A 2% token mutation already costs ~7 expected hamming bits, so
+    Jaccard-0.7..0.9 near-dups are OUT of simhash's radius; use
+    :func:`minhash_dedup_pairs` for those (planted-band recall 1.0).
+    Token features appear to widen the radius but only via correlated
+    signatures, which simultaneously admit millions of false candidate
+    pairs (8.4M at 52k docs) — a precision collapse, not recall.
     """
-    sigs = simhash_signatures(df, text_col, id_col)
-    width = 64 // bands
-    mask = (1 << width) - 1
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+    sigs = simhash_signatures(df, text_col, id_col, feature=feature, shingle_n=shingle_n)
+    if blocks is not None:
+        from itertools import combinations
+
+        m, k = blocks
+        if 64 % m != 0:
+            raise ValueError(f"blocks m={m} must divide 64")
+        if k > m - max_hamming:
+            raise ValueError(
+                f"blocks=(m={m}, k={k}) cannot certify hamming<= {max_hamming}: "
+                f"need k <= m - max_hamming = {m - max_hamming}"
             )
-            for b in range(bands)
-        ]
-    )
+        width = 64 // m
+        block_mask = (1 << width) - 1
+        combo_masks = []
+        for combo in combinations(range(m), k):
+            mask_val = 0
+            for b in combo:
+                mask_val |= block_mask << (b * width)
+            # Python ints with bit 63 set overflow the signed py4j long
+            # boundary — wrap to two's complement
+            if mask_val >= 1 << 63:
+                mask_val -= 1 << 64
+            combo_masks.append(mask_val)
+        chunks = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.col("simhash").bitwiseAND(F.lit(mask_val)).alias("chunk"),
+                )
+                for i, mask_val in enumerate(combo_masks)
+            ]
+        )
+    else:
+        width = 64 // bands
+        mask = (1 << width) - 1
+        chunks = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+                )
+                for b in range(bands)
+            ]
+        )
     banded = (
         sigs.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c"))
         .select(id_col, "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))

@@ -238,11 +238,19 @@ def d3_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d3_simhash_pairs",
     "D3",
     None,
-    doc="SimHash 64-bit near-dup pairs via pigeonhole banding + popcount verify.",
+    doc="SimHash 64-bit near-dup pairs: shingle features + multi-index "
+    "(8,5)-block banding + popcount verify. Shingle features keep "
+    "Zipfian-text signatures uncorrelated (token features let the "
+    "stopword head pull unrelated docs within hamming 3 — measured "
+    "8.4M spurious pairs on the 52k-doc realistic corpus) and the "
+    "40-bit combination keys keep buckets sparse as the corpus grows "
+    "(16-bit pigeonhole chunks birthday-collide past ~10^5 docs).",
 )
 def d3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return simhash_dup_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
+    return simhash_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3, feature="shingle", blocks=(8, 5)
+    )
 
 
 @register(

@@ -1,0 +1,158 @@
+"""Similarity/dedup family on the REALISTIC Zipfian corpus (round-5
+verdict #1: the driver fixture's 31-token vocabulary is both the prefix
+join's worst case and every LSH recall test's easiest case — these tests
+re-pin the family's claims on data shaped like its use case).
+
+The corpus (tools/gen_zipf_corpus.py, deterministic) plants ground
+truth: 400 exact duplicates, 1500 near-duplicates at token-mutation
+rates {0.02..0.35} (shingle-Jaccard bands ~0.89/0.76/0.57/0.35/0.16), a
+200-doc boilerplate cluster, and 1000 embedding pairs at exact cosines
+{0.99, 0.95, 0.90, 0.80}. Thresholds below are pinned from the round-5
+measurement sweep (BASELINE.md §zipf) with safety margin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tools.gen_zipf_corpus import ensure_corpus
+
+
+@pytest.fixture(scope="session")
+def zipf_dir() -> str:
+    return ensure_corpus()
+
+
+@pytest.fixture(scope="session")
+def zdocs(spark, zipf_dir):
+    return spark.read.parquet(f"{zipf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="session")
+def zplanted(spark, zipf_dir):
+    return spark.read.parquet(f"{zipf_dir}/planted_pairs.parquet")
+
+
+def _recall_by_rate(planted_rows, found: set) -> dict:
+    by: dict[float, list[int]] = {}
+    for r in planted_rows:
+        key = float(r.rate) if r.kind == "near" else 0.0
+        by.setdefault(key, [0, 0])
+        by[key][1] += 1
+        if (min(r.id_a, r.id_b), max(r.id_a, r.id_b)) in found:
+            by[key][0] += 1
+    return {k: v[0] / v[1] for k, v in by.items()}
+
+
+def test_zipf_exact_dedup_finds_planted_clones(zdocs):
+    from praw_etl_student_dropout_spark.operators.dedup import exact_dedup
+
+    dup_fp = (
+        exact_dedup(zdocs, "text", "doc_id").filter(F.col("dup_count") >= 2).count()
+    )
+    # 400 planted + a handful of natural collisions at most (402 measured)
+    assert 400 <= dup_fp <= 420
+
+
+def test_zipf_minhash_capped_recall_and_report(zdocs, zplanted):
+    """The PRODUCTION minhash path (capped, with report) on realistic
+    text: per-band recall must stay 1.0-ish on every planted band whose
+    true Jaccard clears the verify threshold, the boilerplate cluster
+    must surface in the dropped-mass report, and the cap must not cost
+    recall on normal near-dups (measured: recall 1.0 on all bands,
+    19 hot buckets, max bucket 209)."""
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        minhash_dedup_pairs_with_report,
+    )
+
+    pairs_df, report_df = minhash_dedup_pairs_with_report(
+        zdocs, "text", "doc_id", max_bucket_size=50,
+        threshold=0.5, num_hashes=32, bands=16,
+    )
+    found = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs_df.collect()
+    }
+    report = report_df.collect()
+
+    # boilerplate cluster (200 docs, every band) is reported, not silent
+    assert report and max(r.bucket_size for r in report) >= 150
+
+    planted = zplanted.filter(F.col("kind").isin("exact", "near")).collect()
+    recall = _recall_by_rate(planted, found)
+    assert recall[0.0] == 1.0                      # exact dups
+    assert recall[0.02] >= 0.97                    # j ~ 0.89
+    assert recall[0.05] >= 0.95                    # j ~ 0.76
+    assert recall[0.1] >= 0.90                     # j ~ 0.57 (>= 0.5 verify)
+    # pairs below the 0.5 verify threshold must NOT be returned
+    assert recall[0.35] == 0.0                     # j ~ 0.16
+
+
+def test_zipf_simhash_is_a_near_identical_screen(zdocs, zplanted):
+    """SimHash with honest (shingle) features + multi-index (8,5)
+    banding: exact duplicates all found, candidate volume stays sparse
+    (the token-feature pigeonhole variant admitted 8.4M pairs on this
+    corpus — a precision collapse the distinctive features prevent), and
+    the hamming<=3 radius does NOT reach ordinary near-dups — that is
+    minhash's job, and this test pins the documented division of labor."""
+    from praw_etl_student_dropout_spark.operators.dedup import simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(
+        zdocs, "text", "doc_id", max_hamming=3, feature="shingle", blocks=(8, 5)
+    ).collect()
+    assert len(pairs) < 50_000  # sparse: boiler cluster + exacts, not millions
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs}
+    planted = zplanted.filter(F.col("kind").isin("exact", "near")).collect()
+    recall = _recall_by_rate(planted, found)
+    assert recall[0.0] == 1.0          # near-identical: always caught
+    assert recall[0.05] <= 0.2         # out of radius by design (measured 0.003)
+
+
+def test_zipf_multi_index_equals_pigeonhole_within_radius(spark, zdocs):
+    """Both banding schemes are EXACT for the radius: on a small slice,
+    the multi-index (8,5) and pigeonhole (4-band) joins must return the
+    identical pair set at max_hamming=3 (they may only differ in cost,
+    never in answers)."""
+    from praw_etl_student_dropout_spark.operators.dedup import simhash_dup_pairs
+
+    sl = zdocs.filter(F.col("doc_id") % 37 == 0)
+    a = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dup_pairs(
+            sl, "text", "doc_id", max_hamming=3, feature="shingle", blocks=(8, 5)
+        ).collect()
+    }
+    b = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dup_pairs(
+            sl, "text", "doc_id", max_hamming=3, feature="shingle", bands=4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_zipf_embedding_lsh_recall_curve(spark, zipf_dir):
+    """Hyperplane-LSH embedding dedup on realistic vectors with planted
+    EXACT cosines: recall at threshold 0.9 must hold the measured curve
+    (1.0 / 0.98 / 0.93 at cos 0.99 / 0.95 / 0.90), and sub-threshold
+    planted pairs (cos 0.80) must never be returned — the exact-cosine
+    verify guarantees zero false positives."""
+    from praw_etl_student_dropout_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{zipf_dir}/embeddings.parquet")
+    vplanted = spark.read.parquet(f"{zipf_dir}/planted_vec_pairs.parquet").collect()
+    pairs = embedding_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.9, num_planes=64, bands=8
+    ).collect()
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs}
+    by_level: dict[float, list[int]] = {}
+    for r in vplanted:
+        by_level.setdefault(r.target_cos, [0, 0])
+        by_level[r.target_cos][1] += 1
+        if (min(r.id_a, r.id_b), max(r.id_a, r.id_b)) in found:
+            by_level[r.target_cos][0] += 1
+    recall = {k: v[0] / v[1] for k, v in by_level.items()}
+    assert recall[0.99] >= 0.99
+    assert recall[0.95] >= 0.95
+    assert recall[0.90] >= 0.85
+    assert recall[0.80] == 0.0  # below threshold: excluded by exact verify
