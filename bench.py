@@ -162,6 +162,26 @@ def bench_duckdb() -> dict:
     }
 
 
+# Oracle-backed queries that touch only documents/embeddings — the
+# subset `--zipf` runs against the realistic 52k-doc Zipfian corpus
+# (tools/gen_zipf_corpus.py; BASELINE.md round-5 section). 10× the
+# fixture's document count with a 12k-word vocabulary: the regime where
+# per-row compute dominates and Spark's ratio vs DuckDB inverts.
+ZIPF_HEADLINE = [
+    "llm_curation_funnel",
+    "d3_exact_dedup",
+    "u6_text_stats",
+    "u6_lang_id",
+    "u6_quality_score",
+    "u10_tfidf_topterms",
+    "u8_decontaminate",
+    "u7_knn_bruteforce",
+    "multimodal_features",
+    "sample_hash_split",
+    "sample_stratified_mix_hash",
+]
+
+
 def _spark_session_warm():
     """Shared Spark warm-up: session, schema cache, scratch layouts."""
     from praw_etl_student_dropout_spark.session import get_spark
@@ -178,7 +198,12 @@ def _spark_session_warm():
     return spark
 
 
-def bench_interleaved(n_timed: int = 3) -> dict:
+def bench_interleaved(
+    n_timed: int = 3,
+    headline: list[str] | None = None,
+    sf_dir: str | None = None,
+    warm: bool = True,
+) -> dict:
     """PER-QUERY alternation in one invocation: for each headline query,
     one warm-up run per engine (whole-stage-codegen JIT for that plan
     shape — often 3-5x the steady state, amortized away on a long-lived
@@ -190,25 +215,34 @@ def bench_interleaved(n_timed: int = 3) -> dict:
 
     from praw_etl_student_dropout_spark.plans import catalog_all
 
+    headline = headline or HEADLINE
+    sf_dir = sf_dir or SF_DIR
     registry = catalog_all()
-    spark = _spark_session_warm()
+    if warm:
+        spark = _spark_session_warm()
+    else:
+        from praw_etl_student_dropout_spark.session import get_spark
+
+        spark = get_spark(app_name="bench")
+        spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     spark_t: dict[str, list[float]] = {}
     duck_t: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         spec = registry[name]
-        registry[name].builder(spark, SF_DIR).count()  # spark warm-up
+        registry[name].builder(spark, sf_dir).count()  # spark warm-up
         if spec.oracle is not None:
             con.sql(spec.oracle).fetchall()  # duckdb warm-up
         for _ in range(n_timed):
             t0 = time.perf_counter()
-            spec.builder(spark, SF_DIR).count()
+            spec.builder(spark, sf_dir).count()
             spark_t.setdefault(name, []).append(time.perf_counter() - t0)
             if spec.oracle is not None:
                 t0 = time.perf_counter()
@@ -223,7 +257,7 @@ def bench_interleaved(n_timed: int = 3) -> dict:
     for n in sorted(queries):
         d = f" duckdb={dqueries[n]:.3f}s" if n in dqueries else " (rows-only)"
         print(f"# {n}: spark={queries[n]:.3f}s{d}", file=sys.stderr)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(queries.values()), 3),
@@ -238,11 +272,30 @@ def bench_interleaved(n_timed: int = 3) -> dict:
     }
 
 
+def bench_zipf() -> dict:
+    """The text/LLM headline subset on the realistic Zipfian corpus
+    (52k docs, 12k vocab — tools/gen_zipf_corpus.py), interleaved vs
+    DuckDB on the same parquet. This is the regime a 100 TB curation
+    deployment lives in: per-row compute dominates the scheduling floor."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.gen_zipf_corpus import ensure_corpus
+
+    zipf_dir = ensure_corpus()
+    result = bench_interleaved(
+        n_timed=2, headline=ZIPF_HEADLINE, sf_dir=zipf_dir, warm=False
+    )
+    result["metric"] = "zipf_corpus_text_queries_wall_clock"
+    result["sf"] = "zipf-52k"
+    return result
+
+
 if __name__ == "__main__":
     if "--duckdb" in sys.argv:
         result = bench_duckdb()
     elif "--spark-only" in sys.argv:
         result = bench_spark()
+    elif "--zipf" in sys.argv:
+        result = bench_zipf()
     else:
         result = bench_interleaved()
     print(json.dumps(result))

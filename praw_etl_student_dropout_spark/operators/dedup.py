@@ -775,6 +775,15 @@ def jaccard_prefix_pairs(
     smaller) prefix index, then the usual verify joins. The window form
     is ~2x the collect_list+re-sort form it replaced: rows stay narrow
     through the shuffle and never round-trip through an array.
+
+    MEASURED default guidance (Zipfian corpus, BASELINE.md round 5): on
+    natural text this is both LOSSLESS and FASTER than the df-capped
+    inverted index (14.1 s vs 28.4 s at t=0.7 on 52k docs, complete
+    pair set including boilerplate clusters) — prefer it when every
+    pair matters. The 31-token driver fixture is its worst case
+    (no rare shingles → nothing prunes); the df cap remains the right
+    tool when boilerplate mass is pathological and rare-shingle
+    evidence is the wanted semantics.
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
