@@ -14,9 +14,14 @@ data shaped like their use case:
   genuine signal;
 - 50,000 base documents, log-normal lengths (median ~80 tokens, clipped
   to [8, 600]);
-- language mixture 60/10/10/10/10 en/es/de/fr/zh with per-language
-  marker salting (zh via injected CJK tokens — `lang_id` detects CJK by
-  codepoint range);
+- language mixture 60/10/10/10/10 en/es/de/fr/zh with PER-LANGUAGE
+  function-word heads: the top Zipf ranks of a document resolve to its
+  OWN language's function words (real Spanish text does not contain
+  "the"), content vocabulary shared across languages; zh resolves the
+  head to CJK tokens — `lang_id` detects CJK by codepoint range. A
+  v1 of this corpus shared one English-ish head across all languages,
+  which made the language gate measure corpus artifice rather than the
+  heuristic;
 - PLANTED ground truth, written alongside the corpus:
   * 400 exact duplicates,
   * 1,500 near-duplicates at token-mutation rates
@@ -60,6 +65,10 @@ N_PER_COS = 250
 
 DEFAULT_OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "zipf_corpus")
 
+#: Bumped whenever generation changes; ensure_corpus regenerates on
+#: mismatch so stale on-disk corpora can't silently feed tests.
+CORPUS_VERSION = 2
+
 _TABLES = (
     "documents.parquet",
     "embeddings.parquet",
@@ -67,8 +76,11 @@ _TABLES = (
     "planted_vec_pairs.parquet",
 )
 
-# Top Zipf ranks: genuine high-frequency function words — includes the
-# engine's STOPWORDS and every lang_id marker so the gates see signal.
+# Top Zipf ranks: genuine high-frequency function words. This is the
+# shared RANK SCAFFOLD — each language's documents resolve these head
+# ranks to their OWN function words (_LANG_FUNCTION below), the way real
+# text works: the head of a Zipf distribution is function words, and
+# function words are what distinguishes languages.
 _TOP_WORDS = [
     "the", "a", "an", "and", "of", "to", "in", "is", "with", "that",
     "for", "it", "on", "as", "was", "at", "by", "be", "this", "are",
@@ -77,6 +89,19 @@ _TOP_WORDS = [
 ]
 
 _CJK_TOKENS = ["数据", "处理", "分析", "引擎", "查询"]
+
+# Per-language function-word heads (cycled over the _TOP_WORDS ranks).
+# Includes every lang_id marker for its language; overlaps that exist in
+# the real languages (es/fr "la") are kept — they are exactly what makes
+# the marker-argmax heuristic's errors honest.
+_LANG_FUNCTION = {
+    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "with", "that",
+           "for", "it", "on", "as", "was", "at", "by", "be", "this", "are"],
+    "es": ["el", "la", "de", "que", "los", "y", "un", "por", "con", "se"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "den", "mit", "nicht"],
+    "fr": ["le", "la", "les", "des", "est", "un", "une", "et", "dans", "pour"],
+    "zh": _CJK_TOKENS,
+}
 
 _SYLLABLES = [
     "ba", "ce", "di", "fo", "gu", "ha", "ji", "ka", "lo", "mi",
@@ -121,34 +146,23 @@ def _gen_documents(rng: np.random.Generator):
         N_BASE,
         p=[0.6, 0.1, 0.1, 0.1, 0.1],
     )
-    marker_ranks = {
-        "en": [_TOP_WORDS.index(w) for w in ("the", "and", "of", "is", "with")],
-        "es": [_TOP_WORDS.index(w) for w in ("el", "la", "de", "que", "los")],
-        "de": [_TOP_WORDS.index(w) for w in ("der", "die", "und", "das", "ist")],
-        "fr": [_TOP_WORDS.index(w) for w in ("le", "la", "les", "des", "est")],
-    }
+    # Per-language vocab view: head ranks resolve to the language's own
+    # function words, the content tail is shared across languages.
+    n_head = len(_TOP_WORDS)
+    vocab_by_lang = {}
+    for lg, fws in _LANG_FUNCTION.items():
+        v = vocab.copy()
+        v[:n_head] = [fws[j % len(fws)] for j in range(n_head)]
+        vocab_by_lang[lg] = v
 
     all_ids = draw(int(lengths.sum()))
     docs_tokens: list[np.ndarray] = []
     off = 0
     for i in range(N_BASE):
         L = int(lengths[i])
-        tok_ids = all_ids[off : off + L].copy()
+        tok_ids = all_ids[off : off + L]
         off += L
-        lang = langs[i]
-        if lang == "zh":
-            # inject CJK tokens so the codepoint-range gate fires
-            pos = rng.integers(0, L, size=max(2, L // 40))
-            toks = vocab[tok_ids]
-            toks[pos] = rng.choice(np.array(_CJK_TOKENS, dtype=object), len(pos))
-            docs_tokens.append(toks)
-            continue
-        # salt ~8% of positions with this language's markers so the
-        # argmax gate picks the intended language on most docs
-        mk = marker_ranks[lang]
-        pos = rng.integers(0, L, size=max(3, L // 12))
-        tok_ids[pos] = rng.choice(mk, len(pos))
-        docs_tokens.append(vocab[tok_ids])
+        docs_tokens.append(vocab_by_lang[langs[i]][tok_ids])
 
     # ---- planted structure ------------------------------------------------
     pair_rows: list[tuple[int, int, str, float]] = []
@@ -171,16 +185,18 @@ def _gen_documents(rng: np.random.Generator):
             toks = docs_tokens[b].copy()
             n_mut = max(1, int(round(rate * len(toks))))
             pos = rng.choice(len(toks), n_mut, replace=False)
-            toks[pos] = vocab[draw(n_mut)]
+            # mutations draw from the SAME language's vocab view — a
+            # near-duplicate of a Spanish doc stays Spanish
+            toks[pos] = vocab_by_lang[langs[b]][draw(n_mut)]
             extra_tokens.append(toks)
             extra_langs.append(str(langs[b]))
             pair_rows.append((int(b), next_id, "near", float(rate)))
             next_id += 1
 
-    template = vocab[draw(200)]
+    template = vocab_by_lang["en"][draw(200)]
     boiler_ids = []
     for _ in range(N_BOILER):
-        toks = np.concatenate([template, vocab[draw(5)]])
+        toks = np.concatenate([template, vocab_by_lang["en"][draw(5)]])
         extra_tokens.append(toks)
         extra_langs.append("en")
         boiler_ids.append(next_id)
@@ -288,12 +304,21 @@ def generate(out_dir: str = DEFAULT_OUT) -> str:
         ),
         os.path.join(out_dir, "planted_vec_pairs.parquet"),
     )
+    with open(os.path.join(out_dir, "VERSION"), "w") as f:
+        f.write(str(CORPUS_VERSION))
     return out_dir
 
 
 def ensure_corpus(out_dir: str = DEFAULT_OUT) -> str:
-    """Generate the corpus iff any table is missing; returns out_dir."""
-    if all(os.path.exists(os.path.join(out_dir, t)) for t in _TABLES):
+    """Generate the corpus iff any table is missing or the on-disk
+    version predates CORPUS_VERSION; returns out_dir."""
+    vfile = os.path.join(out_dir, "VERSION")
+    version_ok = (
+        os.path.exists(vfile) and open(vfile).read().strip() == str(CORPUS_VERSION)
+    )
+    if version_ok and all(
+        os.path.exists(os.path.join(out_dir, t)) for t in _TABLES
+    ):
         return out_dir
     return generate(out_dir)
 
