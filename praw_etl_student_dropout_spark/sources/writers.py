@@ -66,7 +66,9 @@ def idempotent_append(
     (JDBC, parquet re-read), an unpinned anti-join would re-evaluate
     AFTER the write and return the empty post-append delta — or worse,
     double-append under retries. The pin is one pass over the delta,
-    which the sink was about to pay anyway.
+    which the sink was about to pay anyway. The returned DataFrame is
+    the persisted delta and is OWNED BY THE CALLER (unpersist when
+    done — SCALING.md cache contract).
     """
     deduped = new_rows.dropDuplicates(keys)
     fresh = anti_join_new_keys(deduped, existing, keys).persist()
