@@ -257,8 +257,25 @@ def bench_interleaved(
     for n in sorted(queries):
         d = f" duckdb={dqueries[n]:.3f}s" if n in dqueries else " (rows-only)"
         print(f"# {n}: spark={queries[n]:.3f}s{d}", file=sys.stderr)
+
+    # Concurrent pass (metric continuity with pre-r5 benches): the same
+    # queries submitted from 8 client threads — overlapping the per-query
+    # scheduling floor the way a multi-tenant deployment does. The delta
+    # vs the sequential total quantifies how much of that total is floor.
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(
+            pool.map(
+                lambda name: registry[name].builder(spark, sf_dir).count(), headline
+            )
+        )
+    concurrent_wall = round(time.perf_counter() - t0, 3)
+    print(f"# concurrent (8 threads, 1 run each): {concurrent_wall:.3f}s", file=sys.stderr)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
+        "concurrent_wall_clock": concurrent_wall,
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
