@@ -38,8 +38,14 @@ def hash_coin(key: Column, seed: int, method: str = "xxhash64") -> Column:
 
     ``xxhash64``: fastest (one JVM hash, no string round-trip).
     ``md5``: engine-portable — DuckDB/Trino/any-SQL compute the same
-    bits (first 6 hex digits mod 2^20), so hash-coin samples can be
+    bits (first 8 hex digits mod 2^20), so hash-coin samples can be
     differentially verified across engines.
+
+    Precondition: ``key`` should be non-null. A NULL key flows through
+    xxhash64 as one deterministic coin value but NULLs the md5 concat
+    (the row silently drops) — the same divergence a SQL twin would
+    show, so supply a non-null key (coalesce a surrogate) rather than
+    relying on either behavior.
     """
     if method == "xxhash64":
         h = F.xxhash64(key, F.lit(seed))
