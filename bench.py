@@ -199,7 +199,7 @@ def _spark_session_warm():
 
 
 def bench_interleaved(
-    n_timed: int = 3,
+    n_timed: int = 2,
     headline: list[str] | None = None,
     sf_dir: str | None = None,
     warm: bool = True,
