@@ -14,15 +14,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Reference regexes (etl_pipeline.py:74,80). Java and RE2 agree on these.
-# The alpha class is written \p{Alpha} (Java default = US-ASCII
-# [a-zA-Z], identical match set — verified byte-equal on every fixture
-# plus an edge gauntlet) because the JVM regex engine compiles a
-# two-range union class ([^a-zA-Z\s]) to a ~20x slower node than the
-# single property: measured 4.5 s -> 0.3 s over the 52k-doc Zipfian
-# corpus, and clean_text is in the hot path of every text query. Note
-# Pattern.compile runs with no flags, so \p{Alpha} stays ASCII; do NOT
-# add UNICODE_CHARACTER_CLASS.
+# Reference regexes (etl_pipeline.py:74,80). The alpha class is written
+# \p{Alpha} (Java default = US-ASCII [a-zA-Z], identical match set)
+# because the JVM regex engine compiles a two-range union class
+# ([^a-zA-Z\s]) to a ~20x slower node than the single property: measured
+# 4.5 s -> 0.3 s over the 52k-doc Zipfian corpus, and clean_text is in
+# the hot path of every text query. Pattern.compile runs with no flags,
+# so \p{Alpha} stays ASCII; do NOT add UNICODE_CHARACTER_CLASS.
+# DIVERGENT SPELLING, INTENTIONAL: RE2 (DuckDB's regex engine, i.e. the
+# oracle side) does not support \p{Alpha}, so plans/catalog.py::SQL_CLEAN
+# keeps the [^a-zA-Z\s] form. The two spellings are hand-synchronized;
+# tests/test_udfs.py::test_clean_pattern_ascii_class_equivalence is
+# the gauntlet pinning byte-equality on mixed-case/Unicode/URL edges —
+# change either side only together with it.
 CLEAN_PATTERN = r"http\S+|www\S+|[^\p{Alpha}\s]"
 DROPOUT_PATTERN = r"(?i)drop[\s-]?out|dropped out"
 

@@ -107,19 +107,31 @@ def changelog_compact(
     batching) performs before apply.
 
     Ordering contract: ``order`` SHOULD be a total order per key (a CDC
-    log's sequence number / LSN is). If it is not, ``op_col`` is
-    appended as a deterministic tiebreak, so the first/last OP — and
-    hence ``net_op`` — is stable across runs and partitionings
-    (min_by/max_by would otherwise pick an arbitrary tied row). Rows
-    that tie on BOTH order and op are true duplicates from the log's
-    point of view; which one's payload is carried is unspecified —
-    callers whose payloads differ at identical (order, op) must extend
-    ``order`` with an ingest id.
+    log's sequence number / LSN is). If it is not, an explicit op RANK
+    (I=0, U=1, D=2, anything else=3) is appended as a deterministic
+    tiebreak — min_by/max_by would otherwise pick an arbitrary tied row,
+    nondeterministically flipping ``net_op`` across runs/partitionings.
+    The chosen tie semantic is the key lifecycle order: rows tied at the
+    same position replay as I before U before D, so the FIRST of a tie
+    prefers the insert and the LAST prefers the delete. Consequences:
+    D⊕U tied at the end nets D (a tied delete is never silently lost —
+    tombstone-conservative), and I⊕D tied as a key's whole history
+    collapses to "never existed". Unknown ops rank after D so a malformed
+    feed can't shadow a real delete. Rows that tie on BOTH order and op
+    are true duplicates from the log's point of view; which one's payload
+    is carried is unspecified — callers whose payloads differ at
+    identical (order, op) must extend ``order`` with an ingest id.
     """
     from pyspark.sql import functions as F
 
     payload = [c for c in log.columns if c not in (key, op_col) and c not in order]
-    order_key = F.struct(*[F.col(c) for c in order], F.col(op_col))
+    op_rank = (
+        F.when(F.col(op_col) == "I", 0)
+        .when(F.col(op_col) == "U", 1)
+        .when(F.col(op_col) == "D", 2)
+        .otherwise(3)
+    )
+    order_key = F.struct(*[F.col(c) for c in order], op_rank.alias("__op_rank"))
     carried = F.struct(
         F.col(op_col).alias("__op"),
         *[F.col(c) for c in order + payload],

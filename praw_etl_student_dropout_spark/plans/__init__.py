@@ -48,33 +48,44 @@ def catalog_all():
 #:       q10_returned_revenue, etl_scd2_dim, a16_stats_moments,
 #:       a24_salted_hot_key_agg, a25_incremental_agg, w5_rank_family,
 #:       f15_datetime_family, d3_dup_clusters, t6_gapfill_monthly.
+#:   r6: swapped out the ten slots r5 newly graded (all green on first
+#:       driver contact: q9_product_profit, q10_returned_revenue,
+#:       etl_scd2_dim, a16_stats_moments, a24_salted_hot_key_agg,
+#:       a25_incremental_agg, w5_rank_family, f15_datetime_family,
+#:       d3_dup_clusters, t6_gapfill_monthly) for ten never-driver-graded
+#:       entries pre-verified by the r5 judge's foreign-cwd differential
+#:       run: st3_tumbling_window, st4_session_window (first-ever driver
+#:       grade for the streaming batch-twin family), st6_attribution_batch,
+#:       q2_min_cost_supplier, q13_order_distribution, q22_idle_customers,
+#:       sql_recursive_hierarchy, etl_changelog_compact,
+#:       llm_leakage_safe_split, u11_unigram_logprob.
 GRADED_PREFIX = [
     "flagship_star_pivot",
     "p1_project_clean",
-    "q9_product_profit",
+    "q2_min_cost_supplier",
     "p7_case_bucket",
-    "q10_returned_revenue",
+    "q13_order_distribution",
     "f9_json_extract",
-    "etl_scd2_dim",
+    "etl_changelog_compact",
     "f10_array_dot",
-    "a16_stats_moments",
-    "a24_salted_hot_key_agg",
+    "q22_idle_customers",
+    "sql_recursive_hierarchy",
     "a4_q1_pricing_summary",
     "a6_insight_summary",
     "a7_mode",
-    "a25_incremental_agg",
-    "w5_rank_family",
+    "st3_tumbling_window",
+    "st4_session_window",
     "j1_star_join_agg",
     "j2_surrogate_key_swap",
     "j3_anti_join",
     "j4_left_join",
-    "f15_datetime_family",
+    "st6_attribution_batch",
     "w1_topk_per_group",
-    "d3_dup_clusters",
+    "llm_leakage_safe_split",
     "w3_running_sum",
     "t3_global_topk",
     "d2_dedup_by_key",
-    "t6_gapfill_monthly",
+    "u11_unigram_logprob",
     "p4_keyword_filter",
     "p6_p8_cast_fill",
     "f4_f6_epoch_datefmt",

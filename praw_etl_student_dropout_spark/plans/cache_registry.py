@@ -7,8 +7,12 @@ populates the cache — so the builder itself can never unpersist. Instead
 of leaving those persists unowned (session-lifetime, LRU-evicted), every
 plan-level persist goes through :func:`track`, and
 :func:`release_session_caches` frees them all deterministically. bench.py
-calls it between queries; long-lived sessions (notebooks, multi-tenant
-drivers) call it at their own task boundaries.
+calls it after EVERY Spark run — warm-up and each timed run — so a timed
+run never serves a tracked intermediate from a previous run's cache
+(Spark's CacheManager matches canonicalized plans, so re-invoking the
+same builder WOULD silently reuse it, skewing any comparison against an
+engine that re-executes in full). Long-lived sessions (notebooks,
+multi-tenant drivers) call it at their own task boundaries.
 
 Operators with the same shape (MinHash's banded LSH index) expose an
 ``eager=True`` mode instead (``operators/caching.py``): materialize the

@@ -91,6 +91,11 @@ register(
 
 # --- shared DuckDB SQL fragments for the text pipeline -----------------
 # (mirror functions/text.py exactly; used by several oracles)
+# NOTE the alpha class here is spelled [a-zA-Z] while the Spark side
+# (functions/text.py::CLEAN_PATTERN) uses \p{Alpha}: RE2 lacks \p{Alpha},
+# and the JVM is 20x slower on the two-range form — same US-ASCII match
+# set, hand-synchronized, pinned byte-equal by
+# tests/test_udfs.py::test_clean_pattern_ascii_class_equivalence.
 SQL_CLEAN = r"trim(lower(regexp_replace({col}, 'http\S+|www\S+|[^a-zA-Z\s]', '', 'g')))"
 SQL_TOKS = r"regexp_split_to_array(trim({col}), '\s+')"
 # Twin of functions/text.py::token_count — 0 for blank text, where a bare

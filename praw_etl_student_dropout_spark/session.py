@@ -46,6 +46,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # Console progress bars write \r-padded stage lines to stderr; under a
+    # harness that captures a bounded output tail they can crowd out (or
+    # interleave into) the final machine-readable summary line. Timing and
+    # plans are unaffected.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -368,24 +368,33 @@ def test_changelog_compact_non_orderable_payload(spark):
 
 
 def test_changelog_compact_tied_order_is_deterministic(spark):
-    """Duplicate order keys within a key: op_col is appended to the
-    min_by/max_by comparison struct as a deterministic tiebreak, so
-    net_op is stable across runs and physical layouts (previously
-    min_by/max_by picked an arbitrary tied row, nondeterministically
-    flipping net_op)."""
+    """Duplicate order keys within a key resolve by the explicit op rank
+    (I=0 < U=1 < D=2 < other) appended to the min_by/max_by comparison
+    struct: ties replay in key-lifecycle order (I before U before D), so
+    the first of a tie prefers the insert and the last prefers the
+    delete. Deterministic across runs and physical layouts, and a tied
+    delete is never silently lost (ADVICE r5: the previous raw-string
+    tiebreak made 'D' < 'U' an ASCII accident that dropped deletes)."""
     from praw_etl_student_dropout_spark.operators.etl import changelog_compact
 
     rows = [
-        # k=1: I and U both at seq=1 → first op must be I (min tiebreak),
-        # last op must be U (max tiebreak) → net I, deterministically.
+        # k=1: I and U both at seq=1 → first op must be I (rank 0 min),
+        # last op must be U (rank 1 max) → net I, deterministically.
         (1, 1, "U"), (1, 1, "I"),
-        # k=2: D and U tied at the end → last = U (max tiebreak) → net U.
+        # k=2: D and U tied at the end → last = D (rank 2 beats U) →
+        # net D: the tied delete WINS (tombstone-conservative).
         (2, 1, "U"), (2, 2, "D"), (2, 2, "U"),
-        # k=3: I and D tied at seq=1 → first=D, last=I → net U
-        # (not the dropped I..D branch) — deterministic either way.
+        # k=3: I and D tied as the whole history → first=I, last=D →
+        # lifecycle says insert-then-delete at one instant: key never
+        # existed for the consumer → dropped.
         (3, 1, "D"), (3, 1, "I"),
+        # k=4: unknown op 'X' tied with D at the end ranks AFTER D, so
+        # the last op is X (not D) and first=I → net I: the delete
+        # branch is only ever taken by a literal 'D', never by a
+        # malformed op shadowing one.
+        (4, 1, "I"), (4, 2, "D"), (4, 2, "X"),
     ]
-    expect = {1: "I", 2: "U", 3: "U"}
+    expect = {1: "I", 2: "D", 4: "I"}
     log = spark.createDataFrame(rows, "k int, seq int, op string")
     for layout in (log, log.repartition(7, "seq"), log.coalesce(1)):
         got = {

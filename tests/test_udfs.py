@@ -140,3 +140,71 @@ def test_redact_pii_idempotent(spark):
     once = df.select(redact_pii(F.col("t")).alias("r"))
     twice = once.select(redact_pii(F.col("r")).alias("r"))
     assert once.collect() == twice.collect()
+
+
+def test_clean_pattern_ascii_class_equivalence(spark):
+    """Gauntlet pinning the intentional spelling divergence between
+    functions/text.py::CLEAN_PATTERN (\\p{Alpha}, the fast JVM form) and
+    plans/catalog.py::SQL_CLEAN ([a-zA-Z], the RE2-portable oracle form):
+    clean_text output must be byte-equal to the same pipeline built on
+    the [^a-zA-Z\\s] class, on mixed-case / Unicode / URL / digit edges.
+    Java compiles \\p{Alpha} as US-ASCII when no flags are set, so the
+    two classes are the same match set — this test is what licenses the
+    hand-synchronization (ADVICE r5)."""
+    edges = [
+        "Hello, World! 123",
+        "MiXeD CaSe WiTh   runs\tof\nwhitespace",
+        "http://example.com/path?q=1 trailing words",
+        "www.example.com,comma-glued",
+        "unicode: café naïve Ωmega 東京 emoji 🚀 done",
+        "accents ÀÉÎÕÜ and ß sharp-s and ñ",  # non-ASCII letters must be STRIPPED
+        "digits 0123456789 and _underscores_ and [brackets]",
+        "",
+        "   ",
+        "ALLCAPS",
+        "already clean lower case",
+        "http nbsp-after-scheme-prefix",  # \S is ASCII-agnostic here
+        "tabs\tand\rcarriage\nnewline",
+        "punct !@#$%^&*()-=+[]{};:'\",.<>/?`~|\\",
+    ]
+    df = spark.createDataFrame([(s,) for s in edges], "text string")
+    ascii_form = F.trim(
+        F.lower(F.regexp_replace("text", r"http\S+|www\S+|[^a-zA-Z\s]", ""))
+    )
+    both = df.select(
+        clean_text(F.col("text")).alias("fast"), ascii_form.alias("ref")
+    ).collect()
+    for r in both:
+        assert r.fast == r.ref, (r.fast, r.ref)
+
+
+def test_clean_pattern_matches_duckdb_sql_clean(spark):
+    """Cross-engine leg of the same pin: DuckDB evaluating SQL_CLEAN
+    byte-equals Spark's clean_text on the edge gauntlet (RE2 vs JVM, not
+    just JVM vs JVM)."""
+    import duckdb
+
+    from praw_etl_student_dropout_spark.plans.catalog import SQL_CLEAN
+
+    edges = [
+        "Hello, World! 123",
+        "http://example.com/path?q=1 trailing words",
+        "unicode: café naïve Ωmega 東京 emoji 🚀 done",
+        "accents ÀÉÎÕÜ and ß and ñ",
+        "punct !@#$%^&*()-=+[]{};:'\",.<>/?`~|\\",
+        "   ",
+    ]
+    spark_out = [
+        r.c
+        for r in spark.createDataFrame([(s,) for s in edges], "text string")
+        .select(clean_text(F.col("text")).alias("c"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(
+            f"SELECT {SQL_CLEAN.format(col='?')}", [s]
+        ).fetchone()[0]
+        for s in edges
+    ]
+    assert spark_out == duck_out
