@@ -15,6 +15,19 @@ approach N — that is the evidence the plans amortize, which is what a
 
 Usage: python tools/scale_probe.py [N] [scratch_dir]
        (defaults: N=8, scratch=/tmp/spark_graft_scale)
+
+Paired mode (round-6, VERDICT r5 #3): ``--paired [N ...]`` times the
+perf-watch queries INTERLEAVED against DuckDB on the SAME replica data
+at each scale, in one session — the question it answers is whether the
+sf0.1 spark/duck ratio (floor-dominated on sub-second queries) falls
+toward <=2x as data grows, i.e. whether the gap is the local[32]
+scheduling floor amortizing away (fine at 100 TB) or a real plan
+problem (not fine). DuckDB reads the replica parquet directories via
+glob views; tracked Spark caches are released after every run (same
+fairness contract as bench.py).
+
+Usage: python tools/scale_probe.py --paired [N ...] [--scratch dir]
+       (default N list: 8 32)
 """
 
 from __future__ import annotations
@@ -116,7 +129,99 @@ def time_probe(spark, registry, sf_dir: str, runs: int = 3) -> dict[str, float]:
     return out
 
 
+# The five queries the round-5 verdict marked perf-watch (each >2x DuckDB
+# at sf0.1 with an audited-canonical plan), plus u10 which joined the set
+# when the cache-fairness fix made its timed runs pay materialization.
+PAIRED_QUERIES = [
+    "d2_dedup_by_key",
+    "q21_waiting_supplier",
+    "etl_scd2_dim",
+    "u10_tfidf_topterms",
+    "d3_exact_dedup",
+]
+
+TABLES = list(SHIFT) + SINGLE_COPY
+
+
+def _duck_con(sf_dir: str, plain: bool):
+    """DuckDB connection with the ten tables viewed over ``sf_dir``.
+    ``plain``: fixture dirs hold single files ``t.parquet``; replica dirs
+    hold Spark-written directories ``t.parquet/*.parquet``."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet" if plain else f"{sf_dir}/{t}.parquet/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def paired_probe(spark, registry, sf_dir: str, plain: bool, n_timed: int = 2) -> dict:
+    from praw_etl_student_dropout_spark.plans.cache_registry import (
+        release_session_caches,
+    )
+
+    con = _duck_con(sf_dir, plain)
+    spark_s, duck_s = {}, {}
+    for name in PAIRED_QUERIES:
+        spec = registry[name]
+        spec.builder(spark, sf_dir).count()  # warm-up
+        release_session_caches()
+        con.sql(spec.oracle).fetchall()
+        st, dt = [], []
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).count()
+            st.append(time.perf_counter() - t0)
+            release_session_caches()
+            t0 = time.perf_counter()
+            con.sql(spec.oracle).fetchall()
+            dt.append(time.perf_counter() - t0)
+        spark_s[name] = round(min(st), 3)
+        duck_s[name] = round(min(dt), 3)
+        print(
+            f"# {name}: spark={spark_s[name]:.3f}s duckdb={duck_s[name]:.3f}s "
+            f"ratio={spark_s[name] / duck_s[name]:.2f}",
+            file=sys.stderr,
+        )
+    con.close()
+    return {
+        "spark_s": spark_s,
+        "duckdb_s": duck_s,
+        "ratio": {q: round(spark_s[q] / duck_s[q], 2) for q in spark_s},
+    }
+
+
+def main_paired(scales: list[int], scratch: str) -> None:
+    from praw_etl_student_dropout_spark.plans import catalog_all
+    from praw_etl_student_dropout_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe_paired")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = catalog_all()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()  # JVM warm
+    out = {"queries": PAIRED_QUERIES, "scales": {}}
+    out["scales"]["1"] = paired_probe(spark, registry, SF_DIR, plain=True)
+    for n in scales:
+        d = f"{scratch}_{n}x"
+        if not os.path.isdir(d):
+            print(f"# building {n}x replicas in {d}", file=sys.stderr)
+            build_replicas(spark, d, n)
+        out["scales"][str(n)] = paired_probe(spark, registry, d, plain=False)
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--paired" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--paired"]
+        scratch = "/tmp/spark_graft_scale"
+        if "--scratch" in args:
+            i = args.index("--scratch")
+            scratch = args[i + 1]
+            del args[i : i + 2]
+        scales = [int(a) for a in args] or [8, 32]
+        main_paired(scales, scratch)
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
     from praw_etl_student_dropout_spark.plans import catalog_all
