@@ -1,8 +1,11 @@
 """Owned session caches for lazy catalog plans (SCALING.md §cache-contract).
 
 A few catalog queries persist an intermediate that their own plan reads
-twice (u10's (doc,term,tf) table feeds both the df aggregation and the
-scoring join). The query builder is lazy — the CALLER's collect is what
+twice (u11's (doc,term,tf) table feeds both the corpus-frequency
+aggregation and the scoring join; u10 used to, until round-6 made its
+df branch an independent cheaper scan — keep a persist only when the
+second reader needs the SAME computation, not a cheaper projection of
+it). The query builder is lazy — the CALLER's collect is what
 populates the cache — so the builder itself can never unpersist. Instead
 of leaving those persists unowned (session-lifetime, LRU-evicted), every
 plan-level persist goes through :func:`track`, and

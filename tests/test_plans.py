@@ -325,11 +325,19 @@ def test_tpch_completion_decorrelations(spark, sf_dir, registry):
     p4 = plan_of(registry["q4_priority_exists"].builder(spark, sf_dir))
     assert "LeftSemi" in p4
     assert "BroadcastNestedLoopJoin" not in p4
-    # Q21: EXISTS + NOT EXISTS over the same fact -> one semi AND one
-    # anti hash join, both keyed on l_orderkey
+    # Q21 (round-6 one-pass form): both quantifiers come from per-order
+    # window counts over ONE fact x orders join — the heavy join must
+    # appear exactly once, the nation dim rides a broadcast join, and
+    # the per-(order,supplier) collapse + windows reuse the join's
+    # orderkey partitioning (no semi/anti re-scans of the fact, no
+    # nested loop).
     p21 = plan_of(registry["q21_waiting_supplier"].builder(spark, sf_dir))
-    assert "LeftSemi" in p21
-    assert "LeftAnti" in p21
+    li_scans = [
+        l for l in p21.splitlines() if "FileScan" in l and "lineitem" in l
+    ]
+    assert len(li_scans) == 1, p21
+    assert "BroadcastHashJoin" in p21  # nation_sup onto the fact
+    assert "Window" in p21
     assert "CartesianProduct" not in p21
     assert "BroadcastNestedLoopJoin" not in p21
     # Q16: NOT IN over a non-nullable key -> broadcast LEFT ANTI, and

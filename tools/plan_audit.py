@@ -50,6 +50,7 @@ EXPECTED_NESTED_LOOP = {
     "u11_unigram_logprob",  # 1-row corpus-token-total scalar broadcast cross join
     "llm_curation_funnel",  # 1-row contamination-id set joined in
     "sample_stratified_mix",
+    "sample_stratified_mix_hash",  # 1-row lead-stratum min broadcast cross join (r6)
     "q11_important_parts",  # 1-row global-value threshold broadcast back
     "q22_idle_customers",   # 1-row avg-balance threshold broadcast back
     "j9_cross_join",        # declared cartesian of two tiny dims (5 x 25)
