@@ -1229,3 +1229,63 @@ def u7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         queries, indexed, centroids, encoded, books, k=5, nprobe=6, rerank_factor=4
     )
+
+
+@register(
+    "d3_shared_span_pairs",
+    "D3 ⊕ (exact shared-span / repeated-substring dedup)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, t, len(t) - 8 + 1 AS m,
+             unnest(range(1, len(t) - 8 + 2)) AS pos
+      FROM toks WHERE len(t) >= 8
+    ),
+    fps AS (
+      SELECT doc_id, pos, m,
+             md5(array_to_string(t[pos:pos+7], ' ')) AS fp
+      FROM pos_t
+    ),
+    win AS (
+      SELECT doc_id, pos, m,
+             min(struct_pack(f := fp, p := pos))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ws
+      FROM fps
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, (ws).f AS fp FROM win
+      WHERE pos <= greatest(m - 4 + 1, 1)
+    ),
+    hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 50),
+    sel2 AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_fps
+    FROM sel2 a JOIN sel2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    doc="Exact shared-SPAN duplicate pairs (round-6 ⊕): winnowed "
+    "rolling-window fingerprints (k=8-token windows, w=4 winnow — any "
+    "shared verbatim run of ≥ 11 tokens is guaranteed a selected "
+    "fingerprint collision, Schleimer-Wilkerson-Aiken SIGMOD'03) "
+    "joined on the fingerprint, counting distinct shared prints per "
+    "pair. This is the repeated-substring detector bag-of-shingles "
+    "similarity dilutes away on long documents — the curation stage "
+    "that catches licence blocks / boilerplate / copy-paste. Scale "
+    "shape: hashing+winnowing are row-local array exprs (selected "
+    "density ~2/(w+1); only selections explode), the pair step is a "
+    "fingerprint equi-join (never all-pairs), and the df>50 hot-print "
+    "cap bounds boilerplate fan-out deterministically. md5 window "
+    "hashes make the whole index engine-portable: the oracle computes "
+    "the identical winnowed index via SQL window min.",
+)
+def d3_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shared_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return shared_span_pairs(
+        docs, "text", "doc_id", k=8, w=4, max_doc_freq=50, min_shared=2
+    )

@@ -457,3 +457,51 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(edges, max_iter=12)  # 2^12 >> 120
     assert {r.comp for r in out.collect()} == {0}
     assert out.count() == n
+
+
+def test_shared_span_guarantee_and_edges(spark):
+    """Winnowing guarantee: two docs sharing a verbatim run of exactly
+    k+w-1 tokens MUST collide on >=1 selected fingerprint (k=4, w=3 →
+    6-token span). Docs shorter than k tokens index nothing; a doc
+    repeating its own span indexes each print once (DISTINCT), so a
+    self-repetitive doc can't inflate pair evidence."""
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        shared_span_pairs,
+        winnowed_fingerprints,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta"  # 6 = k+w-1 tokens
+    rows = [
+        (1, f"left padding words here {span} and unrelated tail content"),
+        (2, f"totally different head {span} trailing words differ too"),
+        (3, "no overlap with anything else at all in this one document"),
+        (4, "tiny doc"),  # < k tokens → no fingerprints
+        (5, f"{span} {span} {span}"),  # self-repetition
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = shared_span_pairs(
+        docs, "text", "doc_id", k=4, w=3, min_shared=1
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got, got  # the guarantee
+    assert not any(3 in p or 4 in p for p in got), got
+    # doc 4 yields no prints at all
+    fps = winnowed_fingerprints(docs, "text", "doc_id", k=4, w=3)
+    assert fps.filter(F.col("doc_id") == 4).count() == 0
+    # doc 5's triple self-repeat still indexes each print once
+    per_doc = dict(
+        fps.groupBy("doc_id").count().rdd.map(lambda r: (r.doc_id, r["count"])).collect()
+    )
+    # 18 tokens → 15 windows, but the repeated span means ≤ distinct hashes
+    assert per_doc[5] <= 15
+    # layout invariance: content-hash prints are identical under repartition
+    a = set(map(tuple, fps.collect()))
+    b = set(
+        map(
+            tuple,
+            winnowed_fingerprints(
+                docs.repartition(7), "text", "doc_id", k=4, w=3
+            ).collect(),
+        )
+    )
+    assert a == b

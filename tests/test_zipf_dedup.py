@@ -323,3 +323,48 @@ def test_zipf_ivfpq_planted_pair_recall(zunit, zqueries, zivf_index):
     assert rec[0.99] >= 0.99 and rec[0.95] >= 0.99
     assert rec[0.90] >= 0.97
     assert rec[0.80] >= 0.93
+
+
+def test_zipf_shared_span_recall_and_cap(zdocs, zplanted):
+    """Shared-span (winnowed exact-substring) dedup on realistic text,
+    k=8 w=4 min_shared=2. Measured (round-6): exact 1.0; near-dup
+    recall 1.0 / 1.0 / 0.997 / 0.903 / 0.313 at mutation rates
+    .02/.05/.10/.20/.35 — the span detector owns the low-mutation range
+    (long verbatim runs) and hands off to MinHash as mutations shred
+    runs below k+w-1 tokens. The df>50 cap sheds EXACTLY the 200-doc
+    boilerplate cluster (19,900 pairs found uncapped, 0 capped) and
+    nothing else. On this corpus the uncapped run is also FASTER (15 vs
+    21 s — a 200-doc hot bucket is cheaper than the broadcast anti-join
+    guarding against it); the cap is for corpora whose boilerplate
+    lives in millions of documents."""
+    from praw_etl_student_dropout_spark.operators.dedup import shared_span_pairs
+
+    planted = zplanted.collect()
+
+    def recall(cap):
+        rows = shared_span_pairs(
+            zdocs, "text", "doc_id", k=8, w=4, max_doc_freq=cap, min_shared=2
+        ).collect()
+        found = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in rows}
+        by: dict[tuple, list[int]] = {}
+        for r in planted:
+            key = (r.kind, round(getattr(r, "rate", 0.0), 2))
+            by.setdefault(key, [0, 0])
+            by[key][1] += 1
+            if (min(r.id_a, r.id_b), max(r.id_a, r.id_b)) in found:
+                by[key][0] += 1
+        return {k2: v[0] / v[1] for k2, v in by.items()}
+
+    capped = recall(50)
+    assert capped[("exact", 0.0)] == 1.0
+    assert capped[("near", 0.02)] >= 0.99
+    assert capped[("near", 0.05)] >= 0.99
+    assert capped[("near", 0.1)] >= 0.98
+    assert capped[("near", 0.2)] >= 0.85
+    # handoff point: high-mutation pairs are MinHash's job, not spans'
+    assert capped[("near", 0.35)] <= 0.5
+    assert capped[("boiler", 0.0)] == 0.0  # cap sheds the hot cluster
+    uncapped = recall(None)
+    assert uncapped[("boiler", 0.0)] == 1.0  # ...and ONLY the cap does
+    for lvl in (("exact", 0.0), ("near", 0.02), ("near", 0.05)):
+        assert uncapped[lvl] == capped[lvl]
