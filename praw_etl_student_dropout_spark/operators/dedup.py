@@ -837,6 +837,7 @@ def winnowed_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    include_pos: bool = False,
 ) -> DataFrame:
     """Winnowed rolling-window fingerprints: the scalable index behind
     exact-SUBSTRING dedup (round-6 ⊕; no reference-repo counterpart —
@@ -862,7 +863,10 @@ def winnowed_fingerprints(
     Scale shape: hashing AND selection are row-local array expressions
     (one pass, no token-stream shuffle); only the ~2/(w+1)-dense
     selected fingerprints are exploded. Returns DISTINCT
-    (id_col, fp) — a document repeating its own span indexes it once.
+    (id_col, fp) — a document repeating its own span indexes it once —
+    or, with ``include_pos``, (id_col, fp, pos) where pos is the
+    print's FIRST 1-based window position (span localization for
+    cleaners).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
 
@@ -899,14 +903,25 @@ def winnowed_fingerprints(
                 )
             ),
         )
-        return F.array_distinct(F.transform(wins, lambda x: x["f"]))
+        return F.array_distinct(wins)
 
     sel = F.transform(F.array(fps), selected)[0]
-    return (
+    exploded = (
         _spread(docs.select(F.col(id_col), sel.alias("_sel")), id_col)
-        .select(id_col, F.explode("_sel").alias("fp"))
-        .distinct()
+        .select(id_col, F.explode("_sel").alias("s"))
+        .select(
+            id_col,
+            F.col("s.f").alias("fp"),
+            F.col("s.p").cast("long").alias("pos"),
+        )
     )
+    if include_pos:
+        # One row per (doc, print) with its FIRST window position —
+        # deterministic, and the groupBy reuses _spread's id
+        # partitioning (ClusteredDistribution(id, fp) is satisfied by
+        # HashPartitioning(id)): no extra exchange.
+        return exploded.groupBy(id_col, "fp").agg(F.min("pos").alias("pos"))
+    return exploded.select(id_col, "fp").distinct()
 
 
 def shared_span_pairs(
@@ -954,5 +969,61 @@ def shared_span_pairs(
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def shared_span_regions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_doc_freq: int | None = None,
+    min_shared: int = 2,
+) -> DataFrame:
+    """:func:`shared_span_pairs` with SPAN LOCALIZATION — the bounds a
+    cleaner needs to actually CUT the shared region (licence header,
+    boilerplate block) rather than drop a whole document.
+
+    For each qualifying pair, reports the convex hull of the matched
+    window positions on each side: ``a_start``..``a_end`` (1-based
+    token offsets, end inclusive = last matched window start + k - 1)
+    and likewise ``b_start``/``b_end``. Honest scoping: the hull of
+    MULTIPLE disjoint shared regions overestimates (one interval is
+    reported, not a list) — for the dominant use cases (one licence
+    block / one copied passage) the hull IS the region, and the
+    ``n_shared_fps`` count tells a cleaner how contiguous the evidence
+    is. All-aggregate shape (min/max over the same fingerprint join as
+    the pair variant), so the full result is SQL-oracle-checkable.
+    """
+    sel = winnowed_fingerprints(docs, text_col, id_col, k, w, include_pos=True)
+    if max_doc_freq is not None:
+        hot = (
+            sel.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("fp")
+        )
+        sel = sel.join(F.broadcast(hot), "fp", "left_anti")
+    a = sel.select(
+        F.col(id_col).alias("doc_a"), F.col("fp").alias("fp_a"), F.col("pos").alias("pos_a")
+    )
+    b = sel.select(
+        F.col(id_col).alias("doc_b"), F.col("fp").alias("fp_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fp_a") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fps"),
+            F.min("pos_a").alias("a_start"),
+            (F.max("pos_a") + k - 1).alias("a_end"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_b") + k - 1).alias("b_end"),
+        )
         .filter(F.col("n_shared_fps") >= min_shared)
     )

@@ -1289,3 +1289,64 @@ def d3_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(
         docs, "text", "doc_id", k=8, w=4, max_doc_freq=50, min_shared=2
     )
+
+
+@register(
+    "d3_shared_span_regions",
+    "D3 ⊕ (shared-span localization)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, t, len(t) - 8 + 1 AS m,
+             unnest(range(1, len(t) - 8 + 2)) AS pos
+      FROM toks WHERE len(t) >= 8
+    ),
+    fps AS (
+      SELECT doc_id, pos, m,
+             md5(array_to_string(t[pos:pos+7], ' ')) AS fp
+      FROM pos_t
+    ),
+    win AS (
+      SELECT doc_id, pos, m,
+             min(struct_pack(f := fp, p := pos))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ws
+      FROM fps
+    ),
+    sel AS (
+      SELECT doc_id, (ws).f AS fp, min((ws).p) AS pos FROM win
+      WHERE pos <= greatest(m - 4 + 1, 1)
+      GROUP BY doc_id, (ws).f
+    ),
+    hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 50),
+    sel2 AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_fps,
+           CAST(min(a.pos) AS BIGINT) AS a_start,
+           CAST(max(a.pos) + 7 AS BIGINT) AS a_end,
+           CAST(min(b.pos) AS BIGINT) AS b_start,
+           CAST(max(b.pos) + 7 AS BIGINT) AS b_end
+    FROM sel2 a JOIN sel2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    doc="Shared-span dedup with LOCALIZATION (round-6 ⊕): same winnowed "
+    "fingerprint join as d3_shared_span_pairs, but each qualifying pair "
+    "reports the convex hull of its matched window positions per side "
+    "(1-based token offsets, end inclusive) — the bounds a cleaner "
+    "needs to CUT a licence header / boilerplate block instead of "
+    "dropping the document. Hull semantics documented honestly: "
+    "multiple disjoint shared regions collapse to one interval. Same "
+    "scale shape as the pair variant (row-local winnowing, fingerprint "
+    "equi-join, df cap); positions ride the index as a third column "
+    "and the localization is pure min/max aggregation.",
+)
+def d3_shared_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shared_span_regions
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return shared_span_regions(
+        docs, "text", "doc_id", k=8, w=4, max_doc_freq=50, min_shared=2
+    )

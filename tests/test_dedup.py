@@ -505,3 +505,38 @@ def test_shared_span_guarantee_and_edges(spark):
         )
     )
     assert a == b
+
+
+def test_shared_span_regions_localize_planted_block(spark):
+    """Localization: a verbatim block planted at KNOWN token offsets in
+    two documents must be covered by the reported hull, and the hull
+    must not extend past the evidence (first/last matched window ± the
+    window length). k=4, w=2 → guarantee for runs >= 5 tokens."""
+    from praw_etl_student_dropout_spark.operators.dedup import shared_span_regions
+
+    block = "copyright notice block shared verbatim across documents here"  # 9 tokens
+    # doc 1: block at tokens 4..12 (3 tokens before); doc 2: at 1..9
+    rows = [
+        (1, f"alpha bravo charlie {block} tail one two"),
+        (2, f"{block} completely different ending text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = shared_span_regions(
+        docs, "text", "doc_id", k=4, w=2, min_shared=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    # doc 1's block spans token positions 4..12; matched windows start
+    # within [4, 9] (window length 4), so the hull must sit inside the
+    # block and reach its end.
+    assert 4 <= r.a_start <= 9 and r.a_end <= 12
+    assert 1 <= r.b_start <= 6 and r.b_end <= 9
+    # hull end = last matched window start + k - 1 must reach the
+    # block's last guaranteed-covered window
+    assert r.a_end >= 10 and r.b_end >= 7
+    # consistency with the pair variant: same pair, same evidence count
+    from praw_etl_student_dropout_spark.operators.dedup import shared_span_pairs
+
+    p = shared_span_pairs(docs, "text", "doc_id", k=4, w=2, min_shared=1).collect()
+    assert len(p) == 1 and p[0].n_shared_fps == r.n_shared_fps
