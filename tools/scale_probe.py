@@ -79,6 +79,7 @@ PROBE_QUERIES = [
     "d3_simhash_pairs",      # multi-index banded hamming join (round-5 shape)
     "d3_minhash_pairs_capped",  # capped LSH join + shared-index report (round-5)
     "sample_stratified_mix_hash",  # content-hash coins: narrow, no shuffle (round-5)
+    "d3_shared_span_pairs",  # winnowed fingerprint index + span equi-join (round-6)
 ]
 
 
