@@ -678,3 +678,37 @@ def test_heavy_hitters_minimum_support_boundary(spark):
     df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
     got = {r.k: r.cnt for r in heavy_hitters(df, "k", support=1e-4).collect()}
     assert got == {"a": 50, "b": 50}
+
+
+def test_discover_fractions_and_column_rate(spark):
+    """discover_fractions enumerates strata with a default + overrides
+    (the documented-fallback scan), and the Column-rate form of
+    stratified_sample_hash selects exactly the same rows as the
+    equivalent explicit dict — so a caller can switch to the
+    collect-free form without changing the sample."""
+    from praw_etl_student_dropout_spark.operators.sampling import (
+        discover_fractions,
+        stratified_sample_hash,
+    )
+
+    rows = [(i, ["en", "es", "de"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    fr = discover_fractions(df, "lang", default=0.25, overrides={"en": 1.0})
+    assert fr == {"en": 1.0, "es": 0.25, "de": 0.25}
+    via_dict = {
+        r.doc_id
+        for r in stratified_sample_hash(
+            df, "lang", "doc_id", fr, seed=9, method="md5"
+        ).collect()
+    }
+    rate = F.when(F.col("lang") == "en", 1.0).otherwise(0.25)
+    via_col = {
+        r.doc_id
+        for r in stratified_sample_hash(
+            df, "lang", "doc_id", rate, seed=9, method="md5"
+        ).collect()
+    }
+    assert via_dict == via_col
+    # every en row kept; the others subsampled
+    en = {i for i, l in rows if l == "en"}
+    assert en <= via_col and len(via_col) < len(rows)
