@@ -1027,3 +1027,50 @@ def shared_span_regions(
         )
         .filter(F.col("n_shared_fps") >= min_shared)
     )
+
+
+def shared_span_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_prints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_doc_freq: int | None = None,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Incremental shared-span screening: a NEW batch against a
+    PERSISTED print index — the deployment shape at 100 TB, where the
+    corpus's winnowed index (:func:`winnowed_fingerprints` output,
+    written out bucketed by ``fp``) is maintained once and each
+    arriving batch joins against it instead of re-self-joining the
+    corpus. Cost is |batch index| ⋈ |corpus index| on the fingerprint
+    key — linear in the batch, never quadratic in the corpus.
+
+    ``corpus_prints``: (id, fp) as produced by ``winnowed_fingerprints``
+    with the SAME (k, w) — the guarantee only composes across equal
+    parameters. ``max_doc_freq`` caps on the CORPUS side's document
+    frequency (the side that has boilerplate mass). Returns
+    (new_id, corpus_id, n_shared_fps); a doc id present in both inputs
+    is reported like any other collision — pre-filter if re-screening
+    in-place.
+    """
+    new_prints = winnowed_fingerprints(new_docs, text_col, id_col, k, w)
+    if max_doc_freq is not None:
+        hot = (
+            corpus_prints.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("fp")
+        )
+        corpus_prints = corpus_prints.join(F.broadcast(hot), "fp", "left_anti")
+    n = new_prints.select(F.col(id_col).alias("new_id"), F.col("fp").alias("fp_n"))
+    c = corpus_prints.select(
+        F.col(id_col).alias("corpus_id"), F.col("fp").alias("fp_c")
+    )
+    return (
+        n.join(c, F.col("fp_n") == F.col("fp_c"))
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )

@@ -1350,3 +1350,65 @@ def d3_shared_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_regions(
         docs, "text", "doc_id", k=8, w=4, max_doc_freq=50, min_shared=2
     )
+
+
+@register(
+    "d3_shared_span_incremental",
+    "D3 ⊕ (incremental span screening: batch vs persisted index)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    pos_t AS (
+      SELECT doc_id, t, len(t) - 8 + 1 AS m,
+             unnest(range(1, len(t) - 8 + 2)) AS pos
+      FROM toks WHERE len(t) >= 8
+    ),
+    fps AS (
+      SELECT doc_id, pos, m,
+             md5(array_to_string(t[pos:pos+7], ' ')) AS fp
+      FROM pos_t
+    ),
+    win AS (
+      SELECT doc_id, pos, m,
+             min(struct_pack(f := fp, p := pos))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ws
+      FROM fps
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, (ws).f AS fp FROM win
+      WHERE pos <= greatest(m - 4 + 1, 1)
+    ),
+    newb AS (SELECT doc_id AS new_id, fp FROM sel WHERE doc_id % 11 = 0),
+    corp AS (SELECT doc_id AS corpus_id, fp FROM sel WHERE doc_id % 11 != 0),
+    hot AS (SELECT fp FROM corp GROUP BY fp HAVING count(*) > 50),
+    corp2 AS (SELECT * FROM corp WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT new_id, corpus_id, count(*) AS n_shared_fps
+    FROM newb JOIN corp2 USING (fp)
+    GROUP BY new_id, corpus_id
+    HAVING count(*) >= 2
+    """,
+    doc="Incremental span screening (round-6 ⊕): an arriving batch's "
+    "winnowed prints joined against the persisted corpus print index — "
+    "the 100 TB deployment shape, linear in the batch instead of "
+    "re-self-joining the corpus. The deterministic doc_id % 11 split "
+    "stands in for batch-vs-corpus; the df cap applies to the CORPUS "
+    "side (where boilerplate mass lives). Same (k=8, w=4) on both "
+    "sides — the ≥ k+w-1-token guarantee composes only across equal "
+    "parameters.",
+)
+def d3_shared_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        shared_span_pairs_incremental,
+        winnowed_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    new_docs = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    corpus_prints = winnowed_fingerprints(corpus, "text", "doc_id", k=8, w=4)
+    return shared_span_pairs_incremental(
+        new_docs, corpus_prints, "text", "doc_id", k=8, w=4,
+        max_doc_freq=50, min_shared=2,
+    )
