@@ -364,3 +364,50 @@ def stateful_user_stats_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def span_screen_stream(
+    doc_stream: DataFrame,
+    corpus_prints: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    w: int = 4,
+    max_doc_freq: int | None = None,
+    min_shared: int = 2,
+) -> None:
+    """Streaming curation screen (round-6 ⊕): each arriving micro-batch
+    of documents is winnowed row-locally and joined against the
+    PERSISTED corpus print index
+    (``operators/dedup.py::shared_span_pairs_incremental``); flagged
+    (new_id, corpus_id, n_shared_fps) pairs append to ``target_path``.
+
+    This is the ingestion-time form of span dedup: cost per trigger is
+    linear in the batch, the corpus is never re-self-joined, and the
+    static ``corpus_prints`` side behaves like any stream-static join
+    dimension (re-read per batch if backed by a live table). State is
+    carried by the INDEX, not by the streaming query — no watermark
+    needed, and a checkpoint replay re-screens only unprocessed files.
+    """
+    from ..operators.dedup import shared_span_pairs_incremental
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = shared_span_pairs_incremental(
+            batch_df,
+            corpus_prints,
+            "text",
+            "doc_id",
+            k=k,
+            w=w,
+            max_doc_freq=max_doc_freq,
+            min_shared=min_shared,
+        )
+        flagged.write.mode("append").parquet(target_path)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -461,3 +461,51 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_span_screen_stream_matches_batch_and_resumes(spark, sf_dir, tmp_path):
+    """Streaming span screen == the batch incremental operator on the
+    same split, and a checkpointed re-run (same dir, no new files)
+    appends nothing — the index carries the state, the checkpoint
+    carries progress."""
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        shared_span_pairs_incremental,
+        winnowed_fingerprints,
+    )
+    from praw_etl_student_dropout_spark.schemas import DOCUMENTS
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        span_screen_stream,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    new_docs = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    prints = winnowed_fingerprints(corpus, "text", "doc_id", k=8, w=4).persist()
+    try:
+        batch_expect = {
+            (r.new_id, r.corpus_id, r.n_shared_fps)
+            for r in shared_span_pairs_incremental(
+                new_docs, prints, k=8, w=4, min_shared=2
+            ).collect()
+        }
+        arriving = str(tmp_path / "arriving")
+        # two files → the file source can split them across triggers
+        half = new_docs.filter(F.col("doc_id") % 22 == 0)
+        other = new_docs.filter(F.col("doc_id") % 22 != 0)
+        half.write.parquet(arriving)
+        other.write.mode("append").parquet(arriving)
+        target = str(tmp_path / "flagged")
+        ckpt = str(tmp_path / "ckpt")
+        stream = spark.readStream.schema(DOCUMENTS).parquet(arriving)
+        span_screen_stream(stream, prints, target, ckpt, k=8, w=4, min_shared=2)
+        got = {
+            (r.new_id, r.corpus_id, r.n_shared_fps)
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == batch_expect and got
+        # resume with the same checkpoint: nothing new → nothing appended
+        stream2 = spark.readStream.schema(DOCUMENTS).parquet(arriving)
+        span_screen_stream(stream2, prints, target, ckpt, k=8, w=4, min_shared=2)
+        assert spark.read.parquet(target).count() == len(got)
+    finally:
+        prints.unpersist()
