@@ -607,3 +607,70 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k document retrieval for a fixed query term set
+    (round-6 ⊕): the lexical scorer of the retrieval stack, Lucene idf
+    variant (ln((N-df+0.5)/(df+0.5)+1), always positive).
+
+    Scale shape: term frequencies are ROW-LOCAL (``term_counts``) and
+    filtered to the query's terms INSIDE the row, so only
+    (doc, query-term) hits are ever exploded — per-doc cost is the
+    tokenize, wire cost is |hits|, never the token stream. Per-term
+    document frequencies aggregate from the hits (query-sized), corpus
+    N/avgdl is one broadcast row, and the final top-k is
+    orderBy+limit → TakeOrderedAndProject (per-partition top-k, k-row
+    driver merge). Ordering is by the ROUNDED score with an id
+    tiebreak, so last-ulp float-sum differences can't reorder results
+    across engines (the u10 determinism rule).
+    """
+    from ..functions.text import term_counts, tokens
+
+    terms_lit = F.array(*[F.lit(t) for t in query_terms])
+    bound = F.transform(
+        F.array(tokens(F.col(text_col))),
+        lambda t: F.struct(
+            F.size(t).alias("dl"),
+            F.filter(
+                term_counts(t), lambda p: F.array_contains(terms_lit, p["term"])
+            ).alias("hits"),
+        ),
+    )[0]
+    hits = (
+        docs.select(F.col(id_col), bound.alias("s"))
+        .select(
+            id_col,
+            F.col("s.dl").alias("dl"),
+            F.explode("s.hits").alias("p"),
+        )
+        .select(
+            id_col,
+            "dl",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").cast("long").alias("tf"),
+        )
+    )
+    stats = docs.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)

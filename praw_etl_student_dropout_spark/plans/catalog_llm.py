@@ -1412,3 +1412,51 @@ def d3_shared_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_docs, corpus_prints, "text", "doc_id", k=8, w=4,
         max_doc_freq=50, min_shared=2,
     )
+
+
+@register(
+    "u7_bm25_topk",
+    "U6+U7 ⊕ (lexical retrieval: Okapi BM25)",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+      GROUP BY doc_id, tok
+    ),
+    hits AS (SELECT * FROM cnt WHERE tok IN ('vector', 'hash', 'slow')),
+    dfreq AS (SELECT tok, count(*) AS df FROM hits GROUP BY tok),
+    scored AS (
+      SELECT h.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (h.tf * (1.2 + 1.0))
+               / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+      FROM hits h
+      JOIN dfreq USING (tok)
+      JOIN dl ON h.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY round(sum(s), 6) DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="Okapi BM25 top-10 for the fixed query {{vector, hash, slow}} — "
+    "the lexical leg of the retrieval stack next to u7's vector legs "
+    "(Lucene idf variant, k1=1.2 b=0.75). Scale shape: term counts are "
+    "row-local and filtered to the query terms INSIDE the row, so only "
+    "(doc, query-term) hits explode; df aggregates from those hits; "
+    "N/avgdl is one broadcast row; orderBy+limit compiles to "
+    "TakeOrderedAndProject. Ordered by the ROUNDED score with a doc_id "
+    "tiebreak so last-ulp sum differences can't reorder across "
+    "engines.",
+)
+def u7_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return bm25_topk(docs, ["vector", "hash", "slow"], k=10)

@@ -319,3 +319,30 @@ def test_sample_centroids_id_robust(spark):
     assert sample_centroids(s, 8).count() == 8
     # n < k: every row becomes a centroid
     assert sample_centroids(sparse.limit(3), 8).count() == 3
+
+
+def test_bm25_ranks_by_frequency_and_skips_nonmatching(spark):
+    """BM25 sanity on controlled docs: equal-length docs rank by
+    query-term frequency; a doc without any query term never appears;
+    rarer query terms contribute more (idf) than common ones at equal
+    tf."""
+    from praw_etl_student_dropout_spark.operators.similarity import bm25_topk
+
+    pad = "filler words only " * 4  # equal lengths across docs
+    rows = [
+        (1, f"spark spark spark {pad}"),
+        (2, f"spark spark filler {pad}"),
+        (3, f"spark filler extra {pad}"),
+        (4, f"no match here at all {pad}"),
+        # 'rare' appears in ONE doc, 'spark' in three → idf(rare) > idf(spark)
+        (5, f"rare filler extra {pad}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = bm25_topk(docs, ["spark", "rare"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids
+    scores = {r.doc_id: r.bm25 for r in out}
+    # frequency monotonicity at equal length and equal term
+    assert scores[1] > scores[2] > scores[3]
+    # idf: one 'rare' hit beats one 'spark' hit (same tf, same length)
+    assert scores[5] > scores[3]

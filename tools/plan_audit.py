@@ -48,6 +48,7 @@ EXPECTED_NESTED_LOOP = {
     "u10_tfidf_topterms",   # 1-row corpus-size N broadcast cross join
     "llm_mixture_plan",     # 1-row source-count scalar broadcast cross join
     "u11_unigram_logprob",  # 1-row corpus-token-total scalar broadcast cross join
+    "u7_bm25_topk",  # 1-row N/avgdl stats broadcast cross join (r6)
     "llm_curation_funnel",  # 1-row contamination-id set joined in
     "sample_stratified_mix",
     "sample_stratified_mix_hash",  # 1-row lead-stratum min broadcast cross join (r6)
