@@ -673,4 +673,44 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
     )
-    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    top = scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+    # Rank assigned AFTER the limit: the window sorts <= k rows (bounded
+    # by construction), not the corpus — feeds rrf_fuse directly.
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return top.select(id_col, "bm25", F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (round-6 ⊕) — the standard hybrid-search
+    combiner (Cormack/Clarke/Buettcher SIGIR'09): fused(d) =
+    Σ_lists 1/(c + rank_d), summing only over lists that contain d.
+
+    Each input must carry (id_col, ``rank``) with rank 1-based and
+    deterministic (the engine's top-k builders order by rounded score
+    + id tiebreak, so their ranks are engine-stable). Inputs are
+    unioned with a list tag rather than n-way outer-joined — one
+    union + one groupBy, linear in the total candidate mass, no join
+    explosion as the number of legs grows. Output: (id, rrf, n_lists),
+    top-``k`` by fused score with the id tiebreak, rounded like every
+    cross-engine score in this engine.
+    """
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col),
+            (1.0 / (F.lit(float(c)) + F.col("rank"))).alias("_contrib"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.round(F.sum("_contrib"), 6).alias("rrf"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)

@@ -1440,10 +1440,15 @@ def d3_shared_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dl ON h.doc_id = dl.doc_id
       CROSS JOIN stats
     )
-    SELECT doc_id, round(sum(s), 6) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY round(sum(s), 6) DESC, doc_id ASC
-    LIMIT 10
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+             AS rank
+    FROM (
+      SELECT doc_id, round(sum(s), 6) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY round(sum(s), 6) DESC, doc_id ASC
+      LIMIT 10
+    )
     """,
     doc="Okapi BM25 top-10 for the fixed query {{vector, hash, slow}} — "
     "the lexical leg of the retrieval stack next to u7's vector legs "
@@ -1460,3 +1465,103 @@ def u7_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return bm25_topk(docs, ["vector", "hash", "slow"], k=10)
+
+
+@register(
+    "u7_hybrid_rrf",
+    "U7 ⊕ (hybrid retrieval: reciprocal-rank fusion)",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM tok)
+      GROUP BY doc_id, tok
+    ),
+    hits AS (SELECT * FROM cnt WHERE tok IN ('vector', 'hash', 'slow')),
+    dfreq AS (SELECT tok, count(*) AS df FROM hits GROUP BY tok),
+    bm25_scored AS (
+      SELECT h.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (h.tf * (1.2 + 1.0))
+               / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+      FROM hits h JOIN dfreq USING (tok)
+      JOIN dl ON h.doc_id = dl.doc_id CROSS JOIN stats
+    ),
+    bm25_leg AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM (SELECT doc_id, round(sum(s), 6) AS score FROM bm25_scored
+            GROUP BY doc_id ORDER BY round(sum(s), 6) DESC, doc_id LIMIT 30)
+    ),
+    tfidf_scored AS (
+      SELECT h.doc_id, h.tf * ln((n_docs + 1.0) / (df + 1.0)) AS s
+      FROM hits h JOIN dfreq USING (tok) CROSS JOIN stats
+    ),
+    tfidf_leg AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM (SELECT doc_id, round(sum(s), 6) AS score FROM tfidf_scored
+            GROUP BY doc_id ORDER BY round(sum(s), 6) DESC, doc_id LIMIT 30)
+    ),
+    fused AS (
+      SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf,
+             count(*) AS n_lists
+      FROM (SELECT * FROM bm25_leg UNION ALL SELECT * FROM tfidf_leg)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, rrf, CAST(n_lists AS BIGINT) AS n_lists
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "SIGIR'09): BM25 and tf-idf top-30 candidate lists for the same "
+    "query fused as Σ 1/(60+rank) — the standard combiner for "
+    "lexical+vector hybrid search, demonstrated here over two "
+    "oracle-checkable lexical legs (swap either leg for "
+    "brute_force_topk/ivf_topk output in production; rrf_fuse only "
+    "needs (id, rank) lists). Union+groupBy fusion is linear in "
+    "candidate mass — no n-way outer join. Rank windows run over "
+    "post-limit (<=30-row) frames; every ordering is rounded-score + "
+    "id, so ranks are engine-stable.",
+)
+def u7_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import term_counts, tokens
+    from ..operators.similarity import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    terms = ["vector", "hash", "slow"]
+    bm25_leg = bm25_topk(docs, terms, k=30)
+    # tf-idf leg: same row-local hit extraction, u10's idf weighting.
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+    hits = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    term_counts(tokens(F.col("text"))),
+                    lambda p: F.array_contains(terms_lit, p["term"]),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.term").alias("term"), F.col("p.tf").cast("long").alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))),
+                6,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(30)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    tfidf_leg = top.select("doc_id", F.row_number().over(w).alias("rank"))
+    return rrf_fuse([bm25_leg.select("doc_id", "rank"), tfidf_leg], k=10)

@@ -49,6 +49,7 @@ EXPECTED_NESTED_LOOP = {
     "llm_mixture_plan",     # 1-row source-count scalar broadcast cross join
     "u11_unigram_logprob",  # 1-row corpus-token-total scalar broadcast cross join
     "u7_bm25_topk",  # 1-row N/avgdl stats broadcast cross join (r6)
+    "u7_hybrid_rrf",  # same 1-row stats cross joins inside both legs (r6)
     "llm_curation_funnel",  # 1-row contamination-id set joined in
     "sample_stratified_mix",
     "sample_stratified_mix_hash",  # 1-row lead-stratum min broadcast cross join (r6)
@@ -77,6 +78,11 @@ EXPECTED_GLOBAL_WINDOW = {
     "u7_knn_ivf",
     "u7_kmeans_ivf",
     "u7_ivfpq_topk",
+    # bm25_topk assigns rank with row_number over the POST-limit(k)
+    # frame (≤ k rows by construction); the hybrid entry fuses two
+    # such bounded frames (r6).
+    "u7_bm25_topk",
+    "u7_hybrid_rrf",
 }
 
 
