@@ -1074,3 +1074,68 @@ def shared_span_pairs_incremental(
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level dedup (CCNet / RefinedWeb-style boilerplate
+# removal): drop every line that occurs in >= min_doc_freq distinct docs,
+# keeping each surviving doc's remaining lines in original order.
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Remove boilerplate lines shared across documents (CCNet-style).
+
+    A "line" is a ``delimiter``-separated segment; its document frequency
+    is the number of DISTINCT docs containing it. Lines with doc_freq >=
+    ``min_doc_freq`` are dropped everywhere; each doc's survivors are
+    re-joined in original position order. Returns
+    ``(id, n_lines, n_kept, text_clean)`` for EVERY input doc (a doc whose
+    lines are all boilerplate comes back with ``text_clean = ''``, it is
+    never silently lost).
+
+    Execution shape (scale-first): posexplode lines (narrow) -> ONE
+    shuffle aggregates per-line doc frequency -> equi-join frequency back
+    onto the exploded lines (AQE broadcasts it when the distinct-line set
+    is small) -> ONE grouped reassembly per doc. Frequency is keyed by
+    the line text itself so the join needs no driver-side state; at
+    100 TB this is the standard sharded line-hash removal, with the
+    line string as the shard key.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias("pos", "line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("line_doc_freq")
+    )
+    kept = (
+        lines.join(freq, "line")
+        .select(
+            id_col,
+            "pos",
+            "line",
+            (F.col("line_doc_freq") < F.lit(min_doc_freq)).alias("is_kept"),
+        )
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_if(F.col("is_kept")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_kept"), F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("text_clean"),
+    )

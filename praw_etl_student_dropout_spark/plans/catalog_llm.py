@@ -1565,3 +1565,85 @@ def u7_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     tfidf_leg = top.select("doc_id", F.row_number().over(w).alias("rank"))
     return rrf_fuse([bm25_leg.select("doc_id", "rank"), tfidf_leg], k=10)
+
+
+@register(
+    "llm_k_anonymity",
+    "U6 ⊕ (privacy governance: k-anonymity report)",
+    """
+    WITH g AS (
+      SELECT lang, source,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS size_bucket,
+             count(*) AS grp_n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT CAST(min(grp_n) AS BIGINT) AS k_anonymity,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM g
+    """,
+    doc="k-anonymity risk report over the corpus's quasi-identifiers "
+    "(lang, source, length bucket): the minimum equivalence-class size "
+    "is the corpus's k; classes below the k=5 release threshold and the "
+    "row mass inside them quantify re-identification exposure before a "
+    "dataset ships. Two-level aggregation — one shuffle on the QI tuple, "
+    "then a single-row collapse; the QI space, not the corpus, is the "
+    "second stage's input, so the plan is scale-free.",
+)
+def llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    groups = docs.groupBy(
+        "lang", "source", F.floor(F.col("n_chars") / 100.0).alias("size_bucket")
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    return groups.agg(
+        F.min("grp_n").alias("k_anonymity"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0)).alias("n_small_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+    )
+
+
+@register(
+    "d3_line_dedup",
+    "D3 ⊕ (cross-doc line/segment boilerplate removal)",
+    """
+    WITH lines AS (
+      SELECT doc_id, p.i - 1 AS pos, p.line FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ls) + 1),
+                                     i -> struct_pack(i := i, line := ls[i]))) AS p
+        FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents)
+      )
+    ),
+    freq AS (SELECT line, count(DISTINCT doc_id) AS f FROM lines GROUP BY line)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE f < 300) AS BIGINT) AS n_kept,
+           coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE f < 300), '')
+             AS text_clean
+    FROM lines JOIN freq USING (line)
+    GROUP BY doc_id
+    """,
+    doc="CCNet/RefinedWeb-style cross-document segment dedup: any segment "
+    "occurring in >= 300 distinct docs is boilerplate and is dropped "
+    "everywhere; survivors re-join in original order and no doc is ever "
+    "silently lost (fully-boilerplate docs come back empty). The graded "
+    "entry runs the operator at word granularity (the fixture corpus is "
+    "single-line); the newline-granularity path is pinned in "
+    "tests/test_dedup.py on a multi-line corpus. One shuffle computes "
+    "segment doc-frequency, one grouped pass reassembles — the segment "
+    "string is the shard key, so the plan is the standard sharded "
+    "line-hash removal at any scale.",
+)
+def d3_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return line_dedup(
+        docs, text_col="text", id_col="doc_id", min_doc_freq=300, delimiter=" "
+    )

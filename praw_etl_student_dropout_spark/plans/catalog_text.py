@@ -875,3 +875,122 @@ def u12_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("lg") == "und").alias("n_lang_unknown"),
         F.round(F.avg("nt"), 6).alias("avg_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-training surface (BPE) + memorization audit.
+# --------------------------------------------------------------------------
+
+@register(
+    "u6_bpe_pairs",
+    "U6 ⊕ (tokenizer training: BPE pair statistics)",
+    r"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    syms AS (
+      SELECT list_append(
+               list_transform(range(1, length(w) + 1),
+                              i -> substring(w, CAST(i AS INT), 1)),
+               '</w>') AS s,
+             cnt
+      FROM words
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(s)),
+                                   i -> struct_pack(l := s[i], r := s[i+1]))) AS p,
+             cnt
+      FROM syms
+    )
+    SELECT p.l AS left_sym, p.r AS right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 30
+    """,
+    doc="First BPE merge-round pair statistics (Sennrich et al. 2016) over "
+    "the corpus: ONE corpus-sized shuffle collapses the token stream to "
+    "the distinct-word histogram, then adjacent character-pair counts "
+    "(with the classical </w> end-of-word marker) aggregate over the "
+    "vocabulary-sized table only. The top-30 pairs are the merge "
+    "candidates a tokenizer trainer would consume; full iterative "
+    "training is u6_bpe_train.",
+)
+def u6_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import init_symbols, pair_counts, word_histogram
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        pair_counts(init_symbols(word_histogram(docs)))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(30)
+    )
+
+
+@register(
+    "u6_bpe_train",
+    "U6 ⊕ (tokenizer training: iterative BPE merges)",
+    None,  # iterative argmax fixpoint — not ANSI-SQL-expressible; pinned
+    # byte-equal to a pure-Python reference BPE in tests/test_bpe.py
+    doc="Learn a BPE merge table from the corpus: map-reduce BPE. Each "
+    "round explodes adjacent symbol pairs over the vocabulary-sized "
+    "word table (one vocab-sized shuffle), takes the global argmax "
+    "(1-row collect — the merge decision IS the output), and applies "
+    "the merge as a narrow HOF fold. The only corpus-sized pass is the "
+    "initial word count; the merge fold is left-to-right greedy "
+    "non-overlapping, byte-equal to the reference scan implementation.",
+)
+def u6_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train, merges_df
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return merges_df(spark, bpe_train(docs, n_merges=12, min_pair_count=2))
+
+
+@register(
+    "u6_repeated_ngrams",
+    "U6 ⊕ (memorization audit: repeated n-grams)",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    ng AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS ngram
+      FROM toks WHERE len(t) >= 8
+    )
+    SELECT ngram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(count(*) AS BIGINT) AS occurrences
+    FROM ng GROUP BY ngram
+    ORDER BY doc_freq DESC, occurrences DESC, ngram LIMIT 20
+    """,
+    doc="Memorization-risk audit: the 20 most-duplicated word 8-grams "
+    "across the corpus with document frequency and total occurrence "
+    "count — the sequences a trained model is most likely to regurgitate "
+    "verbatim. Sliding 8-gram windows are generated as a narrow "
+    "transform over each doc's token array (no explode of the token "
+    "stream itself), then ONE shuffle aggregates by n-gram; at 100 TB "
+    "the same plan holds because the n-gram space is the shuffle key, "
+    "never a pairwise comparison.",
+)
+def u6_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ngrams = F.expr(
+        "transform(sequence(1, size(t) - 7), i -> array_join(slice(t, i, 8), ' '))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 8)
+        .select("doc_id", F.explode(ngrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("occurrences"), "ngram")
+        .limit(20)
+    )

@@ -540,3 +540,59 @@ def test_shared_span_regions_localize_planted_block(spark):
 
     p = shared_span_pairs(docs, "text", "doc_id", k=4, w=2, min_shared=1).collect()
     assert len(p) == 1 and p[0].n_shared_fps == r.n_shared_fps
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level dedup (CCNet-style boilerplate removal).
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_removes_shared_lines_keeps_order(spark):
+    from praw_etl_student_dropout_spark.operators.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"unique alpha\n{boiler}\nunique beta"),
+        (1, f"{boiler}\nsolo gamma"),
+        (2, f"first delta\nsecond epsilon\n{boiler}"),
+        (3, boiler),  # fully boilerplate -> must survive as empty, not vanish
+        (4, "entirely original\nno shared lines here"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), min_doc_freq=2
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[0]["text_clean"] == "unique alpha\nunique beta"
+    assert out[1]["text_clean"] == "solo gamma"
+    assert out[2]["text_clean"] == "first delta\nsecond epsilon"
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text_clean"] == rows[4][1]
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 2
+
+
+def test_line_dedup_doc_freq_is_distinct_docs(spark):
+    """A line repeated WITHIN one doc is not boilerplate (doc_freq=1)."""
+    from praw_etl_student_dropout_spark.operators.dedup import line_dedup
+
+    rows = [(0, "echo\necho\necho"), (1, "other text")]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), min_doc_freq=2
+        ).collect()
+    }
+    assert out[0]["text_clean"] == "echo\necho\necho"
+
+
+def test_line_dedup_deterministic_across_partitioning(spark):
+    from praw_etl_student_dropout_spark.operators.dedup import line_dedup
+
+    rows = [(i, f"shared line\nuniq {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, line_dedup(df.repartition(9), min_doc_freq=2).collect()))
+    b = sorted(map(tuple, line_dedup(df.coalesce(1), min_doc_freq=2).collect()))
+    assert a == b
+    assert all(t[3] == f"uniq {t[0]}" for t in a)

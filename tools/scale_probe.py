@@ -80,6 +80,9 @@ PROBE_QUERIES = [
     "d3_minhash_pairs_capped",  # capped LSH join + shared-index report (round-5)
     "sample_stratified_mix_hash",  # content-hash coins: narrow, no shuffle (round-5)
     "d3_shared_span_pairs",  # winnowed fingerprint index + span equi-join (round-6)
+    "u6_bpe_pairs",          # word-histogram collapse + vocab-sized pair agg (round-6)
+    "u6_repeated_ngrams",    # narrow n-gram windows + one n-gram-keyed shuffle (round-6)
+    "d3_line_dedup",         # segment doc-freq + ordered reassembly (round-6)
 ]
 
 
