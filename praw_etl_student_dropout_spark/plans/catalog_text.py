@@ -994,3 +994,84 @@ def u6_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.desc("occurrences"), "ngram")
         .limit(20)
     )
+
+
+def _gopher_sql() -> str:
+    toks = SQL_TOKS.format(col="text")
+    n = SQL_TOKEN_COUNT.format(col="text")
+    stop_distinct = (
+        "len(list_distinct(list_filter("
+        + toks
+        + ", w -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS)
+        + "], w))))"
+    )
+    alpha = f"len(list_filter({toks}, w -> regexp_matches(w, '[a-zA-Z]')))"
+    total_chars = f"list_aggregate(list_transform({toks}, t -> length(t)), 'sum')"
+    return f"""
+    SELECT doc_id,
+           CAST({n} AS INTEGER) AS n_words,
+           round(CASE WHEN ({n}) = 0 THEN 0.0
+                      ELSE ({total_chars}) * 1.0 / ({n}) END, 6) AS mean_word_len,
+           ({n}) BETWEEN 50 AND 100000 AS r_word_count,
+           CASE WHEN ({n}) = 0 THEN false
+                ELSE ({total_chars}) * 1.0 / ({n}) BETWEEN 3 AND 10 END
+             AS r_mean_word_len,
+           ({stop_distinct}) >= 2 AS r_stopwords,
+           CASE WHEN ({n}) = 0 THEN false
+                ELSE ({alpha}) * 1.0 / ({n}) >= 0.8 END AS r_alpha,
+           (({n}) BETWEEN 50 AND 100000)
+             AND (CASE WHEN ({n}) = 0 THEN false
+                       ELSE ({total_chars}) * 1.0 / ({n}) BETWEEN 3 AND 10 END)
+             AND (({stop_distinct}) >= 2)
+             AND (CASE WHEN ({n}) = 0 THEN false
+                       ELSE ({alpha}) * 1.0 / ({n}) >= 0.8 END) AS gopher_pass
+    FROM documents
+    """
+
+
+@register(
+    "u6_gopher_rules",
+    "U6 ⊕ (rule-based quality filter: Gopher rules)",
+    _gopher_sql(),
+    doc="Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, "
+    "adapted to the engine's whitespace tokenizer): per-doc named rule "
+    "flags — word count in [50, 100k], mean word length in [3, 10], "
+    ">= 2 distinct stopwords, >= 80% alphabetic words — plus the "
+    "conjunction gopher_pass. All flags evaluate in ONE narrow "
+    "projection per row (no shuffle at all); complements the scored "
+    "u6_quality_score with the named-rule API curation stacks filter on.",
+)
+def u6_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = tokens(F.col("text"))
+    n = token_count(F.col("text"))
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_vocab = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(stop_vocab, t)))
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    mean_len = F.when(n == 0, F.lit(0.0)).otherwise(total_chars * 1.0 / n)
+    alpha_frac_ok = F.when(n == 0, F.lit(False)).otherwise(alpha * 1.0 / n >= 0.8)
+    mean_len_ok = F.when(n == 0, F.lit(False)).otherwise(
+        (total_chars * 1.0 / n >= 3) & (total_chars * 1.0 / n <= 10)
+    )
+    r_wc = (n >= 50) & (n <= 100000)
+    r_stop = stop_distinct >= 2
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        r_wc.alias("r_word_count"),
+        mean_len_ok.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        alpha_frac_ok.alias("r_alpha"),
+        (r_wc & mean_len_ok & r_stop & alpha_frac_ok).alias("gopher_pass"),
+    )

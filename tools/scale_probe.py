@@ -121,9 +121,22 @@ def build_replicas(spark, out_dir: str, n: int) -> None:
         )
 
 
+def probe_names() -> list[str]:
+    """PROBE_QUERIES, optionally narrowed via SPARK_GRAFT_PROBE_ONLY
+    (comma-separated names) for probing just the shapes a change touched."""
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    if not only:
+        return PROBE_QUERIES
+    names = [n.strip() for n in only.split(",") if n.strip()]
+    unknown = [n for n in names if n not in PROBE_QUERIES]
+    if unknown:
+        raise SystemExit(f"not in PROBE_QUERIES: {unknown}")
+    return names
+
+
 def time_probe(spark, registry, sf_dir: str, runs: int = 3) -> dict[str, float]:
     out = {}
-    for name in PROBE_QUERIES:
+    for name in probe_names():
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
