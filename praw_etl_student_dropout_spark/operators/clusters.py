@@ -170,3 +170,33 @@ def pagerank(
         if delta is not None and delta < tol * n:
             break
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected graph, as pure equi-joins.
+
+    Edges are canonicalized to ``a < b`` (direction and duplicates
+    collapse), then triangles are enumerated as the two-hop join
+    ``(a,b) ⋈ (b,c) ⋈ (a,c)`` with ``a < b < c`` — each triangle counted
+    exactly once. This is the standard distributed formulation: two
+    shuffle joins on the edge list, no adjacency matrix, no driver state;
+    skew on high-degree vertices is bounded by the canonical ordering
+    (each edge participates only with its higher endpoint as the pivot).
+    Returns a single row ``(n_triangles)``.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(a, b).alias("ea"), F.greatest(a, b).alias("eb")
+        )
+        .where(F.col("ea") != F.col("eb"))
+        .distinct()
+    )
+    e1 = e.select(F.col("ea").alias("a"), F.col("eb").alias("b"))
+    e2 = e.select(F.col("ea").alias("b"), F.col("eb").alias("c"))
+    e3 = e.select(F.col("ea").alias("a"), F.col("eb").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -714,3 +714,68 @@ def rrf_fuse(
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick k candidates maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_selected``.
+
+    Input is a per-query CANDIDATE set (query_id, vec_id, score, vec) —
+    the bounded output of a first-stage retriever (brute force / IVF /
+    BM25 leg), never the full corpus. The greedy loop is inherently
+    sequential per query, so it runs as applyInPandas over query groups:
+    per-group state is candidate-set-sized (tens of rows) by
+    construction, groups parallelize across executors, and the Python
+    boundary is Arrow-batched — the same bounded-state pattern as the PQ
+    codebook. Ties break on (mmr_score desc, id asc) like every other
+    ranked surface. Returns (query_id, vec_id, mmr_rank, mmr_score).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{query_id} long, {corpus_id} long, mmr_rank int, mmr_score double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            [score_col, corpus_id], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1e-12
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        ids = pdf[corpus_id].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        max_sim = np.zeros(n)
+        remaining = np.ones(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            # deterministic argmax: score desc, then id asc
+            best, best_key = -1, None
+            for i in np.nonzero(remaining)[0]:
+                key = (-mmr[i], ids[i])
+                if best_key is None or key < best_key:
+                    best, best_key = int(i), key
+            rows.append(
+                (int(pdf[query_id].iloc[best]), int(ids[best]), rank, float(mmr[best]))
+            )
+            remaining[best] = False
+            selected.append(best)
+            sims = vecs @ vecs[best] / (norms * norms[best])
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(rows, columns=[query_id, corpus_id, "mmr_rank", "mmr_score"])
+
+    return candidates.groupBy(query_id).applyInPandas(_mmr, schema=out_schema)

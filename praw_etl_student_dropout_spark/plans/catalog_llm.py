@@ -1647,3 +1647,70 @@ def d3_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(
         docs, text_col="text", id_col="doc_id", min_doc_freq=300, delimiter=" "
     )
+
+
+@register(
+    "u9_triangle_count",
+    "U ⊕ (graph analytics: triangle counting)",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS ea,
+                      greatest(s.s_nationkey, c.c_nationkey) AS eb
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e0 e1
+    JOIN e0 e2 ON e1.eb = e2.ea
+    JOIN e0 e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+    """,
+    doc="Triangle counting over the nation-level trade graph (same edge "
+    "derivation as u9_pagerank_nations): edges canonicalized to a < b, "
+    "triangles enumerated once each via the two-hop equi-join "
+    "(a,b)⋈(b,c)⋈(a,c) — the third join-based graph operator beside "
+    "connected components and PageRank, and unlike those it IS "
+    "SQL-expressible, so it carries a full oracle. Two shuffle joins on "
+    "the edge list; no adjacency matrix, no driver state.",
+)
+def u9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import triangle_count
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "u7_mmr_rerank",
+    "U7 ⊕ (diversified retrieval: MMR re-rank)",
+    None,  # greedy sequential selection per query — not SQL-expressible;
+    # pinned against a pure-Python MMR reference in tests/test_similarity.py
+    doc="Maximal Marginal Relevance diversification (Carbonell & Goldstein "
+    "1998) over the brute-force retriever's top-30 candidates: greedy "
+    "lam*relevance - (1-lam)*max-sim-to-selected, k=10, lam=0.7. The "
+    "per-query greedy loop is inherently sequential, so it runs as "
+    "applyInPandas over query groups with candidate-set-bounded state "
+    "(30 rows/group) — queries parallelize across executors; the full "
+    "corpus is never touched past the first stage.",
+)
+def u7_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk, mmr_rerank
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = brute_force_topk(
+        queries, e, query_id="query_id", corpus_id="vec_id",
+        query_vec="query_vec", corpus_vec="embedding", k=30, metric="cosine",
+    ).join(e.select("vec_id", "embedding"), "vec_id")
+    return mmr_rerank(cands, k=10, lam=0.7)

@@ -346,3 +346,78 @@ def test_bm25_ranks_by_frequency_and_skips_nonmatching(spark):
     assert scores[1] > scores[2] > scores[3]
     # idf: one 'rare' hit beats one 'spark' hit (same tf, same length)
     assert scores[5] > scores[3]
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (bounded per-group applyInPandas).
+# ---------------------------------------------------------------------------
+
+
+def _ref_mmr(cands, k, lam):
+    """Pure-Python MMR twin: cands = [(id, score, vec)], deterministic
+    (mmr desc, id asc) tie-break — mirrors operators/similarity.py."""
+    import math
+
+    def cos(u, v):
+        du = math.sqrt(sum(x * x for x in u)) or 1e-12
+        dv = math.sqrt(sum(x * x for x in v)) or 1e-12
+        return sum(a * b for a, b in zip(u, v)) / (du * dv)
+
+    remaining = list(cands)
+    selected, out = [], []
+    for rank in range(1, min(k, len(cands)) + 1):
+        scored = []
+        for cid, rel, vec in remaining:
+            pen = max((cos(vec, sv) for _, _, sv in selected), default=0.0)
+            scored.append((lam * rel - (1 - lam) * pen, cid, rel, vec))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        mmr, cid, rel, vec = scored[0]
+        out.append((cid, rank, mmr))
+        selected.append((cid, rel, vec))
+        remaining = [c for c in remaining if c[0] != cid]
+    return out
+
+
+def test_mmr_matches_reference_and_diversifies(spark):
+    from praw_etl_student_dropout_spark.operators.similarity import mmr_rerank
+
+    # two tight clusters + one outlier; relevance favors cluster A
+    vecs = {
+        0: ([1.0, 0.0, 0.0], 1.00),
+        1: ([0.99, 0.1, 0.0], 0.98),
+        2: ([0.98, 0.15, 0.0], 0.97),
+        3: ([0.0, 1.0, 0.0], 0.60),
+        4: ([0.0, 0.95, 0.2], 0.58),
+        5: ([0.0, 0.0, 1.0], 0.30),
+    }
+    rows = [(7, cid, s, v) for cid, (v, s) in vecs.items()]
+    cands = spark.createDataFrame(rows, ["query_id", "vec_id", "score", "embedding"])
+    got = sorted(
+        (r["vec_id"], r["mmr_rank"], r["mmr_score"])
+        for r in mmr_rerank(cands, k=4, lam=0.5).collect()
+    )
+    ref = sorted(_ref_mmr([(c, s, v) for c, (v, s) in vecs.items()], 4, 0.5))
+    assert [(g[0], g[1]) for g in got] == [(r[0], r[1]) for r in ref]
+    for g, r in zip(got, ref):
+        assert abs(g[2] - r[2]) < 1e-9
+    # diversification property: with lam=0.5 the greedy pass must reach
+    # beyond cluster A (plain top-4 by relevance would be {0,1,2,3})
+    picked = {g[0] for g in got}
+    assert 0 in picked and 5 in picked  # top hit kept, outlier pulled in
+
+
+def test_mmr_rank1_is_top_relevance_and_groups_isolated(spark):
+    from praw_etl_student_dropout_spark.operators.similarity import mmr_rerank
+
+    rows = []
+    for q in range(3):
+        for c in range(6):
+            vec = [1.0 if i == c else 0.0 for i in range(6)]
+            rows.append((q, c + 10 * q, 1.0 - 0.1 * c, vec))
+    cands = spark.createDataFrame(rows, ["query_id", "vec_id", "score", "embedding"])
+    out = mmr_rerank(cands, k=3, lam=0.7).collect()
+    assert len(out) == 9
+    for q in range(3):
+        grp = {r["mmr_rank"]: r["vec_id"] for r in out if r["query_id"] == q}
+        assert grp[1] == 10 * q  # highest relevance wins rank 1
+        assert all(v // 10 == q for v in grp.values())  # no cross-query leak

@@ -27,6 +27,9 @@ EXPECTED_PYTHON = {
     "u5_grouped_udaf",
     "multimodal_features",
     "multimodal_frame_sample",
+    # MMR's greedy per-query selection is inherently sequential Python;
+    # applyInPandas over candidate-bounded groups is the declared design.
+    "u7_mmr_rerank",
 }
 # Queries whose join condition is genuinely non-equi (theta/range/
 # all-pairs scoring) — nested-loop there is the declared strategy.
@@ -50,6 +53,7 @@ EXPECTED_NESTED_LOOP = {
     "u11_unigram_logprob",  # 1-row corpus-token-total scalar broadcast cross join
     "u7_bm25_topk",  # 1-row N/avgdl stats broadcast cross join (r6)
     "u7_hybrid_rrf",  # same 1-row stats cross joins inside both legs (r6)
+    "u7_mmr_rerank",  # brute-force first stage (broadcast query crossJoin)
     "llm_curation_funnel",  # 1-row contamination-id set joined in
     "sample_stratified_mix",
     "sample_stratified_mix_hash",  # 1-row lead-stratum min broadcast cross join (r6)
