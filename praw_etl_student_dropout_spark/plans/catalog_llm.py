@@ -1714,3 +1714,79 @@ def u7_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec="query_vec", corpus_vec="embedding", k=30, metric="cosine",
     ).join(e.select("vec_id", "embedding"), "vec_id")
     return mmr_rerank(cands, k=10, lam=0.7)
+
+
+@register(
+    "llm_dsir_select",
+    "U6 ⊕ (data selection: DSIR-style importance weights)",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({SQL_TOKS.format(col='text')}) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, lang, tok, count(*) AS ctf FROM tok GROUP BY 1, 2, 3
+    ),
+    freq AS (
+      SELECT tok, sum(ctf) AS c_all,
+             sum(CASE WHEN lang = 'en' THEN ctf ELSE 0 END) AS c_t
+      FROM cnt GROUP BY tok
+    ),
+    tot AS (SELECT sum(c_all) AS n_all, sum(c_t) AS n_t, count(*) AS v FROM freq)
+    SELECT doc_id, lang,
+           round(sum(ctf * (ln((c_t + 1.0) / (n_t + v))
+                            - ln((c_all + 1.0) / (n_all + v)))) / sum(ctf), 6)
+             AS dsir_weight,
+           CAST(sum(ctf) AS BIGINT) AS n_tokens
+    FROM cnt JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id, lang
+    ORDER BY dsir_weight DESC, doc_id LIMIT 50
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling', simplified to unigram "
+    "features): per-doc mean importance weight ln(p_target/p_raw) under "
+    "Laplace-smoothed unigram LMs, target = the corpus's English slice, "
+    "raw = the whole corpus; the top-50 selection is the set an "
+    "importance resampler would draw first. Same scale shape as "
+    "u11_unigram_logprob: row-local term counts (no token-stream "
+    "explode), ONE vocab-sized frequency agg computing both LMs in the "
+    "same pass (conditional sums), a 1-row totals broadcast, and the "
+    "per-doc regroup — the oracle reproduces the identical weighted "
+    "algebra.",
+)
+def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import term_counts, tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    cnt = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(term_counts(tokens(F.col("text")))).alias("p"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("p.term").alias("tok"),
+        F.col("p.tf").cast("long").alias("ctf"),
+    )
+    freq = cnt.groupBy("tok").agg(
+        F.sum("ctf").alias("c_all"),
+        F.sum(F.when(F.col("lang") == "en", F.col("ctf")).otherwise(0)).alias("c_t"),
+    )
+    tot = freq.agg(
+        F.sum("c_all").alias("n_all"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.col("v"))) - F.log(
+        (F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v"))
+    )
+    return (
+        cnt.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum(F.col("ctf") * w) / F.sum("ctf"), 6).alias("dsir_weight"),
+            F.sum("ctf").alias("n_tokens"),
+        )
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(50)
+    )

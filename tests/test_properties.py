@@ -712,3 +712,25 @@ def test_discover_fractions_and_column_rate(spark):
     # every en row kept; the others subsampled
     en = {i for i, l in rows if l == "en"}
     assert en <= via_col and len(via_col) < len(rows)
+
+
+def test_dsir_weights_rank_target_language_first(spark, sf_dir):
+    """DSIR importance weights must rank target-distribution (en) docs
+    above off-target ones: the top-50 selection should be
+    overwhelmingly en, and mean(weight | en) > mean(weight | zh)."""
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    top = catalog_all()["llm_dsir_select"].builder(spark, sf_dir).collect()
+    langs = [r["lang"] for r in top]
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_docs = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    # Enrichment is the actual DSIR claim: the fixture's languages share
+    # a common vocabulary, so the selection is not pure — but the target
+    # language must be (a) the plurality and (b) over-represented vs its
+    # corpus share.
+    share_sel = langs.count("en") / len(langs)
+    assert langs.count("en") == max(langs.count(g) for g in set(langs))
+    assert share_sel > 1.2 * (n_en / n_docs), (share_sel, n_en / n_docs)
