@@ -1790,3 +1790,86 @@ def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_weight"), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "llm_corpus_drift",
+    "U6 ⊕ (corpus drift: Jensen-Shannon divergence report)",
+    f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS grp, unnest({SQL_TOKS.format(col='text')}) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT grp, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    tots AS (SELECT grp, sum(c) AS n FROM cnt GROUP BY grp),
+    probs AS (
+      SELECT tok,
+             coalesce(sum(CASE WHEN grp = 0 THEN c END), 0) * 1.0
+               / (SELECT n FROM tots WHERE grp = 0) AS pa,
+             coalesce(sum(CASE WHEN grp = 1 THEN c END), 0) * 1.0
+               / (SELECT n FROM tots WHERE grp = 1) AS pb
+      FROM cnt GROUP BY tok
+    ),
+    terms AS (
+      SELECT tok, pa, pb,
+             0.5 * (CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
+           + 0.5 * (CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
+               AS jsd_term
+      FROM probs
+    ),
+    tot AS (SELECT round(sum(jsd_term), 6) AS js_divergence FROM terms)
+    SELECT tok, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round(abs(pa - pb), 6) AS abs_diff, js_divergence
+    FROM terms CROSS JOIN tot
+    ORDER BY round(abs(pa - pb), 6) DESC, tok LIMIT 10
+    """,
+    doc="Corpus drift monitor: Jensen-Shannon divergence between the "
+    "unigram distributions of two corpus slices (here the doc_id parity "
+    "halves — in production, yesterday's crawl vs today's), plus the ten "
+    "most-divergent tokens with both probabilities — the table an "
+    "operator reads to see WHAT drifted, not just that it did. One "
+    "vocab-sized conditional-sum agg computes both distributions in the "
+    "same pass; per-group totals broadcast back as a 1-row join; every "
+    "emitted float is rounded to 6 places for cross-engine determinism.",
+)
+def llm_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import term_counts, tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    cnt = docs.select(
+        (F.col("doc_id") % 2).alias("grp"),
+        F.explode(term_counts(tokens(F.col("text")))).alias("p"),
+    ).select("grp", F.col("p.term").alias("tok"), F.col("p.tf").cast("long").alias("c"))
+    by_tok = cnt.groupBy("tok").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("c"))).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, F.col("c"))).alias("cb"),
+    )
+    tots = cnt.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("c"))).alias("na"),
+        F.sum(F.when(F.col("grp") == 1, F.col("c"))).alias("nb"),
+    )
+    probs = by_tok.crossJoin(F.broadcast(tots)).select(
+        "tok",
+        (F.coalesce(F.col("ca"), F.lit(0)) * 1.0 / F.col("na")).alias("pa"),
+        (F.coalesce(F.col("cb"), F.lit(0)) * 1.0 / F.col("nb")).alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    jsd_term = 0.5 * F.when(
+        F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(0.0)
+    terms = probs.select("tok", "pa", "pb", jsd_term.alias("jsd_term"))
+    tot = terms.agg(F.round(F.sum("jsd_term"), 6).alias("js_divergence"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.round("pa", 6).alias("p_a"),
+            F.round("pb", 6).alias("p_b"),
+            F.round(F.abs(F.col("pa") - F.col("pb")), 6).alias("abs_diff"),
+            "js_divergence",
+        )
+        .orderBy(F.desc("abs_diff"), "tok")
+        .limit(10)
+    )

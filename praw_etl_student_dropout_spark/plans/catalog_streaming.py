@@ -174,3 +174,37 @@ def st6_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_id").alias("n_clicks"),
         F.round(F.max("amount"), 2).alias("amount"),
     )
+
+
+@register(
+    "st7_trending_topk",
+    "ST3+W1 ⊕ (trending keys per window)",
+    """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, cnt,
+             CAST(row_number() OVER (
+               PARTITION BY window_start ORDER BY cnt DESC, event_type ASC
+             ) AS INTEGER) AS trend_rank
+      FROM counts
+    )
+    SELECT window_start, event_type, cnt, trend_rank
+    FROM ranked WHERE trend_rank <= 3
+    """,
+    doc="The 'trending topics' dashboard query: per tumbling hour, the "
+    "top-3 event types by count with deterministic (cnt desc, key asc) "
+    "rank. The ranking window partitions on the hour and sees one row "
+    "per distinct key per window — never the event stream — so state is "
+    "bounded by the key domain. The streaming twin "
+    "(stream_jobs.trending_stream) maintains the same windowed counts "
+    "incrementally and ranks per micro-batch emission; "
+    "streamed-equals-batch is pinned in tests/test_streaming.py.",
+)
+def st7_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.batch_windows import trending_topk
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    return trending_topk(ev, "ts", "1 hour", "event_type", k=3)

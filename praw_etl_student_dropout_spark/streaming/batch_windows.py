@@ -40,3 +40,23 @@ def session_agg(df: DataFrame, ts_col: str, gap: str, keys: list[str]) -> DataFr
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(*keys, F.col("w.start").alias("session_start"), "n_events", "sum_value")
     )
+
+
+def trending_topk(
+    df: DataFrame, ts_col: str, duration: str, key: str, k: int = 3
+) -> DataFrame:
+    """ST3+W1 — per-window trending keys: tumbling counts ranked inside
+    each window, top-k kept. The rank partitions on the WINDOW (bounded
+    frame: one row per distinct key per window), so the window function
+    never sees the event stream itself."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(F.window(ts_col, duration).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), key, "cnt")
+    )
+    r = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc(key))
+    )
+    return counts.withColumn("trend_rank", r).filter(F.col("trend_rank") <= k)

@@ -411,3 +411,50 @@ def span_screen_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def trending_stream(
+    stream: DataFrame,
+    sink_table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    duration: str = "1 hour",
+    key: str = "event_type",
+    k: int = 3,
+) -> None:
+    """ST3+W1 — streaming 'trending topics': watermarked tumbling counts
+    maintained incrementally; each micro-batch emission re-ranks the
+    full windowed-count state and overwrites the top-k table.
+
+    Ranking (row_number per window) is not expressible inside a
+    streaming aggregation, so the counts stream feeds foreachBatch in
+    complete mode and the rank runs on the micro-batch output — a
+    KEY-DOMAIN-sized frame (one row per key per window), never the
+    event stream. The sink overwrite makes each emission the current
+    dashboard state; streamed-equals-batch vs batch_windows.trending_topk
+    is pinned in tests/test_streaming.py.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), key, "cnt")
+    )
+
+    def _rank_and_replace(batch_df: DataFrame, _batch_id: int) -> None:
+        r = F.row_number().over(
+            Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc(key))
+        )
+        ranked = batch_df.withColumn("trend_rank", r).filter(F.col("trend_rank") <= k)
+        ranked.write.mode("overwrite").saveAsTable(sink_table)
+
+    (
+        counts.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_rank_and_replace)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

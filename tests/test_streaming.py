@@ -509,3 +509,23 @@ def test_span_screen_stream_matches_batch_and_resumes(spark, sf_dir, tmp_path):
         assert spark.read.parquet(target).count() == len(got)
     finally:
         prints.unpersist()
+
+
+def test_trending_stream_matches_batch(spark, events_dir, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.streaming.batch_windows import trending_topk
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import trending_stream
+
+    batch = trending_topk(
+        load_tables(spark, sf_dir, ["events"])["events"], "ts", "1 hour", "event_type", k=3
+    )
+    trending_stream(
+        read_event_stream(spark, events_dir),
+        "trending_sink",
+        str(tmp_path / "ckpt_trending"),
+        k=3,
+    )
+    streamed = spark.table("trending_sink")
+    assert _as_set(streamed) == _as_set(batch)
+    # every window emits exactly its top-3 (or fewer if fewer keys)
+    per_window = streamed.groupBy("window_start").count().collect()
+    assert all(r["count"] <= 3 for r in per_window)

@@ -52,6 +52,7 @@ EXPECTED_NESTED_LOOP = {
     "llm_mixture_plan",     # 1-row source-count scalar broadcast cross join
     "u11_unigram_logprob",  # 1-row corpus-token-total scalar broadcast cross join
     "llm_dsir_select",  # same 1-row LM-totals scalar broadcast cross join
+    "llm_corpus_drift",  # 1-row per-group totals + 1-row JSD broadcast cross joins
     "u7_bm25_topk",  # 1-row N/avgdl stats broadcast cross join (r6)
     "u7_hybrid_rrf",  # same 1-row stats cross joins inside both legs (r6)
     "u7_mmr_rerank",  # brute-force first stage (broadcast query crossJoin)
