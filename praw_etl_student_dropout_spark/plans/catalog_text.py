@@ -732,32 +732,26 @@ def u6_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-doc regroup of (doc,term) rows.",
 )
 def u11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import term_counts
-
     docs = _t(spark, sf_dir, "documents")["documents"]
-    # persist owned by the plan cache registry (see u10's note)
-    from .cache_registry import track
-
-    cnt = track(
-        docs.select("doc_id", F.explode(term_counts(tokens(F.col("text")))).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.term").alias("tok"),
-            F.col("p.tf").cast("long").alias("ctf"),
-        )
-    )
-    freq = cnt.groupBy("tok").agg(F.sum("ctf").alias("c"))
+    # Round-6 rewrite: plain explode + hash agg replaced the row-local
+    # term_counts + tracked persist (3.65 -> ~1.2 s on the Zipf corpus).
+    # The map-side partial combine collapses the token stream to
+    # vocab-sized partials before the freq shuffle, and the per-doc
+    # regroup combines to one partial row per doc map-side — so the
+    # pre-counting sort and the cache both only added work (the u10
+    # lesson, applied to counting).
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.agg(F.sum("c").alias("n"))
+    weights = freq.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log(F.col("c") / F.col("n")).alias("lw")
+    )
     return (
-        cnt.join(freq, "tok")
-        .crossJoin(F.broadcast(tot))
+        tok.join(weights, "tok")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("ctf") * F.log(F.col("c") / F.col("n"))) / F.sum("ctf"),
-                6,
-            ).alias("mean_logprob"),
-            F.sum("ctf").alias("n_tokens"),
+            F.round(F.sum("lw") / F.count(F.lit(1)), 6).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
         )
     )
 

@@ -83,6 +83,10 @@ PROBE_QUERIES = [
     "u6_bpe_pairs",          # word-histogram collapse + vocab-sized pair agg (round-6)
     "u6_repeated_ngrams",    # narrow n-gram windows + one n-gram-keyed shuffle (round-6)
     "d3_line_dedup",         # segment doc-freq + ordered reassembly (round-6)
+    "llm_dsir_select",       # vocab-sized two-LM agg + per-doc regroup (round-6)
+    "u9_triangle_count",     # canonical-edge two-hop equi-join (round-6)
+    "llm_corpus_drift",      # vocab-sized conditional-sum agg (round-6)
+    "st7_trending_topk",     # windowed counts + key-domain rank (round-6)
 ]
 
 
