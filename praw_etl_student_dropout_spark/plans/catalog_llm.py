@@ -299,6 +299,35 @@ def d3_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d3_semdedup",
+    "D3+U7 ⊕ (semantic dedup, SemDeDup)",
+    None,  # k-means is an iterative fixpoint — no SQL twin; pytest pins
+    # recall on planted cosine pairs + zero false positives by construction
+    doc="SemDeDup (Abbas et al. 2023): k-means cluster-bounded semantic "
+    "near-dup pairs — candidates only within a probed cluster (equi-join "
+    "on centroid_id, never all-pairs), exact-cosine verified with hoisted "
+    "norms. nprobe=2 multi-probe assignment recovers the pairs k-means "
+    "splits across cluster boundaries (0.99-cos recall 1.0 on the Zipf "
+    "corpus, tests/test_semdedup.py). Scale: k ∝ corpus size keeps "
+    "Σ|cluster|² linear; hub clusters bounded by max_cluster_size with "
+    "stable-hash truncation.",
+)
+def d3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import semdedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return semdedup_pairs(
+        e,
+        "embedding",
+        "vec_id",
+        threshold=0.35,
+        num_clusters=16,
+        kmeans_iters=1,
+        nprobe=2,
+    )
+
+
+@register(
     "u7_knn_bruteforce",
     "U7",
     f"""
