@@ -242,3 +242,44 @@ def leakage_safe_split(
         .otherwise("train")
         .alias("split"),
     )
+
+
+def sample_weighted_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 7,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement, size k, deterministic —
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir"): each row gets key = u^(1/w) with u = hash_coin(id,
+    seed); the k LARGEST keys are the sample, and the inclusion law is
+    exactly WRS-without-replacement with per-draw probabilities ∝ w.
+
+    Because u is a CONTENT-HASH coin (not an RNG), the sample is a pure
+    function of (id, weight, seed): identical under any partitioning,
+    layout, or engine — ``method="md5"`` makes it oracle-checkable in
+    any SQL engine. It is also MERGEABLE: top-k-by-key of a union equals
+    top-k of the concatenated per-shard top-k's, so shards can sample
+    independently and a coordinator merges k-sized states (the property
+    tests pin this). orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row driver merge, never a global sort.
+
+    Rows with weight <= 0 or NULL are excluded (zero mass). Ties (hash
+    collisions at equal weight) break on id ascending in both engines.
+
+    Returns the input columns + ``es_key`` (rounded to 6 for cross-
+    engine display stability; selection uses the unrounded key).
+    """
+    u = hash_coin(F.col(id_col), seed, method)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.asc(id_col))
+        .limit(k)
+        .withColumn("es_key", F.round(F.col("__es_key"), 6))
+        .drop("__es_key")
+    )

@@ -162,3 +162,65 @@ def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     )
     return per_row.agg(F.min("ip").alias("est_join_size"))
+
+
+def kmv_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 7,
+    method: str = "md5",
+) -> DataFrame:
+    """Bottom-k-by-hash sample: the k rows with the SMALLEST content-hash
+    coin — a deterministic, MERGEABLE uniform sample (the KMV idea from
+    Bar-Yossef et al. 2002 applied as a row sketch).
+
+    Mergeable: bottom-k of a union == bottom-k of the union of per-shard
+    bottom-k's, so per-partition / per-day sketches combine by
+    union + re-bottom-k without touching the raw data again — the
+    property that makes it a SKETCH rather than a sample job. Being a
+    pure function of (id, seed) it is layout-independent and (with
+    ``method="md5"``) engine-portable, so estimates built on it are
+    oracle-checkable — unlike RNG reservoirs, which are neither.
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    bottom-k, k-row driver merge).
+
+    Returns the input columns + ``kmv_coin`` (the [0,1) coin, rounded
+    to 6; selection uses the unrounded coin, ties break on id).
+    """
+    from .sampling import hash_coin
+
+    coin = hash_coin(F.col(id_col), seed, method)
+    return (
+        df.withColumn("__coin", coin)
+        .orderBy(F.asc("__coin"), F.asc(id_col))
+        .limit(k)
+        .withColumn("kmv_coin", F.round(F.col("__coin"), 6))
+        .drop("__coin")
+    )
+
+
+def kmv_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a :func:`kmv_sample`: exact linear-
+    interpolation percentiles OVER THE SKETCH (k rows), so the estimate
+    costs O(k log k) regardless of base-table size and two sketches'
+    estimates merge by re-sketching their union. Standard uniform-sample
+    quantile error: |F(q̂) - q| = O(1/√k) whp — pinned with margin in
+    tests/test_kmv_sketch.py. Deterministic coin ⇒ the estimate itself
+    is reproducible and oracle-checkable (quantile_cont over the same
+    k rows in any engine).
+    """
+    aggs = [
+        F.expr(f"percentile({value_col}, {q})").alias(
+            f"q{str(q).replace('0.', '').ljust(2, '0')}"
+        )
+        for q in quantiles
+    ] + [F.count(F.lit(1)).alias("sketch_rows")]
+    if group_cols:
+        return sample.groupBy(*group_cols).agg(*aggs)
+    return sample.agg(*aggs)

@@ -544,6 +544,87 @@ def sample_stratified_mix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+@register(
+    "sample_weighted_es",
+    "D5-sampling ⊕ (weighted without-replacement, Efraimidis–Spirakis)",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             pow({_md5_coin_sql(7)}, 1.0 / n_chars) AS ek
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      ORDER BY ek DESC, doc_id ASC LIMIT 100
+    )
+    SELECT doc_id, lang, source, n_chars, round(ek, 6) AS es_key
+    FROM keyed
+    """,
+    doc="Weighted k-sample without replacement (Efraimidis–Spirakis "
+    "2006): key = coin^(1/weight), top-k by key — here quality-weighting "
+    "corpus assembly by document length. The coin is the content-hash "
+    "md5 coin, so the sample is a pure function of (id, weight, seed): "
+    "layout-independent, engine-portable (this oracle computes the "
+    "IDENTICAL sample), and mergeable across shards (union of per-shard "
+    "top-k, re-top-k — pinned in tests/test_kmv_sketch.py). "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_weighted_k
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return sample_weighted_k(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        "doc_id",
+        "n_chars",
+        k=100,
+        seed=7,
+        method="md5",
+    )
+
+
+@register(
+    "a36_kmv_quantiles",
+    "A11+A12 ⊕ (mergeable bottom-k-hash quantile sketch)",
+    """
+    WITH ids AS (
+      SELECT l_quantity, l_orderkey * 10 + l_linenumber AS li_id FROM lineitem
+    ),
+    sk AS (
+      SELECT l_quantity,
+             CAST(concat('0x', substring(md5(concat(CAST(li_id AS VARCHAR),
+                  '#7')), 1, 8)) AS BIGINT) % 1048576 / 1048576.0 AS coin,
+             li_id
+      FROM ids
+      ORDER BY coin ASC, li_id ASC LIMIT 200
+    )
+    SELECT quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           CAST(count(*) AS BIGINT) AS sketch_rows
+    FROM sk
+    """,
+    doc="Quantile estimates from a KMV bottom-k-hash sketch: the 200 "
+    "rows with the smallest md5 coin are a deterministic mergeable "
+    "uniform sample; percentiles over the sketch cost O(k log k) at any "
+    "base-table size, and shard sketches merge by union + re-bottom-k "
+    "(the mergeability a12's exact path lacks). The coin is engine-"
+    "portable, so unlike approx_percentile this sketch's ESTIMATE is "
+    "oracle-checkable bit-for-bit; l_quantity is integer-valued so "
+    "interpolation is exact in binary (a12 precedent). O(1/sqrt k) "
+    "rank error pinned in tests/test_kmv_sketch.py.",
+)
+def a36_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_quantiles, kmv_sample
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    ids = li.select(
+        "l_quantity",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("li_id"),
+    )
+    sk = kmv_sample(ids, "li_id", k=200, seed=7, method="md5").drop(
+        "li_id", "kmv_coin"
+    )
+    return kmv_quantiles(sk, "l_quantity", [0.25, 0.50, 0.75])
+
+
 def _funnel_sql() -> str:
     from .catalog_text import _lang_scalar_sql, _quality_sql
 
