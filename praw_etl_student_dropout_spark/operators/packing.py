@@ -91,3 +91,86 @@ def pack_sequences(
         F.floor((F.col("cum_tokens") - 1) / seq_len).cast("long").alias("seq_last"),
         (start % seq_len).cast("long").alias("seq_offset"),
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_name: str = "__rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number over ``order_cols`` — the
+    pack_sequences prefix-sum pattern with count instead of sum:
+    range-partition on the order (each partition = a contiguous slice of
+    the global order), per-partition running count, per-partition totals
+    (≤ num_partitions rows — the one safe unpartitioned-window shape)
+    prefix-summed and broadcast back. Never a single-partition window.
+
+    ``order_cols`` must be a total order (append the id column) or ties
+    make the rank layout-dependent.
+    """
+    cols = [F.col(c) for c in order_cols]
+    if num_partitions:
+        d = df.repartitionByRange(num_partitions, *cols)
+    else:
+        d = df.repartitionByRange(*cols)
+    d = d.withColumn("_pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("__local_rn", F.count(F.lit(1)).over(local_w))
+    totals = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_total"))
+    offset_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_total").over(offset_w), F.lit(0)).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, (F.col("__local_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "__local_rn", "_offset")
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    stages: int = 5,
+    seed: int = 17,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Curriculum training order: rank by ``difficulty_col`` (easy →
+    hard), cut the ranked corpus into ``stages`` equal slices, then
+    deterministically shuffle WITHIN each stage by a content-hash key so
+    intra-stage order carries no collection bias. Output adds ``stage``
+    (1-based) and ``order_idx`` (the global training order).
+
+    Stage assignment is exact integer arithmetic on the global rank
+    (((r-1)·stages) div n + 1), reproducible in ANSI SQL for the oracle
+    — no ntile, whose tie handling is engine-specific. Both global ranks
+    are :func:`global_rank` distributed prefix counts, so nothing here
+    is a single-partition window; the order is a pure function of the
+    corpus + seed (md5 shuffle key, the sampling-coin convention).
+    """
+    base = docs.select(F.col(id_col), F.col(difficulty_col))
+    ranked = global_rank(
+        base, [difficulty_col, id_col], "__r", num_partitions=num_partitions
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("__n"))
+    staged = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "stage",
+        (
+            F.expr(f"((__r - 1) * {int(stages)}) div __n") + F.lit(1)
+        ).cast("int"),
+    )
+    shuf = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    final = global_rank(
+        staged.withColumn("__shuf", shuf),
+        ["stage", "__shuf", id_col],
+        "order_idx",
+        num_partitions=num_partitions,
+    )
+    return final.select(id_col, difficulty_col, "stage", "order_idx")

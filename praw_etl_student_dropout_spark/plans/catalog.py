@@ -4245,6 +4245,54 @@ def a26_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a37_winsorize",
+    "A12+A26 ⊕ (winsorized robust aggregation)",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS lo,
+             quantile_cont(l_quantity, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(avg(least(greatest(l.l_quantity, q.lo), q.hi)), 2)
+             AS mean_winsorized,
+           round(avg(l.l_quantity), 2) AS mean_raw,
+           round(min(q.lo), 2) AS p05,
+           round(max(q.hi), 2) AS p95,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Winsorized mean per group: clip values to the group's "
+    "[p05, p95] band, then aggregate — the outlier-robust transform "
+    "(vs a26's MAD, which detects; winsorize REPAIRS). Two grouped "
+    "passes over the fact table: exact percentiles per group (the "
+    "oracle-checkable twin of an approx_percentile sketch at 100 TB), "
+    "broadcast the per-group band back (group-domain-sized — AQE "
+    "broadcasts it), clip with least/greatest in codegen, re-aggregate. "
+    "l_quantity is integer-valued so interpolation is exact (a12 "
+    "precedent).",
+)
+def a37_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.05)").alias("lo"),
+        F.expr("percentile(l_quantity, 0.95)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(q), "l_returnflag").withColumn(
+        "__clip", F.least(F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.round(F.avg("__clip"), 2).alias("mean_winsorized"),
+        F.round(F.avg("l_quantity"), 2).alias("mean_raw"),
+        F.round(F.min("lo"), 2).alias("p05"),
+        F.round(F.max("hi"), 2).alias("p95"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "a27_corr_matrix",
     "A16 ⊕ (one-pass correlation matrix)",
     """

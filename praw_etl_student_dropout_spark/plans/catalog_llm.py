@@ -1075,6 +1075,118 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_mixture_temperature",
+    "A1+U6 ⊕ (temperature-scaled mixture weights)",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({SQL_TOKEN_COUNT.format(col='text')}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             pow(n_tokens, 0.5) AS raw_w,
+             sum(pow(n_tokens, 0.5)) OVER () AS tot_w
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(raw_w / tot_w, 6) AS mix_weight,
+           round(500000.0 * raw_w / tot_w, 2) AS target_tokens,
+           round(CAST(CASE WHEN n_tokens > 0
+                 THEN least(1.0, 500000.0 * raw_w / tot_w / n_tokens)
+                 ELSE 0.0 END AS DOUBLE), 6) AS sample_rate
+    FROM w
+    """,
+    doc="Temperature-scaled mixture weights (the multilingual-LM "
+    "standard, mBERT/XLM-R/mT5: p_i ∝ n_i^τ): τ=0.5 upweights small "
+    "sources relative to proportional sampling while never letting one "
+    "giant source dominate — the knob between uniform (τ=0) and "
+    "proportional (τ=1) that llm_mixture_plan's uniform split lacks. "
+    "One grouped pass for per-source token totals; the normalizing sum "
+    "is an unpartitioned window over the SOURCE-count rows (bounded by "
+    "the source domain, never the corpus — the packing allowlist "
+    "argument). Feeds mix_sources_hash as its fractions.",
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    raw_w = F.pow(F.col("n_tokens"), 0.5)
+    w = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        raw_w.alias("raw_w"),
+        F.sum(raw_w).over(Window.partitionBy()).alias("tot_w"),
+    )
+    target = F.lit(500000.0) * F.col("raw_w") / F.col("tot_w")
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("raw_w") / F.col("tot_w"), 6).alias("mix_weight"),
+        F.round(target, 2).alias("target_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.least(F.lit(1.0), target / F.col("n_tokens")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("sample_rate"),
+    )
+
+
+@register(
+    "llm_curriculum_order",
+    "W1+D5 ⊕ (curriculum data ordering)",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS r,
+             count(*) OVER () AS n
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, n_chars,
+             CAST((r - 1) * 5 // n + 1 AS INTEGER) AS stage
+      FROM ranked
+    )
+    SELECT doc_id, n_chars, stage,
+           CAST(row_number() OVER (
+             ORDER BY stage ASC,
+                      md5(concat(CAST(doc_id AS VARCHAR), '#17')) ASC,
+                      doc_id ASC
+           ) AS BIGINT) AS order_idx
+    FROM staged
+    """,
+    doc="Curriculum training order: 5 difficulty stages by document "
+    "length (the sequence-length curriculum), deterministically "
+    "shuffled WITHIN each stage by a content-hash key so intra-stage "
+    "order carries no collection bias, with a global training-order "
+    "index. The order is a pure function of the corpus + seed (md5 "
+    "shuffle key, the sampling-coin convention), and stage cuts are "
+    "exact integer arithmetic on the global rank — no ntile, whose tie "
+    "handling is engine-specific. The engine side computes BOTH global "
+    "ranks with packing.global_rank (range partition → per-partition "
+    "running count → ≤num_partitions-row offset window), never a "
+    "single-partition window; the oracle's plain windows are the "
+    "semantic contract.",
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return curriculum_order(docs, "doc_id", "n_chars", stages=5, seed=17)
+
+
+@register(
     "llm_mixture_plan",
     "A1+U6 ⊕ (token-budget mixture / epoch planning)",
     f"""

@@ -734,3 +734,67 @@ def test_dsir_weights_rank_target_language_first(spark, sf_dir):
     share_sel = langs.count("en") / len(langs)
     assert langs.count("en") == max(langs.count(g) for g in set(langs))
     assert share_sel > 1.2 * (n_en / n_docs), (share_sel, n_en / n_docs)
+
+
+def test_global_rank_equals_single_window_and_layout_independent(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.packing import global_rank
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "n_chars"
+    )
+    got = {
+        r.doc_id: r.__getattr__("rk")
+        for r in global_rank(docs, ["n_chars", "doc_id"], "rk").collect()
+    }
+    expected = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(docs.collect(), key=lambda r: (r.n_chars, r.doc_id))
+        )
+    }
+    assert got == expected
+    few = global_rank(docs, ["n_chars", "doc_id"], "rk", num_partitions=1).collect()
+    assert {r.doc_id: r.rk for r in few} == expected
+
+
+def test_curriculum_order_stages_and_determinism(spark, sf_dir):
+    from praw_etl_student_dropout_spark.operators.packing import curriculum_order
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = curriculum_order(docs, "doc_id", "n_chars", stages=5, seed=17).collect()
+    n = len(out)
+    # order_idx is a permutation of 1..n
+    assert sorted(r.order_idx for r in out) == list(range(1, n + 1))
+    # stages are contiguous in the training order and weakly increasing
+    by_order = sorted(out, key=lambda r: r.order_idx)
+    stages = [r.stage for r in by_order]
+    assert stages == sorted(stages)
+    # stage sizes differ by at most 1 (equal cuts of the ranked corpus)
+    from collections import Counter
+
+    sizes = Counter(stages)
+    assert set(sizes) == {1, 2, 3, 4, 5}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # difficulty is non-decreasing ACROSS stages: every stage-s doc is
+    # no longer than every stage-(s+1) doc, up to rank ties
+    import itertools
+
+    max_per = {
+        s: max(r.n_chars for r in g)
+        for s, g in itertools.groupby(by_order, key=lambda r: r.stage)
+    }
+    min_per = {
+        s: min(r.n_chars for r in sorted(out, key=lambda r: r.order_idx) if r.stage == s)
+        for s in sizes
+    }
+    for s in range(1, 5):
+        assert max_per[s] <= min_per[s + 1]
+    # pure function of corpus + seed: layout never changes the order
+    again = curriculum_order(
+        docs.repartition(11), "doc_id", "n_chars", stages=5, seed=17
+    ).collect()
+    assert sorted((r.doc_id, r.order_idx) for r in out) == sorted(
+        (r.doc_id, r.order_idx) for r in again
+    )

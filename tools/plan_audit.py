@@ -62,6 +62,7 @@ EXPECTED_NESTED_LOOP = {
     "q11_important_parts",  # 1-row global-value threshold broadcast back
     "q22_idle_customers",   # 1-row avg-balance threshold broadcast back
     "j9_cross_join",        # declared cartesian of two tiny dims (5 x 25)
+    "llm_curriculum_order",  # 1-row corpus-count scalar broadcast cross join
 }
 
 
@@ -89,6 +90,12 @@ EXPECTED_GLOBAL_WINDOW = {
     # such bounded frames (r6).
     "u7_bm25_topk",
     "u7_hybrid_rrf",
+    # temperature mixture normalizes over the per-SOURCE frame (bounded
+    # by the source domain, the a31 grand-total shape).
+    "llm_mixture_temperature",
+    # curriculum_order runs global_rank twice: each offsets window is
+    # ≤ #partitions rows by construction (pack_sequences machinery).
+    "llm_curriculum_order",
 }
 
 
