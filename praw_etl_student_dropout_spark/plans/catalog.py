@@ -4293,6 +4293,162 @@ def a37_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a38_welch_ttest",
+    "A16 ⊕ (two-sample Welch t-test)",
+    """
+    WITH s AS (
+      SELECT CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_a,
+             round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS s1_a,
+             round(sum(l_quantity * l_quantity)
+                   FILTER (l_returnflag = 'R'), 2) AS s2_a,
+             CAST(count(*) FILTER (l_returnflag = 'N') AS BIGINT) AS n_b,
+             round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS s1_b,
+             round(sum(l_quantity * l_quantity)
+                   FILTER (l_returnflag = 'N'), 2) AS s2_b
+      FROM lineitem
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             s1_a / n_a AS mean_a, s1_b / n_b AS mean_b,
+             ((s2_a - s1_a * s1_a / n_a) / (n_a - 1)) / n_a AS se2_a,
+             ((s2_b - s1_b * s1_b / n_b) / (n_b - 1)) / n_b AS se2_b
+      FROM s
+    )
+    SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(se2_a + se2_b), 6) AS t_stat,
+           round((se2_a + se2_b) * (se2_a + se2_b)
+                 / (se2_a * se2_a / (n_a - 1) + se2_b * se2_b / (n_b - 1)),
+                 2) AS dof
+    FROM m
+    """,
+    doc="Two-sample Welch t-test (unequal variances) between the "
+    "returned and non-returned quantity populations, computed from "
+    "EXACT rounded power sums in ONE conditional-aggregation pass over "
+    "the fact table (the a16 pattern: natives are Welford-streamed and "
+    "not cross-engine stable; rounded power sums make the downstream "
+    "algebra one deterministic IEEE expression tree on both engines). "
+    "Fully partial-aggregatable — the A/B-test shape run at any scale.",
+)
+def a38_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    q = F.col("l_quantity")
+    is_a = F.col("l_returnflag") == "R"
+    is_b = F.col("l_returnflag") == "N"
+    s = li.agg(
+        F.count_if(is_a).alias("n_a"),
+        F.round(F.sum(F.when(is_a, q)), 2).alias("s1_a"),
+        F.round(F.sum(F.when(is_a, q * q)), 2).alias("s2_a"),
+        F.count_if(is_b).alias("n_b"),
+        F.round(F.sum(F.when(is_b, q)), 2).alias("s1_b"),
+        F.round(F.sum(F.when(is_b, q * q)), 2).alias("s2_b"),
+    )
+    mean_a = F.col("s1_a") / F.col("n_a")
+    mean_b = F.col("s1_b") / F.col("n_b")
+    se2_a = (
+        (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+    ) / F.col("n_a")
+    se2_b = (
+        (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    ) / F.col("n_b")
+    m = s.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("__ma"),
+        mean_b.alias("__mb"),
+        se2_a.alias("__sa"),
+        se2_b.alias("__sb"),
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("__ma"), 6).alias("mean_a"),
+        F.round(F.col("__mb"), 6).alias("mean_b"),
+        F.round(
+            (F.col("__ma") - F.col("__mb")) / F.sqrt(F.col("__sa") + F.col("__sb")),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            (F.col("__sa") + F.col("__sb"))
+            * (F.col("__sa") + F.col("__sb"))
+            / (
+                F.col("__sa") * F.col("__sa") / (F.col("n_a") - 1)
+                + F.col("__sb") * F.col("__sb") / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("dof"),
+    )
+
+
+@register(
+    "etl_contract_report",
+    "ETL ⊕ (data-contract expectations report)",
+    """
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (doc_id IS NULL) AS BIGINT) AS null_id,
+             CAST(count(*) FILTER (text IS NULL OR len(text) = 0) AS BIGINT)
+               AS empty_text,
+             CAST(count(*) FILTER (n_chars != len(text)) AS BIGINT)
+               AS chars_mismatch,
+             CAST(count(*) FILTER (lang NOT IN ('en','de','fr','es','zh'))
+                  AS BIGINT) AS unknown_lang,
+             CAST(count(*) FILTER (n_chars < 100) AS BIGINT) AS too_short
+      FROM documents
+    )
+    SELECT check_name, n_violations, n_rows,
+           round(n_violations * 1.0 / n_rows, 6) AS violation_rate
+    FROM (
+      SELECT 'null_id' AS check_name, null_id AS n_violations, n_rows FROM s
+      UNION ALL SELECT 'empty_text', empty_text, n_rows FROM s
+      UNION ALL SELECT 'chars_mismatch', chars_mismatch, n_rows FROM s
+      UNION ALL SELECT 'unknown_lang', unknown_lang, n_rows FROM s
+      UNION ALL SELECT 'too_short', too_short, n_rows FROM s
+    )
+    """,
+    doc="Data-contract expectations report (the Great-Expectations "
+    "shape): five named validity checks — null key, empty payload, "
+    "derived-column consistency (n_chars == length(text)), enum "
+    "membership, minimum-length warn — evaluated as conditional counts "
+    "in ONE scan of the table, then unpivoted to a (check, violations, "
+    "rate) report via stack. Zero-violation checks still report (a "
+    "silent check is indistinguishable from a skipped one). The "
+    "streaming/load-time twin is quality.with_quality_metrics, which "
+    "rides the same aggregates on DataFrame.observe so a 100 TB load "
+    "pays no second scan.",
+)
+def etl_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    s = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("doc_id").isNull()).alias("null_id"),
+        F.count_if(
+            F.col("text").isNull() | (F.length("text") == 0)
+        ).alias("empty_text"),
+        F.count_if(F.col("n_chars") != F.length("text")).alias("chars_mismatch"),
+        F.count_if(
+            ~F.col("lang").isin("en", "de", "fr", "es", "zh")
+        ).alias("unknown_lang"),
+        F.count_if(F.col("n_chars") < 100).alias("too_short"),
+    )
+    report = s.select(
+        F.expr(
+            "stack(5, 'null_id', null_id, 'empty_text', empty_text, "
+            "'chars_mismatch', chars_mismatch, 'unknown_lang', unknown_lang, "
+            "'too_short', too_short) AS (check_name, n_violations)"
+        ),
+        "n_rows",
+    )
+    return report.select(
+        "check_name",
+        "n_violations",
+        "n_rows",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+    )
+
+
+@register(
     "a27_corr_matrix",
     "A16 ⊕ (one-pass correlation matrix)",
     """

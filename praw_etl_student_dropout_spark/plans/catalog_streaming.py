@@ -21,7 +21,7 @@ from .catalog import _t, register
     "st3_tumbling_window",
     "ST3",
     """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT date_trunc('day', ts) AS window_start, event_type,
            count(*) AS cnt, round(sum(value), 2) AS sum_value
     FROM events GROUP BY window_start, event_type
     """,
@@ -95,7 +95,7 @@ def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st3b_window_distinct_users",
     "ST3+A11",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT date_trunc('day', ts) AS window_start,
            CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
            CAST(count(*) AS BIGINT) AS cnt
     FROM events GROUP BY window_start
@@ -181,7 +181,7 @@ def st6_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ST3+W1 ⊕ (trending keys per window)",
     """
     WITH counts AS (
-      SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
+      SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS cnt
       FROM events GROUP BY 1, 2
     ),
     ranked AS (
@@ -208,3 +208,51 @@ def st7_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")["events"]
     return trending_topk(ev, "ts", "1 hour", "event_type", k=3)
+
+
+@register(
+    "st8_rate_limit_batch",
+    "ST ⊕ (per-key windowed rate limiting, batch twin)",
+    """
+    WITH ranked AS (
+      SELECT event_id, user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, ts,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts ASC, event_id ASC
+             ) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, window_start, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="Per-key quota enforcement: at most 3 events per (user, day), "
+    "first-come by (ts, event_id) — the ingestion rate-limit / "
+    "API-quota shape (the day window drops ~9%% of fixture traffic, "
+    "so the cut is exercised, not vacuous). The rank window partitions "
+    "on (user, day), so "
+    "Catalyst plans a WindowGroupLimit: the rank<=3 cut is pushed "
+    "below the shuffle and each map task forwards at most 3 rows per "
+    "group — the rejected traffic never crosses the wire, which is the "
+    "whole point of rate limiting at 100 TB. The streaming form is the "
+    "same state keyed on (user, window) with a per-key counter "
+    "(transformWithState; protobuf-gated in this sandbox, SURVEY §9b).",
+)
+def st8_rate_limit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id", F.date_trunc("day", F.col("ts"))).orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("window_start"),
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "window_start", "rn")
+    )

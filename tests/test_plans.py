@@ -394,3 +394,21 @@ def test_scd2_shares_one_shuffle(spark, sf_dir, registry):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(exchanges) == 1, exchanges
     assert "user_id" in exchanges[0]
+
+
+def test_rate_limit_uses_window_group_limit(spark, sf_dir, registry):
+    # the rn<=3 quota must cut BELOW the shuffle (WindowGroupLimit):
+    # rejected traffic never crosses the wire — the point of rate limiting
+    plan = plan_of(registry["st8_rate_limit_batch"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir, registry):
+    # ES top-k-by-key must be TakeOrderedAndProject, never a global sort
+    plan = plan_of(registry["sample_weighted_es"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_sketch_is_take_ordered(spark, sf_dir, registry):
+    plan = plan_of(registry["a36_kmv_quantiles"].builder(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

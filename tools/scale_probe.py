@@ -87,6 +87,15 @@ PROBE_QUERIES = [
     "u9_triangle_count",     # canonical-edge two-hop equi-join (round-6)
     "llm_corpus_drift",      # vocab-sized conditional-sum agg (round-6)
     "st7_trending_topk",     # windowed counts + key-domain rank (round-6)
+    "sample_weighted_es",    # ES weighted top-k: TakeOrdered, no shuffle (round-6b)
+    "a36_kmv_quantiles",     # bottom-k-hash sketch + k-row percentile (round-6b)
+    "llm_curriculum_order",  # two distributed global_rank passes (round-6b)
+    "a37_winsorize",         # two grouped passes + broadcast band (round-6b)
+    "llm_mixture_temperature",  # one grouped pass + source-frame window (round-6b)
+    # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
+    # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
+    # scale contract is k ∝ n (constant n/k); that experiment lives in
+    # BASELINE.md §semdedup (21k vs 42k Zipf vectors at constant n/k).
 ]
 
 
