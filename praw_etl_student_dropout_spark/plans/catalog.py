@@ -4382,6 +4382,81 @@ def a38_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_zorder_key",
+    "ETL ⊕ (z-order layout key parity)",
+    """
+    WITH stats AS (
+      SELECT min(o_custkey * 1.0) AS lo0, max(o_custkey * 1.0) AS hi0,
+             min(o_totalprice * 1.0) AS lo1, max(o_totalprice * 1.0) AS hi1
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(least(floor((o_custkey * 1.0 - lo0) / (hi0 - lo0) * 256), 255)
+                  AS BIGINT) AS b0,
+             CAST(least(floor((o_totalprice * 1.0 - lo1) / (hi1 - lo1) * 256), 255)
+                  AS BIGINT) AS b1
+      FROM orders CROSS JOIN stats
+    ),
+    z AS (
+      SELECT ((b0 >> 0) & 1) * 1 + ((b1 >> 0) & 1) * 2
+           + ((b0 >> 1) & 1) * 4 + ((b1 >> 1) & 1) * 8
+           + ((b0 >> 2) & 1) * 16 + ((b1 >> 2) & 1) * 32
+           + ((b0 >> 3) & 1) * 64 + ((b1 >> 3) & 1) * 128
+           + ((b0 >> 4) & 1) * 256 + ((b1 >> 4) & 1) * 512
+           + ((b0 >> 5) & 1) * 1024 + ((b1 >> 5) & 1) * 2048
+           + ((b0 >> 6) & 1) * 4096 + ((b1 >> 6) & 1) * 8192
+           + ((b0 >> 7) & 1) * 16384 + ((b1 >> 7) & 1) * 32768 AS zval
+      FROM b
+    )
+    SELECT CAST(zval >> 8 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM z GROUP BY zbucket
+    """,
+    doc="Engine-parity check for the z-order (Morton) layout key that "
+    "maintenance.zorder_by clusters files on: per-column 8-bit buckets "
+    "scaled against broadcast global [min,max] stats (1-row cross join "
+    "— never a rank), bits interleaved with shift/mask arithmetic "
+    "(disjoint bits, so + == OR and ANSI SQL reproduces it), bucketed "
+    "to the top byte. Both engines compute the IDENTICAL curve "
+    "position for every row — the property that makes a z-ordered "
+    "layout portable across writers. The write path + min/max envelope "
+    "tightening is pinned in tests (zorder preserves multiset; "
+    "file_stats_index shows the skip envelope).",
+)
+def etl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    stats = o.agg(
+        F.min(F.col("o_custkey") * 1.0).alias("lo0"),
+        F.max(F.col("o_custkey") * 1.0).alias("hi0"),
+        F.min(F.col("o_totalprice") * 1.0).alias("lo1"),
+        F.max(F.col("o_totalprice") * 1.0).alias("hi1"),
+    )
+    j = o.crossJoin(F.broadcast(stats))
+    b0 = F.least(
+        F.floor((F.col("o_custkey") * 1.0 - F.col("lo0")) / (F.col("hi0") - F.col("lo0")) * 256),
+        F.lit(255),
+    ).cast("long")
+    b1 = F.least(
+        F.floor((F.col("o_totalprice") * 1.0 - F.col("lo1")) / (F.col("hi1") - F.col("lo1")) * 256),
+        F.lit(255),
+    ).cast("long")
+    withb = j.select(b0.alias("b0"), b1.alias("b1"))
+    zval = sum(
+        (
+            F.shiftright(F.col("b0"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+            + F.shiftright(F.col("b1"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+            for i in range(8)
+        ),
+        F.lit(0),
+    )
+    return (
+        withb.select(F.shiftright(zval.cast("long"), 8).alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
     "etl_contract_report",
     "ETL ⊕ (data-contract expectations report)",
     """

@@ -1069,3 +1069,72 @@ def u6_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_frac_ok.alias("r_alpha"),
         (r_wc & mean_len_ok & r_stop & alpha_frac_ok).alias("gopher_pass"),
     )
+
+
+@register(
+    "u11_bigram_logprob",
+    "U6+A1 ⊕ (conditional bigram-LM scoring)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ),
+    freq2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    freq1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+      FROM freq2 GROUP BY w1
+    )
+    SELECT b.doc_id,
+           round(sum(ln(f2.c2 * 1.0 / f1.c1)) / count(*), 6)
+             AS mean_bigram_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg b
+    JOIN freq2 f2 USING (bg)
+    JOIN freq1 f1 ON f1.w1 = split_part(b.bg, ' ', 1)
+    GROUP BY b.doc_id
+    """,
+    doc="Second rung of the perplexity-filter ladder (unigram → n-gram "
+    "→ neural): the corpus's own CONDITIONAL bigram model "
+    "p(w2|w1) = c(w1 w2)/c(w1 ·) scores each document's mean bigram "
+    "log-probability — sensitive to scrambled word ORDER that "
+    "u11_unigram_logprob (a bag-of-words score) cannot see. Bigrams "
+    "are built row-locally (zip of the token array with its own tail — "
+    "no self-join, no positional shuffle; the size>=2 CASE guards "
+    "Spark's DESCENDING sequence(1,0) sharp edge, operators/bpe.py "
+    "precedent). Exchanges: bigram-vocab agg, first-word marginal agg "
+    "(both AQE-broadcast back), one per-doc regroup. Docs with <2 "
+    "tokens have no bigrams and drop out, on both engines.",
+)
+def u11_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    t = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    freq2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    freq1 = freq2.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c2").alias("c1"))
+    scored = (
+        bg.join(freq2, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(freq1, "w1")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.log(F.col("c2") / F.col("c1"))) / F.count(F.lit(1)), 6
+        ).alias("mean_bigram_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

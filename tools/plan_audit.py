@@ -63,6 +63,7 @@ EXPECTED_NESTED_LOOP = {
     "q22_idle_customers",   # 1-row avg-balance threshold broadcast back
     "j9_cross_join",        # declared cartesian of two tiny dims (5 x 25)
     "llm_curriculum_order",  # 1-row corpus-count scalar broadcast cross join
+    "etl_zorder_key",        # 1-row global min/max stats broadcast cross join
 }
 
 
