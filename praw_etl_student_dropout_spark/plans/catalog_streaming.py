@@ -234,9 +234,12 @@ def st7_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Catalyst plans a WindowGroupLimit: the rank<=3 cut is pushed "
     "below the shuffle and each map task forwards at most 3 rows per "
     "group — the rejected traffic never crosses the wire, which is the "
-    "whole point of rate limiting at 100 TB. The streaming form is the "
-    "same state keyed on (user, window) with a per-key counter "
-    "(transformWithState; protobuf-gated in this sandbox, SURVEY §9b).",
+    "whole point of rate limiting at 100 TB. The streaming twin is "
+    "stream_jobs.rate_limited_stream: foreachBatch with a versioned "
+    "per-(user, window) accepted-count state table; streamed-equals-"
+    "batch + the min(quota, seen) count invariant are pinned in "
+    "tests/test_streaming.py (transformWithState would hold the same "
+    "counter natively; protobuf-gated, SURVEY §9b).",
 )
 def st8_rate_limit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

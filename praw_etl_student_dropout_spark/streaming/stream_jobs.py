@@ -15,6 +15,8 @@ window queries run, executed incrementally).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -458,3 +460,99 @@ def trending_stream(
         .start()
         .awaitTermination()
     )
+
+
+def rate_limited_stream(
+    stream: DataFrame,
+    accepted_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    quota: int = 3,
+    granularity: str = "day",
+) -> None:
+    """ST8 — streaming per-key quota enforcement (the foreachBatch twin
+    of the batch ``st8_rate_limit_batch`` entry; transformWithState
+    would hold the same counter state natively but is protobuf-gated in
+    this sandbox, SURVEY §9b).
+
+    State is the accepted-count table keyed on (user_id, window_start)
+    — key-domain-sized, like trending_stream's windowed counts, never
+    the event stream. Each micro-batch: rank batch rows within key by
+    (ts, event_id), shift by the key's prior accepted count, keep
+    ``rn <= quota``, append acceptances, write state as a NEW version
+    directory (``state_path/v{batch_id}``) — versioned state avoids the
+    read-then-overwrite-same-path race without collecting the state to
+    the driver (streaming_cms can collect because a sketch is
+    constant-size; a per-key counter table is not).
+
+    Acceptance is first-COME: equal to the batch twin's first-by-ts
+    choice only when per-key arrival order follows event time (intra-
+    batch ties are broken by ts). The per-key accepted COUNT —
+    min(quota, seen) — matches the batch twin under ANY arrival order;
+    tests pin both contracts.
+    """
+
+    from pyspark.sql import Window
+
+    def limit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_df.select(
+            "event_id",
+            "user_id",
+            F.date_trunc(granularity, F.col("ts")).alias("window_start"),
+            "ts",
+        )
+        w = Window.partitionBy("user_id", "window_start").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        )
+        ranked = keyed.withColumn("__brn", F.row_number().over(w))
+        try:
+            versions = sorted(
+                int(d[1:])
+                for d in os.listdir(state_path)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+        except FileNotFoundError:
+            versions = []
+        if versions:
+            state = spark.read.parquet(f"{state_path}/v{versions[-1]}")
+            ranked = ranked.join(
+                state, ["user_id", "window_start"], "left"
+            ).withColumn(
+                "rn", F.col("__brn") + F.coalesce(F.col("n_accepted"), F.lit(0))
+            )
+        else:
+            state = None
+            ranked = ranked.withColumn("rn", F.col("__brn"))
+        accepted = ranked.filter(F.col("rn") <= quota).select(
+            "event_id", "user_id", "window_start", F.col("rn").cast("int").alias("rn")
+        )
+        accepted.write.mode("append").parquet(accepted_path)
+        add = accepted.groupBy("user_id", "window_start").agg(
+            F.count(F.lit(1)).alias("__add")
+        )
+        if state is not None:
+            new_state = (
+                state.join(add, ["user_id", "window_start"], "full")
+                .select(
+                    "user_id",
+                    "window_start",
+                    (
+                        F.coalesce(F.col("n_accepted"), F.lit(0))
+                        + F.coalesce(F.col("__add"), F.lit(0))
+                    ).alias("n_accepted"),
+                )
+            )
+        else:
+            new_state = add.select(
+                "user_id", "window_start", F.col("__add").alias("n_accepted")
+            )
+        new_state.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(limit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -529,3 +529,81 @@ def test_trending_stream_matches_batch(spark, events_dir, sf_dir, tmp_path):
     # every window emits exactly its top-3 (or fewer if fewer keys)
     per_window = streamed.groupBy("window_start").count().collect()
     assert all(r["count"] <= 3 for r in per_window)
+
+
+def test_rate_limited_stream_enforces_quota_across_batches(spark, sf_dir, tmp_path):
+    """ST8 streaming twin: per-(user, day) quota state carries across
+    micro-batches. Split events at the global ts median so every key's
+    arrival follows event time -> the accepted SET equals the batch
+    twin's first-by-ts choice; the per-key accepted COUNT invariant
+    (min(quota, seen)) holds regardless."""
+    import time as _time
+
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        rate_limited_stream,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    cut = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    # split on ts order: first half = earliest-half timestamps
+    ordered = events.orderBy("ts", "event_id").collect()
+    half = len(ordered) // 2
+    df1 = spark.createDataFrame(ordered[:half], events.schema)
+    df2 = spark.createDataFrame(ordered[half:], events.schema)
+    in_dir = str(tmp_path / "in")
+    df1.coalesce(1).write.parquet(in_dir)
+    _time.sleep(1.1)  # distinct mod-times: file order == event-time order
+    df2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    accepted_path = str(tmp_path / "accepted")
+    rate_limited_stream(
+        stream,
+        accepted_path,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        quota=3,
+        granularity="day",
+    )
+    got = spark.read.parquet(accepted_path)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", F.date_trunc("day", F.col("ts"))).orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    batch_twin = (
+        events.select(
+            "event_id",
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("window_start"),
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    # ordered arrival -> exact set equality with the batch twin
+    assert {(r.event_id, r.rn) for r in got.collect()} == {
+        (r.event_id, r.rn) for r in batch_twin.collect()
+    }
+    # count invariant: per key, accepted == min(quota, seen)
+    seen = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    acc = got.groupBy("user_id", "window_start").agg(
+        F.count(F.lit(1)).alias("n_acc")
+    )
+    bad = (
+        seen.join(acc, ["user_id", "window_start"], "left")
+        .filter(
+            F.coalesce(F.col("n_acc"), F.lit(0))
+            != F.least(F.lit(3), F.col("n"))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert cut is not None  # split sanity
