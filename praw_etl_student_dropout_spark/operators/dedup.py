@@ -1306,3 +1306,100 @@ def semdedup_survivors(
     return df.join(
         losers, df[id_col] == losers["id"], "left_anti"
     )
+
+
+def passjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance self-join with LOSSLESS segment blocking — PassJoin
+    (Li, Deng, Feng, VLDB 2011), the edit-distance sibling of the
+    prefix-filtered Jaccard join (jaccard_prefix_pairs).
+
+    Pigeonhole: partition a string into ``max_dist + 1`` segments; at
+    most ``max_dist`` edit operations can touch at most ``max_dist``
+    segments, so any string within edit distance ``max_dist`` CONTAINS
+    at least one segment verbatim. Candidates are therefore an
+    EQUI-join — every row's segments (index side) against every row's
+    substrings of the compatible lengths (probe side) — never an
+    all-pairs theta join; exact ``levenshtein`` verifies, so false
+    positives are impossible and the brute-force oracle proves zero
+    false negatives by value equality.
+
+    Scale shape: segment content is the join key (the LSH-band shape);
+    probe-side expansion is O(len × lengths-probed) per row and both
+    sides shuffle once on the segment hash. Refinements a production
+    tuner would add (position windows, length-aware segment selection)
+    only PRUNE candidates — the pigeonhole completeness argument is
+    unchanged. Caveat: strings shorter than ``max_dist + 1`` produce
+    empty segments that match everything (still lossless, just
+    unselective) — filter or route those to a direct join.
+
+    Returns ``(id_a, id_b, edit_dist)`` with id_a < id_b.
+    """
+    k = max_dist
+    nseg = k + 1
+    name = F.col(name_col)
+    L = F.length(name)
+    base = F.floor(L / nseg).cast("int")
+    rem = (L % nseg).cast("int")
+    # segment i (0-based): the first (nseg - rem) segments have length
+    # `base`, the rest `base + 1`; start positions are the running sum.
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(k)),
+        lambda i: F.struct(
+            F.substring(
+                name,
+                (
+                    i * base
+                    + F.greatest(F.lit(0), i - (F.lit(nseg) - rem))
+                    + 1
+                ).cast("int"),
+                (base + F.when(i >= (F.lit(nseg) - rem), 1).otherwise(0)).cast(
+                    "int"
+                ),
+            ).alias("seg")
+        ),
+    )
+    index_side = df.select(
+        F.col(id_col).alias("id_b"),
+        name.alias("__name_b"),
+        L.alias("__len_b"),
+        F.explode(seg_structs).alias("__s"),
+    ).select("id_b", "__name_b", "__len_b", F.col("__s.seg").alias("__key"))
+    # probe side: all substrings of every length a compatible partner's
+    # segments can have: lengths floor(L'/nseg)..floor(L'/nseg)+1 for
+    # L' in [L-k, L+k] → the closed range below covers them all.
+    lo_len = F.greatest(F.lit(0), F.floor((L - k) / nseg)).cast("int")
+    hi_len = F.least(L, F.floor((L + k) / nseg) + 1).cast("int")
+    subs = F.flatten(
+        F.transform(
+            F.sequence(lo_len, hi_len),
+            lambda l: F.transform(
+                F.sequence(F.lit(1), L - l + 1),
+                lambda p: F.substring(name, p.cast("int"), l.cast("int")),
+            ),
+        )
+    )
+    probe_side = df.select(
+        F.col(id_col).alias("id_a"),
+        name.alias("__name_a"),
+        L.alias("__len_a"),
+        F.explode_outer(F.array_distinct(subs)).alias("__key"),
+    )
+    cands = (
+        probe_side.join(index_side, "__key")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__len_a") - F.col("__len_b")) <= k)
+        )
+        .select("id_a", "__name_a", "id_b", "__name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("__name_a", "__name_b")
+    return (
+        cands.filter(dist <= k)
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+    )

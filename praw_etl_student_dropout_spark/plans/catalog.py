@@ -1620,6 +1620,33 @@ def d3b_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d3b_fuzzy_blocked",
+    "D3+F-string ⊕ (lossless edit-distance blocking, PassJoin)",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 800 AND b.p_partkey < 800
+      AND levenshtein(a.p_name, b.p_name) <= 1
+    """,
+    doc="PassJoin (Li, Deng, Feng — VLDB 2011): edit-distance self-join "
+    "whose candidates come from an EQUI-join on verbatim segments "
+    "(pigeonhole: <=k edits leave >=1 of k+1 segments intact), then "
+    "exact levenshtein verify — the edit-distance sibling of the "
+    "prefix-filtered Jaccard join, vs d3b_fuzzy_name_pairs' bounded "
+    "theta join. The oracle is the BRUTE-FORCE join, so value equality "
+    "is a per-driver-run proof of zero false negatives. At scale the "
+    "segment hash is the shuffle key (the LSH-band shape); probe-side "
+    "expansion is O(len) per row.",
+)
+def d3b_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import passjoin_pairs
+
+    part = _t(spark, sf_dir, "part")["part"].filter(F.col("p_partkey") < 800)
+    return passjoin_pairs(part, "p_partkey", "p_name", max_dist=1)
+
+
+@register(
     "w1b_rank_variants",
     "W1",
     """

@@ -596,3 +596,47 @@ def test_line_dedup_deterministic_across_partitioning(spark):
     b = sorted(map(tuple, line_dedup(df.coalesce(1), min_doc_freq=2).collect()))
     assert a == b
     assert all(t[3] == f"uniq {t[0]}" for t in a)
+
+
+def test_passjoin_equals_brute_force_and_handles_ties(spark, sf_dir):
+    """PassJoin candidates are lossless (pigeonhole): result must equal
+    the all-pairs levenshtein join exactly, at two k values."""
+    from praw_etl_student_dropout_spark.operators.dedup import passjoin_pairs
+
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_partkey") < 300)
+        .select("p_partkey", "p_name")
+    )
+    names = {r.p_partkey: r.p_name for r in part.collect()}
+
+    def brute(k):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def lev(a, b):
+            if not a:
+                return len(b)
+            if not b:
+                return len(a)
+            return min(
+                lev(a[:-1], b) + 1,
+                lev(a, b[:-1]) + 1,
+                lev(a[:-1], b[:-1]) + (a[-1] != b[-1]),
+            )
+
+        out = set()
+        ids = sorted(names)
+        for i, x in enumerate(ids):
+            for y in ids[i + 1 :]:
+                d = lev(names[x], names[y])
+                if d <= k:
+                    out.add((x, y, d))
+        return out
+
+    for k in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.edit_dist)
+            for r in passjoin_pairs(part, "p_partkey", "p_name", max_dist=k).collect()
+        }
+        assert got == brute(k), f"k={k}"
