@@ -4320,6 +4320,64 @@ def a37_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a39_equidepth_histogram",
+    "A12+A23 ⊕ (equi-depth histogram)",
+    """
+    WITH q AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3,
+             min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders
+    )
+    SELECT bucket,
+           round(min(o_totalprice), 2) AS bucket_lo,
+           round(max(o_totalprice), 2) AS bucket_hi,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT o_totalprice,
+             CASE WHEN o_totalprice <= q1 THEN 1
+                  WHEN o_totalprice <= q2 THEN 2
+                  WHEN o_totalprice <= q3 THEN 3
+                  ELSE 4 END AS bucket
+      FROM orders CROSS JOIN q
+    ) GROUP BY bucket
+    """,
+    doc="Equi-DEPTH histogram (quartile boundaries, ~equal mass per "
+    "bucket) vs a23's equi-width bins — the histogram an optimizer or "
+    "drift monitor actually wants, because equal-width bins collapse "
+    "under skew. Two grouped passes: exact quantile boundaries (the "
+    "oracle-checkable twin of approx_percentile at 100 TB), broadcast "
+    "the 1-row boundary set back, CASE-bucket in codegen, re-aggregate "
+    "with observed per-bucket [lo, hi]. Boundary assignment uses <= on "
+    "both engines, so ties at a quantile land identically.",
+)
+def a39_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    q = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        o.crossJoin(F.broadcast(q))
+        .select("o_totalprice", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("bucket_lo"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
     "a38_welch_ttest",
     "A16 ⊕ (two-sample Welch t-test)",
     """

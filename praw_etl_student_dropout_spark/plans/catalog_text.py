@@ -1112,17 +1112,23 @@ def u6_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def u11_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
-    t = tokens(F.col("text"))
+    # Materialize the token array BEFORE any lambda touches it: an
+    # element_at(tokens(text), i) inside a HOF re-runs the regex split
+    # per element (HOF boundaries defeat subexpression elimination — the
+    # lang_id lesson), turning each doc O(len²); measured 150 s → 3 s on
+    # the 52k Zipf corpus. Bigrams are then one zip of the array with
+    # its own tail — three O(len) array ops per row.
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
     bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(
-                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-            ),
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.slice("t", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg = toked.select("doc_id", F.explode(bigrams).alias("bg"))
     freq2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     freq1 = freq2.groupBy(
         F.split(F.col("bg"), " ").getItem(0).alias("w1")

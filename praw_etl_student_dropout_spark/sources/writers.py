@@ -114,3 +114,23 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
         )
     df.write.mode(mode).format("avro").save(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink — the interchange format LLM corpora ship in
+    (one record per line, newline-safe because JSON escapes embedded
+    newlines/unicode, splittable when uncompressed, shard-parallel
+    either way). Pair with ``readers.read_json`` + an explicit schema
+    for the lossless round-trip (pinned in tests/test_sinks_etl.py);
+    gzip per-file compression is the common corpus layout — one shard
+    per task, compressed independently.
+    """
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -401,3 +401,39 @@ def test_changelog_compact_tied_order_is_deterministic(spark):
             r.k: r.net_op for r in changelog_compact(layout, "k", ["seq"]).collect()
         }
         assert got == expect
+
+
+def test_jsonl_round_trip_preserves_hostile_text(spark, tmp_path):
+    """JSONL is the LLM corpus interchange format precisely because JSON
+    escaping makes embedded newlines/quotes/unicode line-safe — pin the
+    lossless round-trip on hostile payloads."""
+    from pyspark.sql import types as T
+
+    from praw_etl_student_dropout_spark.sources.readers import read_json
+    from praw_etl_student_dropout_spark.sources.writers import write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "plain ascii", "en"),
+        (2, "line\nbreaks\r\nand\ttabs", "en"),
+        (3, 'quotes " and \\ backslashes', "de"),
+        (4, "unicode: 中文 émojis 🎉 ẞ", "zh"),
+        (5, "", "fr"),
+        (6, None, "es"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, path)
+    back = read_json(spark, path, schema=schema)
+    assert {tuple(r) for r in back.collect()} == set(rows)
+    # round-trip again uncompressed (the splittable layout)
+    path2 = str(tmp_path / "corpus_jsonl_plain")
+    write_jsonl(df, path2, compression=None)
+    back2 = read_json(spark, path2, schema=schema)
+    assert {tuple(r) for r in back2.collect()} == set(rows)

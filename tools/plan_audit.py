@@ -64,6 +64,7 @@ EXPECTED_NESTED_LOOP = {
     "j9_cross_join",        # declared cartesian of two tiny dims (5 x 25)
     "llm_curriculum_order",  # 1-row corpus-count scalar broadcast cross join
     "etl_zorder_key",        # 1-row global min/max stats broadcast cross join
+    "a39_equidepth_histogram",  # 1-row quantile-boundary broadcast cross join
 }
 
 
