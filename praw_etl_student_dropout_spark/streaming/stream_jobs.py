@@ -556,3 +556,101 @@ def rate_limited_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def semdedup_screen_stream(
+    vec_stream: DataFrame,
+    corpus_indexed: DataFrame,
+    centroids: DataFrame,
+    flagged_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nprobe: int = 2,
+) -> None:
+    """Streaming SemDeDup screen (the embedding sibling of
+    span_screen_stream): each arriving micro-batch of vectors is
+    assigned to its top-``nprobe`` centroids via the literal-centroid-
+    matrix expression (one narrow pass — the batch is never duplicated
+    k ways), equi-joined against the PERSISTED cluster-member index,
+    and exact-cosine verified with hoisted norms; flagged
+    ``(new_id, corpus_id, cosine)`` pairs append to ``flagged_path``.
+
+    State is the centroid table + member index built ONCE by the batch
+    operator (``dedup.semdedup_pairs``'s assignment, written out) — the
+    stream never re-clusters or re-self-joins the corpus; per-trigger
+    cost is linear in the batch. Like the span screen, a checkpoint
+    replay re-screens only unprocessed files. Centroid drift (new data
+    shifting the embedding distribution) is handled the IVF way:
+    rebuild the index offline on a cadence, swap directories — the
+    screen is read-only on its index.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.arrays import cosine_from_norms, dot_product, l2_norm
+    from ..functions.arrays import cosine_similarity
+
+    cent_rows = sorted(
+        centroids.select("centroid_id", "centroid_vec").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cent_ids = F.array(*[F.lit(int(r.centroid_id)) for r in cent_rows])
+    cent_mat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r.centroid_vec]) for r in cent_rows]
+    )
+    corpus_vecs = corpus_indexed.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("__cn"),
+    )
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+        vec = F.col(vec_col).cast("array<double>")
+        scores = F.transform(cent_mat, lambda c: cosine_similarity(vec, c))
+        exploded = batch_df.select(
+            F.col(id_col).alias("new_id"),
+            vec.alias("__nv"),
+            l2_norm(vec).alias("__nn"),
+            F.posexplode(scores).alias("__pos", "__score"),
+        )
+        wp = Window.partitionBy("new_id").orderBy(
+            F.desc("__score"), F.asc("__pos")
+        )
+        probed = (
+            exploded.withColumn("__r", F.row_number().over(wp))
+            .filter(F.col("__r") <= nprobe)
+            .select(
+                "new_id",
+                "__nv",
+                "__nn",
+                F.element_at(cent_ids, F.col("__pos") + 1).alias("centroid_id"),
+            )
+        )
+        flagged = (
+            probed.join(corpus_vecs, "centroid_id")
+            .select(
+                "new_id",
+                "corpus_id",
+                F.round(
+                    cosine_from_norms(
+                        dot_product(F.col("__nv"), F.col("__cv")),
+                        F.col("__nn"),
+                        F.col("__cn"),
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
+        flagged.write.mode("append").parquet(flagged_path)
+
+    q = (
+        vec_stream.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

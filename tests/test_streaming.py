@@ -607,3 +607,63 @@ def test_rate_limited_stream_enforces_quota_across_batches(spark, sf_dir, tmp_pa
     )
     assert bad == 0
     assert cut is not None  # split sanity
+
+
+def test_semdedup_screen_stream_flags_planted_dups(spark, tmp_path):
+    """Streaming SemDeDup screen: exact copies of corpus vectors arriving
+    on the stream must be flagged against their originals (a copy shares
+    its source's top-1 cluster by construction); negated vectors (cosine
+    -1) must never be. Two micro-batches exercise the static-index
+    state across triggers."""
+    from pyspark.sql import types as T
+
+    from praw_etl_student_dropout_spark.operators.similarity import (
+        assign_centroids,
+        sample_centroids,
+    )
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        semdedup_screen_stream,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sample_centroids(corpus, 8)
+    indexed = assign_centroids(corpus, cents)
+
+    copies = corpus.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    negs = corpus.select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        "label",
+    )
+    in_dir = str(tmp_path / "vecs_in")
+    copies.coalesce(1).write.parquet(in_dir)
+    negs.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    flagged_path = str(tmp_path / "flagged")
+    semdedup_screen_stream(
+        stream,
+        indexed,
+        cents,
+        flagged_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.99,
+        nprobe=2,
+    )
+    got = spark.read.parquet(flagged_path)
+    pairs = {(r.new_id, r.corpus_id) for r in got.collect()}
+    n_corpus = corpus.count()
+    # every copy flags its own original at cosine 1.0
+    expected_self = {(vid + 1000, vid) for (vid,) in corpus.select("vec_id").collect()}
+    assert expected_self <= pairs
+    # no negated vector is ever flagged
+    assert all(new_id < 2000 for new_id, _ in pairs)
+    # cosine column is verified exact: all >= threshold
+    assert got.agg(F.min("cosine")).first()[0] >= 0.99
+    assert n_corpus > 0
