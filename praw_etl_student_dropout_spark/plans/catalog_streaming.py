@@ -21,7 +21,7 @@ from .catalog import _t, register
     "st3_tumbling_window",
     "ST3",
     """
-    SELECT date_trunc('day', ts) AS window_start, event_type,
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS cnt, round(sum(value), 2) AS sum_value
     FROM events GROUP BY window_start, event_type
     """,
@@ -95,7 +95,7 @@ def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st3b_window_distinct_users",
     "ST3+A11",
     """
-    SELECT date_trunc('day', ts) AS window_start,
+    SELECT date_trunc('hour', ts) AS window_start,
            CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
            CAST(count(*) AS BIGINT) AS cnt
     FROM events GROUP BY window_start
@@ -181,7 +181,7 @@ def st6_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ST3+W1 ⊕ (trending keys per window)",
     """
     WITH counts AS (
-      SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS cnt
+      SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt
       FROM events GROUP BY 1, 2
     ),
     ranked AS (
