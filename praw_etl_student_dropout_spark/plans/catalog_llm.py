@@ -2097,3 +2097,171 @@ def llm_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_diff"), "tok")
         .limit(10)
     )
+
+
+def _corpus_build_sql() -> str:
+    """Full-pipeline oracle: funnel survivors → temperature mixture →
+    hash-coin sample → deterministic shuffle + pack."""
+    from .catalog_text import _lang_scalar_sql, _quality_sql
+
+    toks = SQL_TOKS.format(col="text")
+    clean_toks = SQL_TOKS.format(col=SQL_CLEAN.format(col="text"))
+    return f"""
+    WITH lang AS ({_lang_scalar_sql()}),
+    q AS ({_quality_sql()}),
+    fp AS (SELECT doc_id,
+                  md5(array_to_string(list_sort({clean_toks}), ' ')) AS fingerprint
+           FROM documents),
+    st2 AS (SELECT lang.doc_id FROM lang WHERE lang_guess = 'en'),
+    st3 AS (SELECT st2.doc_id FROM st2 JOIN q ON st2.doc_id = q.doc_id
+            WHERE q.quality >= 0.71),
+    st4 AS (SELECT doc_id FROM (
+              SELECT st3.doc_id,
+                     min(st3.doc_id) OVER (PARTITION BY fp.fingerprint) AS m
+              FROM st3 JOIN fp ON st3.doc_id = fp.doc_id)
+            WHERE doc_id = m),
+    tk AS (SELECT doc_id, {toks} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES.format(t='t')}) AS shingle FROM tk),
+    c AS (SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % 97 != 0),
+    b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT corpus_id AS doc_id FROM (
+        SELECT corpus_id, bench_id, count(*) AS shared
+        FROM c JOIN b USING (shingle)
+        GROUP BY corpus_id, bench_id HAVING count(*) >= 3)),
+    st5 AS (SELECT doc_id FROM st4 WHERE doc_id % 97 != 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    surv AS (
+      SELECT d.doc_id, d.source,
+             CAST(len({toks}) AS BIGINT) AS n_tokens
+      FROM documents d JOIN st5 USING (doc_id)
+    ),
+    per_src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM surv GROUP BY source
+    ),
+    rates AS (
+      SELECT source,
+             round(least(1.0, 20000.0 * pow(src_tokens, 0.5)
+                   / sum(pow(src_tokens, 0.5)) OVER () / src_tokens), 6)
+               AS rate
+      FROM per_src
+    ),
+    sampled AS (
+      SELECT surv.doc_id, surv.source, surv.n_tokens,
+             CAST((surv.doc_id * 2654435761) % 4294967296 AS BIGINT)
+               AS shuffle_key
+      FROM surv JOIN rates USING (source)
+      WHERE {_md5_coin_sql(23)} < rates.rate
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens, shuffle_key,
+             sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM sampled
+    )
+    SELECT doc_id, source, n_tokens, shuffle_key,
+           CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS seq_first,
+           CAST(floor((cum_tokens - 1) / 2048) AS BIGINT) AS seq_last
+    FROM packed
+    """
+
+
+@register(
+    "llm_corpus_build",
+    "⊕ composed (funnel → mixture → sample → pack)",
+    None,  # assigned post-def: the SQL builds on sibling-module helpers
+    doc="The END-TO-END corpus build as ONE checked query: curation-"
+    "funnel survivors (lang → quality → exact-dedup survivor → "
+    "decontamination), temperature-scaled per-source sampling rates "
+    "(τ=0.5 over SURVIVOR token mass, budget 20k tokens), layout-"
+    "independent md5-coin sampling at those rates, then the "
+    "deterministic Knuth shuffle + 2048-token sequence packing via the "
+    "distributed prefix sum (pack_sequences — never a single-partition "
+    "window). Every stage is an already-verified operator; this entry "
+    "pins their COMPOSITION against one end-to-end oracle, which is "
+    "what a user actually runs. Rates are rounded to 6 before the coin "
+    "comparison on both engines so the sample boundary is semantically "
+    "exact, not a last-ulp race.",
+)
+def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import doc_fingerprint, lang_id, quality_score, token_count
+    from ..operators.packing import pack_sequences
+    from ..operators.sampling import hash_coin
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    flags = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (lang_id(F.col("text")) == "en").alias("is_en"),
+        (quality_score(F.col("text")) >= 0.71).alias("is_q"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).withColumn("is_q", F.col("is_en") & F.col("is_q"))
+    m = F.min(F.when(F.col("is_q"), F.col("doc_id"))).over(
+        Window.partitionBy("fingerprint")
+    )
+    flags = flags.withColumn("is_surv", F.col("is_q") & (F.col("doc_id") == m))
+    contaminated = (
+        contamination_pairs(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            "text",
+            "doc_id",
+            shingle_n=3,
+            min_shared=3,
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    surv = (
+        flags.join(contaminated, "doc_id", "left")
+        .filter(
+            F.col("is_surv")
+            & (F.col("doc_id") % 97 != 0)
+            & F.coalesce(~F.col("is_cont"), F.lit(True))
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+    per_src = surv.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    rw = F.pow(F.col("src_tokens"), 0.5)
+    rates = per_src.select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(20000.0)
+                * rw
+                / F.sum(rw).over(Window.partitionBy())
+                / F.col("src_tokens"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    sampled = (
+        surv.join(F.broadcast(rates), "source")
+        .filter(hash_coin(F.col("doc_id"), 23, method="md5") < F.col("rate"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    packed = pack_sequences(sampled, "doc_id", "n_tokens", seq_len=2048)
+    return (
+        packed.join(sampled.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source", "n_tokens", "shuffle_key", "seq_first", "seq_last"
+        )
+    )
+
+
+# The oracle references sibling-module SQL helpers; attach it after
+# registration (QuerySpec is a frozen dataclass).
+import dataclasses as _dc  # noqa: E402
+
+from .catalog import REGISTRY as _REG  # noqa: E402
+
+_REG["llm_corpus_build"] = _dc.replace(
+    _REG["llm_corpus_build"], oracle=_corpus_build_sql()
+)

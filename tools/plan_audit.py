@@ -98,6 +98,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # curriculum_order runs global_rank twice: each offsets window is
     # ≤ #partitions rows by construction (pack_sequences machinery).
     "llm_curriculum_order",
+    # corpus_build composes the mixture window (source-domain frame) and
+    # pack_sequences' offsets window (≤ #partitions rows) — both bounded.
+    "llm_corpus_build",
 }
 
 
