@@ -59,6 +59,12 @@ def catalog_all():
 #:       q2_min_cost_supplier, q13_order_distribution, q22_idle_customers,
 #:       sql_recursive_hierarchy, etl_changelog_compact,
 #:       llm_leakage_safe_split, u11_unigram_logprob.
+#:   r6 continuation: swapped d3_ngram_jaccard (stable green since r4;
+#:       D3 stays covered by d3_exact_dedup + the dedup stages inside
+#:       both funnel entries) for the new end-to-end composition
+#:       llm_corpus_build (funnel → mixture → hash-sample → pack; every
+#:       stage individually driver-graded in past rounds, composition
+#:       verified foreign-cwd value-equal at two SFs before shipping).
 GRADED_PREFIX = [
     "flagship_star_pivot",
     "p1_project_clean",
@@ -103,7 +109,7 @@ GRADED_PREFIX = [
     # LLM-data-pipeline surface (VERDICT r03 next-round #1):
     "llm_curation_funnel",
     "d3_exact_dedup",
-    "d3_ngram_jaccard",
+    "llm_corpus_build",
     "u8_decontaminate",
     "u6_text_stats",
     "u6_lang_id",
