@@ -1646,6 +1646,91 @@ def d3b_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passjoin_pairs(part, "p_partkey", "p_name", max_dist=1)
 
 
+def _linkage_sql() -> str:
+    from ..operators.linkage import fs_weights
+
+    wna, wnd = fs_weights(0.95, 0.05)
+    wsa, wsd = fs_weights(0.90, 0.20)
+    wba, wbd = fs_weights(0.80, 0.10)
+    return f"""
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CASE WHEN levenshtein(a.c_name, b.c_name) <= 3
+                  THEN CAST({wna!r} AS DOUBLE) ELSE CAST({wnd!r} AS DOUBLE) END AS w_name,
+             CASE WHEN a.c_mktsegment = b.c_mktsegment
+                  THEN CAST({wsa!r} AS DOUBLE) ELSE CAST({wsd!r} AS DOUBLE) END AS w_segment,
+             CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 500
+                  THEN CAST({wba!r} AS DOUBLE) ELSE CAST({wbd!r} AS DOUBLE) END AS w_balance
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ),
+    scored AS (
+      SELECT id_a, id_b, w_name, w_segment, w_balance,
+             round(w_name + w_segment + w_balance, 6) AS fs_score
+      FROM pairs
+    )
+    SELECT id_a, id_b, w_name, w_segment, w_balance, fs_score,
+           CASE WHEN fs_score >= 6.0 THEN 'match'
+                WHEN fs_score >= 0.0 THEN 'possible'
+                ELSE 'non_match' END AS match_class
+    FROM scored
+    """
+
+
+@register(
+    "d3c_record_linkage",
+    "D3 ⊕ (probabilistic record linkage, Fellegi–Sunter)",
+    None,  # assigned post-def (weights are computed literals)
+    doc="Fellegi–Sunter probabilistic record linkage (JASA 1969 — the "
+    "model under Splink/dedupe.io): candidate pairs from an equi-key "
+    "BLOCKING join (same nation — swap in passjoin_pairs or LSH bands "
+    "for fuzzier blocking), each field-agreement pattern scored with "
+    "log2(m/u) / log2((1-m)/(1-u)) likelihood weights, classified "
+    "against (0, 6) thresholds. The weights are computed driver-side "
+    "and inlined as full-precision literals so both engines sum "
+    "IDENTICAL doubles — log2 in two engines can differ in the last "
+    "ulp; a pair score must not. Scoring is per-row arithmetic over "
+    "the blocked pairs: zero shuffles beyond the blocking join itself.",
+)
+def d3c_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fellegi_sunter_score
+
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    pairs = a.join(b, "nk").filter(F.col("id_a") < F.col("id_b"))
+    scored = fellegi_sunter_score(
+        pairs,
+        {
+            "name": (F.levenshtein("name_a", "name_b") <= 3, 0.95, 0.05),
+            "segment": (F.col("seg_a") == F.col("seg_b"), 0.90, 0.20),
+            "balance": (F.abs(F.col("bal_a") - F.col("bal_b")) < 500, 0.80, 0.10),
+        },
+        lower=0.0,
+        upper=6.0,
+    )
+    return scored.select(
+        "id_a", "id_b", "w_name", "w_segment", "w_balance", "fs_score", "match_class"
+    )
+
+
+REGISTRY["d3c_record_linkage"] = __import__("dataclasses").replace(
+    REGISTRY["d3c_record_linkage"], oracle=_linkage_sql()
+)
+
+
 @register(
     "w1b_rank_variants",
     "W1",
