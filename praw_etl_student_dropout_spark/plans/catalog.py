@@ -1732,6 +1732,86 @@ REGISTRY["d3c_record_linkage"] = __import__("dataclasses").replace(
 
 
 @register(
+    "d3c_entity_resolution",
+    "D3+iterative ⊕ (ER capstone: block → score → cluster → survive)",
+    None,  # assigned post-def (builds on the linkage SQL)
+    doc="The full entity-resolution pipeline as one checked query: "
+    "nation-blocked candidates → Fellegi–Sunter scoring → 'match'-class "
+    "edges → connected components (min-label propagation with pointer "
+    "jumping, O(log diameter) shuffle rounds) → survivorship: the "
+    "GOLDEN record per entity is the member with the highest account "
+    "balance (tie: lowest key) — the most-complete-record rule. Output "
+    "lists MERGED entities only (singletons are the identity mapping). "
+    "The oracle restates the closure with a recursive CTE and the "
+    "survivor with a window — the d3_dup_clusters pattern extended "
+    "through scoring and survivorship.",
+)
+def d3c_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.clusters import connected_components
+
+    scored = REGISTRY["d3c_record_linkage"].builder(spark, sf_dir)
+    matches = scored.filter(F.col("match_class") == "match").select("id_a", "id_b")
+    comps = connected_components(matches)
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    members = comps.join(
+        cust, comps["id"] == cust["c_custkey"]
+    ).select(
+        F.col("comp").alias("entity_id"),
+        F.col("c_custkey"),
+        F.col("c_acctbal"),
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = members.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("__rn") == 1, F.col("c_custkey"))).alias("golden_id"),
+            F.round(F.max("c_acctbal"), 2).alias("golden_balance"),
+        )
+    )
+
+
+def _entity_resolution_sql() -> str:
+    return f"""
+    WITH RECURSIVE scored AS ({_linkage_sql()}),
+    m AS (SELECT id_a, id_b FROM scored WHERE match_class = 'match'),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM m
+      UNION
+      SELECT id_b, id_a FROM m
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS id, least(a, min(b)) AS entity_id FROM reach GROUP BY a),
+    members AS (
+      SELECT comp.entity_id, c.c_custkey, c.c_acctbal,
+             row_number() OVER (PARTITION BY comp.entity_id
+                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC)
+               AS rn
+      FROM comp JOIN customer c ON comp.id = c.c_custkey
+    )
+    SELECT entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(CASE WHEN rn = 1 THEN c_custkey END) AS golden_id,
+           round(max(c_acctbal), 2) AS golden_balance
+    FROM members GROUP BY entity_id
+    """
+
+
+REGISTRY["d3c_entity_resolution"] = __import__("dataclasses").replace(
+    REGISTRY["d3c_entity_resolution"], oracle=_entity_resolution_sql()
+)
+
+
+@register(
     "w1b_rank_variants",
     "W1",
     """
