@@ -438,6 +438,20 @@ def trending_stream(
     """
     from pyspark.sql import Window
 
+    # A run killed mid-write can leave the managed table's LOCATION on
+    # disk while the (in-memory) catalog entry is gone — the next
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS. If the table
+    # is not in the catalog, its location is an orphan: remove it.
+    spark = stream.sparkSession
+    if not spark.catalog.tableExists(sink_table):
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for prefix in ("file://", "file:"):
+            if wh.startswith(prefix):
+                wh = wh[len(prefix):]
+        shutil.rmtree(os.path.join(wh, sink_table.lower()), ignore_errors=True)
+
     counts = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration).alias("w"), key)
