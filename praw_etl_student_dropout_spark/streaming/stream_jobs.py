@@ -668,3 +668,55 @@ def semdedup_screen_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def kmv_stream(
+    stream: DataFrame,
+    id_col: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    k: int = 256,
+    seed: int = 7,
+) -> None:
+    """Streaming KMV sketch maintenance: each micro-batch's bottom-k
+    sample merges with the persisted sketch by union + re-bottom-k —
+    EXACT mergeability (bottom-k of a union == bottom-k of per-part
+    bottom-k's), so the streamed sketch equals the batch sketch
+    bit-for-bit whatever the batch boundaries were (pinned in
+    tests/test_streaming.py; the streaming_cms additivity argument,
+    with determinism on top because the coin is a content hash, not an
+    RNG). State on disk stays <= k rows forever; downstream
+    kmv_quantiles reads the sketch for O(k log k) quantile estimates
+    over the unbounded stream. Versioned state directories, the
+    rate_limited_stream convention.
+    """
+    from ..operators.sketches import kmv_sample
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = kmv_sample(batch_df, id_col, k=k, seed=seed).drop("kmv_coin")
+        try:
+            versions = sorted(
+                int(d[1:])
+                for d in os.listdir(sketch_path)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+        except FileNotFoundError:
+            versions = []
+        if versions:
+            prior = spark.read.parquet(f"{sketch_path}/v{versions[-1]}").drop(
+                "kmv_coin"
+            )
+            fresh = kmv_sample(
+                prior.unionByName(fresh), id_col, k=k, seed=seed
+            ).drop("kmv_coin")
+        merged = kmv_sample(fresh, id_col, k=k, seed=seed)
+        merged.write.mode("overwrite").parquet(f"{sketch_path}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

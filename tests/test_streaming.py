@@ -667,3 +667,42 @@ def test_semdedup_screen_stream_flags_planted_dups(spark, tmp_path):
     # cosine column is verified exact: all >= threshold
     assert got.agg(F.min("cosine")).first()[0] >= 0.99
     assert n_corpus > 0
+
+
+def test_kmv_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """The streamed KMV sketch must equal the whole-data batch sketch
+    BIT-FOR-BIT regardless of micro-batch boundaries (deterministic
+    content-hash coin + exact bottom-k mergeability)."""
+    from praw_etl_student_dropout_spark.operators.sketches import kmv_sample
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import kmv_stream
+
+    events = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "event_id", "value"
+    )
+    in_dir = str(tmp_path / "in")
+    events.filter(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(in_dir)
+    events.filter(F.col("event_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    events.filter(F.col("event_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    sketch_path = str(tmp_path / "sketch")
+    kmv_stream(stream, "event_id", sketch_path, str(tmp_path / "ck"), k=64, seed=9)
+
+    import os
+
+    last = sorted(
+        int(d[1:]) for d in os.listdir(sketch_path) if d.startswith("v")
+    )[-1]
+    streamed = spark.read.parquet(f"{sketch_path}/v{last}")
+    batch = kmv_sample(events, "event_id", k=64, seed=9)
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
