@@ -199,3 +199,106 @@ def salted_join(
     )
     out = salted_left.join(exploded_right, on=keys + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def bloom_filter_build(
+    build: DataFrame, key: str, m_bits: int = 1 << 16, k_hashes: int = 5
+) -> list[int]:
+    """Build a Bloom filter over ``build[key]`` as a list of m/64 longs.
+
+    Spark's own runtime row-group filtering injects exactly this shape
+    (a BloomFilterAggregate scalar subquery broadcast into the probe
+    scan), but ``bloom_filter_agg`` is not registered in the public
+    function registry — so the engine builds the same artifact from
+    public primitives: k xxhash64 probes per key, exploded to
+    (word_idx, bit_mask) rows, OR-folded per word with ``bit_or``. The
+    driver-side collect is BOUNDED by construction — at most m/64 rows
+    (1024 longs for the 64 Kib default) regardless of build-side row
+    count — the same constant-size exception as the PQ codebooks
+    (operators/similarity.py): it is the *filter* that crosses the
+    driver, never data.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+    hits = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.shiftright(p, 6).alias("word"),
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                        ).alias("mask"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("h")
+    )
+    rows = (
+        hits.select("h.word", "h.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["word"]] = r["mask"]
+    return words
+
+
+def bloom_might_contain(
+    key: F.Column, words: list[int], k_hashes: int = 5
+) -> F.Column:
+    """Probe-side predicate: true iff all k bits for ``key`` are set.
+
+    ``words`` (the bloom_filter_build artifact) is inlined as a literal
+    array — ConstantFolding collapses it to one Literal, so the probe
+    pays k element_at + AND ops per row, fully inside whole-stage
+    codegen, with NO join, NO shuffle, and NO Python. False positives
+    are possible (callers follow with the exact join); false negatives
+    are impossible — the property the oracle's plain-join twin checks.
+    """
+    m_bits = len(words) * 64
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    ok = F.lit(True)
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        ok = ok & (F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int")).bitwiseAND(mask) != 0)
+    return ok
+
+
+def bloom_semi_reduce(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """J10 — Bloom-filter semi-join reduction: cut the probe side BEFORE
+    its shuffle, then take the exact semi join.
+
+    The 100 TB shape this exists for: fact ⋈ (selectively filtered dim
+    keys) where the key set is too large to broadcast as a hash set but
+    the *fact* side dominates the shuffle. A constant-size bloom (8 KiB
+    default) rides to every probe task as a folded literal and drops
+    most non-matching rows at the scan, so the exchange only carries
+    survivors; the exact semi join afterwards removes the bloom's false
+    positives — the result is bit-identical to the plain semi join
+    (which is exactly what the DuckDB oracle computes).
+    """
+    words = bloom_filter_build(build.select(build_key), build_key, m_bits, k_hashes)
+    reduced = probe.filter(bloom_might_contain(F.col(probe_key), words, k_hashes))
+    return reduced.join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        on=probe_key,
+        how="left_semi",
+    )

@@ -5501,3 +5501,65 @@ def etl_table_integrity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_diff_buckets"))
     )
+
+
+@register(
+    "j10_bloom_semi_reduction",
+    "J4 ⊕ (bloom-filter semi-join reduction)",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT)) / 10000.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND year(o_orderdate) = 1996
+    )
+    GROUP BY ship_month
+    """,
+    doc="J10 — bloom-filter semi-join reduction "
+    "(operators/joins.py::bloom_semi_reduce): monthly revenue of line "
+    "items belonging to 1996 URGENT orders. Spark's own runtime row "
+    "filtering injects this exact shape (a BloomFilterAggregate scalar "
+    "subquery pushed into the probe scan), but bloom_filter_agg is not "
+    "publicly registered — so the engine builds the same artifact from "
+    "public primitives: k xxhash64 probes OR-folded with bit_or into a "
+    "bounded m/64-long array (8 KiB, constant in data size), inlined as "
+    "a folded literal so every probe row pays k element_at+AND ops "
+    "inside codegen — no join, no Python — BEFORE the shuffle; the "
+    "exact semi join afterwards removes false positives, so the result "
+    "is bit-identical to the plain semi join the oracle computes (a "
+    "driver grade is a per-round no-false-negative proof). The 100 TB "
+    "shape: the filtered key set is too big to broadcast as a hash set, "
+    "but the fact side dominates the exchange — the bloom cuts it at "
+    "the scan.",
+)
+def j10_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import bloom_semi_reduce
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    urgent = t["orders"].filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1996)
+    )
+    reduced = bloom_semi_reduce(
+        t["lineitem"], urgent, "l_orderkey", "o_orderkey"
+    )
+    return reduced.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        # price has 2 decimals, (1-discount) has 2 -> the product is exact
+        # in 1e-4 units; summing BIGINT units makes the total independent
+        # of partial-sum order on both engines (float sums are not).
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue"),
+    )

@@ -798,3 +798,51 @@ def test_curriculum_order_stages_and_determinism(spark, sf_dir):
     assert sorted((r.doc_id, r.order_idx) for r in out) == sorted(
         (r.doc_id, r.order_idx) for r in again
     )
+
+
+def test_bloom_semi_reduce_lossless_and_reducing(spark, sf_dir):
+    """bloom_might_contain can never drop a true key (no false
+    negatives), bloom_semi_reduce equals the plain semi join exactly,
+    and the bloom pre-filter measurably cuts the probe side before the
+    exchange (the whole point of the reduction)."""
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_might_contain,
+        bloom_semi_reduce,
+    )
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    build = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    words = bloom_filter_build(build.select("o_orderkey"), "o_orderkey")
+
+    # No false negatives: every build key passes its own filter.
+    misses = build.filter(
+        ~bloom_might_contain(F.col("o_orderkey"), words)
+    ).count()
+    assert misses == 0
+
+    # Exactness: reduction == plain left-semi join (false positives are
+    # removed by the exact join that follows the bloom).
+    reduced = bloom_semi_reduce(t["lineitem"], build, "l_orderkey", "o_orderkey")
+    exact = t["lineitem"].join(
+        build.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert reduced.count() == exact.count()
+    assert reduced.exceptAll(exact).count() == 0
+
+    # The pre-filter actually reduces: with ~20% of keys in the filter,
+    # the bloom must drop a substantial share of probe rows (fp rate for
+    # 8 KiB / k=5 at this key count is well under 1%).
+    probe_total = t["lineitem"].count()
+    passed_bloom = t["lineitem"].filter(
+        bloom_might_contain(F.col("l_orderkey"), words)
+    ).count()
+    assert passed_bloom < probe_total * 0.5
+    # False-positive mass is bounded: bloom survivors exceed true
+    # matches by less than 5% of the probe side.
+    assert passed_bloom - exact.count() < probe_total * 0.05
