@@ -1144,3 +1144,209 @@ def u11_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_bigram_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+_TRI_COIN_SQL = (
+    "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), "
+    "'#17')), 1, 8)) AS BIGINT) % 1048576 / 1048576.0"
+)
+
+
+@register(
+    "u11_trigram_backoff",
+    "U6+A1 ⊕ (stupid-backoff trigram LM, held-out scoring)",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t,
+             {_TRI_COIN_SQL} AS coin
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c3 AS (
+      SELECT tg, count(*) AS c3 FROM (
+        SELECT unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+        FROM toked WHERE coin < 0.5 AND len(t) >= 3
+      ) GROUP BY tg
+    ),
+    c2 AS (
+      SELECT bgm, count(*) AS c2 FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS bgm
+        FROM toked WHERE coin < 0.5 AND len(t) >= 2
+      ) GROUP BY bgm
+    ),
+    c1 AS (
+      SELECT w, count(*) AS c1 FROM (
+        SELECT unnest(t) AS w FROM toked WHERE coin < 0.5
+      ) GROUP BY w
+    ),
+    n AS (SELECT sum(c1) AS n_total FROM c1),
+    parts AS (
+      SELECT doc_id, tg,
+             split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx,
+             split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS last2,
+             split_part(tg, ' ', 2) AS w2,
+             split_part(tg, ' ', 3) AS w3
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tg
+        FROM toked WHERE coin >= 0.5 AND len(t) >= 3
+      )
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN f3.c3 IS NOT NULL THEN ln(f3.c3 * 1.0 / fc.c2)
+                  WHEN fl.c2 IS NOT NULL THEN ln(0.4 * fl.c2 / f1b.c1)
+                  WHEN f1c.c1 IS NOT NULL THEN ln(0.16 * f1c.c1 / n.n_total)
+                  ELSE ln(0.16 * 1.0 / n.n_total) END AS lp,
+             CASE WHEN f3.c3 IS NOT NULL THEN 0
+                  WHEN fl.c2 IS NOT NULL THEN 1
+                  WHEN f1c.c1 IS NOT NULL THEN 2
+                  ELSE 3 END AS lvl
+      FROM parts p
+      LEFT JOIN c3 f3 ON p.tg = f3.tg
+      LEFT JOIN c2 fc ON p.ctx = fc.bgm
+      LEFT JOIN c2 fl ON p.last2 = fl.bgm
+      LEFT JOIN c1 f1b ON p.w2 = f1b.w
+      LEFT JOIN c1 f1c ON p.w3 = f1c.w
+      CROSS JOIN n
+    )
+    SELECT doc_id,
+           round(sum(lp) / count(*), 6) AS mean_backoff_logprob,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(count(*) FILTER (WHERE lvl = 0) AS BIGINT) AS n_tri_hits,
+           CAST(count(*) FILTER (WHERE lvl = 1) AS BIGINT) AS n_big_backoff,
+           CAST(count(*) FILTER (WHERE lvl = 2) AS BIGINT) AS n_uni_backoff,
+           CAST(count(*) FILTER (WHERE lvl = 3) AS BIGINT) AS n_oov
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Third rung of the perplexity-filter ladder (unigram → bigram → "
+    "trigram): STUPID BACKOFF (Brants et al. 2007, 'Large Language "
+    "Models in Machine Translation') — S(w3|w1w2) = c3/c2 when the "
+    "trigram was seen, else 0.4·c2(w2w3)/c1(w2), else 0.4²·c1(w3)/N, "
+    "with a 1/N OOV floor. Unlike u11_uni/bigram (which score the "
+    "corpus against itself, so every n-gram is trivially 'seen'), this "
+    "entry TRAINS on the md5-coin half of the corpus and scores the "
+    "HELD-OUT half — the backoff levels genuinely fire, and the "
+    "per-level hit counts (integer-exact) come back as columns. "
+    "Trigrams are built row-locally (two zips of the materialized token "
+    "array with its own tails — the u11_bigram HOF-recompute lesson; no "
+    "self-join, no positional shuffle). Count tables are vocab-sized → "
+    "AQE broadcasts every lookup join; N rides a 1-row scalar cross "
+    "join (u11_unigram precedent). At 100 TB: the corpus shuffles only "
+    "to build the three count tables (hash agg on the n-gram key), the "
+    "scoring pass is scan + broadcast lookups.",
+)
+def u11_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_coin
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toked = (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            tokens(F.col("text")).alias("t"),
+            hash_coin(F.col("doc_id"), 17, "md5").alias("coin"),
+        )
+    )
+    train = toked.filter(F.col("coin") < 0.5)
+    test = toked.filter(F.col("coin") >= 0.5)
+
+    n = F.size("t")
+    # Row-local n-gram construction: zip the MATERIALIZED token array
+    # with its own tails (never element_at(tokens(text), i) inside a
+    # lambda — the HOF boundary would re-run the regex split per
+    # element, the measured 150 s u11_bigram trap). The size guards
+    # sidestep Spark's DESCENDING sequence(1, 0) sharp edge.
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.slice("t", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    trigrams = F.when(
+        n >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice("t", 1, n - 2),
+                F.slice("t", 2, n - 2),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            F.slice("t", 3, n - 2),
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    c3 = (
+        train.select(F.explode(trigrams).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    c2 = (
+        train.select(F.explode(bigrams).alias("bgm"))
+        .groupBy("bgm")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_total = c1.agg(F.sum("c1").alias("n_total"))
+
+    parts = test.select("doc_id", F.explode(trigrams).alias("tg")).select(
+        "doc_id",
+        "tg",
+        F.concat_ws(
+            " ", F.split("tg", " ").getItem(0), F.split("tg", " ").getItem(1)
+        ).alias("ctx"),
+        F.concat_ws(
+            " ", F.split("tg", " ").getItem(1), F.split("tg", " ").getItem(2)
+        ).alias("last2"),
+        F.split("tg", " ").getItem(1).alias("w2"),
+        F.split("tg", " ").getItem(2).alias("w3"),
+    )
+    scored = (
+        parts.join(c3, "tg", "left")
+        .join(c2.select(F.col("bgm").alias("ctx"), F.col("c2").alias("c2_ctx")), "ctx", "left")
+        .join(c2.select(F.col("bgm").alias("last2"), F.col("c2").alias("c2_last")), "last2", "left")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2")), "w2", "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3")), "w3", "left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    lp = (
+        F.when(
+            F.col("c3").isNotNull(), F.log(F.col("c3") * 1.0 / F.col("c2_ctx"))
+        )
+        .when(
+            F.col("c2_last").isNotNull(),
+            F.log(F.lit(0.4) * F.col("c2_last") / F.col("c1_w2")),
+        )
+        .when(
+            F.col("c1_w3").isNotNull(),
+            F.log(F.lit(0.16) * F.col("c1_w3") / F.col("n_total")),
+        )
+        .otherwise(F.log(F.lit(0.16) * F.lit(1.0) / F.col("n_total")))
+    )
+    lvl = (
+        F.when(F.col("c3").isNotNull(), 0)
+        .when(F.col("c2_last").isNotNull(), 1)
+        .when(F.col("c1_w3").isNotNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        scored.select("doc_id", lp.alias("lp"), lvl.alias("lvl"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias(
+                "mean_backoff_logprob"
+            ),
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0)).alias("n_tri_hits"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0)).alias("n_big_backoff"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0)).alias("n_uni_backoff"),
+            F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).alias("n_oov"),
+        )
+    )

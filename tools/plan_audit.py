@@ -51,6 +51,7 @@ EXPECTED_NESTED_LOOP = {
     "u10_tfidf_topterms",   # 1-row corpus-size N broadcast cross join
     "llm_mixture_plan",     # 1-row source-count scalar broadcast cross join
     "u11_unigram_logprob",  # 1-row corpus-token-total scalar broadcast cross join
+    "u11_trigram_backoff",  # 1-row train-token-total scalar broadcast cross join
     "llm_dsir_select",  # same 1-row LM-totals scalar broadcast cross join
     "llm_corpus_drift",  # 1-row per-group totals + 1-row JSD broadcast cross joins
     "u7_bm25_topk",  # 1-row N/avgdl stats broadcast cross join (r6)
