@@ -2265,3 +2265,72 @@ from .catalog import REGISTRY as _REG  # noqa: E402
 _REG["llm_corpus_build"] = _dc.replace(
     _REG["llm_corpus_build"], oracle=_corpus_build_sql()
 )
+
+
+def _quality_classifier_weights() -> tuple[list[float], int]:
+    """The catalog's demo model: prose indicators +1 (stopwords + common
+    verbs), boilerplate/junk −1 — stands in for a trained fastText
+    weight vector (same shape, same scoring path)."""
+    from ..functions.text import STOPWORDS
+    from ..operators.classifier import lexicon_weights
+
+    dim = 256
+    prose = STOPWORDS + ["is", "was", "with", "for", "that", "this"]
+    junk = ["click", "subscribe", "buy", "free", "winner", "offer",
+            "discount", "casino"]
+    return lexicon_weights(dim, prose, junk), dim
+
+
+def _quality_classifier_sql() -> str:
+    weights, dim = _quality_classifier_weights()
+    w_lit = "[" + ", ".join(f"{v!r}" for v in weights) + "]"
+    toks = SQL_TOKS.format(col="text")
+    n = SQL_TOKEN_COUNT.format(col="text")
+    bucket = (
+        "CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % " + str(dim)
+    )
+    return f"""
+    WITH w AS (SELECT {w_lit} AS w),
+    scored AS (
+      SELECT doc_id,
+             CAST({n} AS INTEGER) AS n_tokens,
+             CAST(list_aggregate(list_transform({toks},
+                    tok -> w[({bucket}) + 1]), 'sum') AS DOUBLE) AS dot_raw
+      FROM documents CROSS JOIN w
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(dot_raw, 6) END AS dot,
+           CASE WHEN n_tokens = 0 THEN CAST(0.5 AS DOUBLE)
+                ELSE round(1 / (1 + exp(-(dot_raw / n_tokens))), 6)
+           END AS margin_prob,
+           CASE WHEN n_tokens = 0 THEN false
+                ELSE dot_raw > 0 END AS keep
+    FROM scored
+    """
+
+
+@register(
+    "llm_quality_classifier",
+    "U6 ⊕ (hashed linear quality classifier, fastText-style)",
+    _quality_classifier_sql(),
+    doc="Classifier-based quality filtering — the GPT-3 (Brown et al. "
+    "2020 App. A) / CCNet curation stage the rule-based u6_gopher_rules "
+    "and score-based u6_quality_score sit beside: σ(w·x) over hashed "
+    "bag-of-words features (token → md5 bucket mod 256, the "
+    "engine-portable hashing trick). Training is offline; the engine "
+    "owns SCORING at scale — the weight vector is a folded literal "
+    "array, each doc's dot product is a row-local F.aggregate over its "
+    "token buckets: NO explode, NO join, NO shuffle, NO Python — one "
+    "narrow scan scores 100 TB (operators/classifier.py). keep decides "
+    "on the raw margin's sign, never the rounded probability. Demo "
+    "weights are lexicon-derived (+1 prose, −1 junk) so both engines "
+    "inline identical integer-valued doubles; a real deployment passes "
+    "its trained weights through the same path.",
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import hashed_linear_score
+
+    weights, _dim = _quality_classifier_weights()
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return hashed_linear_score(docs, weights, bias=0.0)

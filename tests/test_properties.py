@@ -846,3 +846,39 @@ def test_bloom_semi_reduce_lossless_and_reducing(spark, sf_dir):
     # False-positive mass is bounded: bloom survivors exceed true
     # matches by less than 5% of the probe side.
     assert passed_bloom - exact.count() < probe_total * 0.05
+
+
+def test_hashed_linear_classifier_separates_and_is_layout_stable(spark):
+    """The hashed linear scorer ranks a prose-like doc above a junk-like
+    doc under the lexicon demo model, n=0 docs get the neutral 0.5, and
+    scores are a pure function of the text (repartition-invariant)."""
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.operators.classifier import (
+        hashed_linear_score,
+        lexicon_weights,
+    )
+
+    w = lexicon_weights(
+        256, ["the", "a", "of", "and"], ["click", "subscribe", "free"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the history of the region and a summary of the findings"),
+            (2, "click subscribe free free click subscribe"),
+            (3, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_score(docs, w).collect()}
+    assert out[1]["keep"] and out[1]["margin_prob"] > 0.5
+    assert not out[2]["keep"] and out[2]["margin_prob"] < 0.5
+    assert out[3]["n_tokens"] == 0 and out[3]["margin_prob"] == 0.5
+    assert not out[3]["keep"]
+
+    re_out = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(docs.repartition(7), w).collect()
+    }
+    for k in out:
+        assert out[k]["margin_prob"] == re_out[k]["margin_prob"]
