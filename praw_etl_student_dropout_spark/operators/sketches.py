@@ -224,3 +224,82 @@ def kmv_quantiles(
     if group_cols:
         return sample.groupBy(*group_cols).agg(*aggs)
     return sample.agg(*aggs)
+
+
+def kmv_setops(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    k: int = 256,
+    seed: int = 23,
+) -> DataFrame:
+    """Theta-sketch-style SET-OPERATION estimates from two bottom-k
+    (KMV) sketches: distinct |A|, |B|, |A∪B|, Jaccard, and |A∩B|.
+
+    The Datasketches theta-sketch trick (public: Dasgupta et al. 2016,
+    "Theta-Sketch Framework") on the deterministic md5 coin:
+
+    - per-set estimate: (k-1)/h_k with h_k the k-th smallest distinct
+      coin (exact count when the set is smaller than k);
+    - union sketch = bottom-k of the two sketches' union (KMV
+      mergeability — never re-reads the raw sets);
+    - Jaccard ρ̂ = |union-sketch ∩ A-sketch ∩ B-sketch| / k, and
+      |A∩B| ≈ ρ̂ · |A∪B| — the classic bottom-k coordinated-sample
+      estimator.
+
+    Everything is a pure function of (ids, seed): the whole estimate —
+    not just its error bound — is reproducible, layout-independent, and
+    oracle-checkable in any SQL engine (unlike HLL registers, whose
+    binary layout is engine-private; a11b). Cost at 100 TB: one
+    distinct+TakeOrdered per side (the sketches can also be maintained
+    incrementally per shard/day and merged — k-row artifacts), then
+    k-row arithmetic. Ties on the 2^20-bucket coin break on id, so the
+    sketch boundary is a total order on both engines.
+    """
+    from .sampling import hash_coin
+
+    def sketch(df: DataFrame) -> DataFrame:
+        ids = df.select(F.col(id_col).alias("id")).distinct()
+        return (
+            ids.withColumn("coin", hash_coin(F.col("id"), seed, "md5"))
+            .orderBy("coin", "id")
+            .limit(k)
+        )
+
+    ska, skb = sketch(a), sketch(b)
+    sku = ska.union(skb).distinct().orderBy("coin", "id").limit(k)
+
+    def est(stats_cnt: F.Column, stats_hk: F.Column) -> F.Column:
+        return F.when(
+            stats_cnt < k, stats_cnt.cast("double")
+        ).otherwise((F.lit(float(k - 1))) / stats_hk)
+
+    sa = ska.agg(
+        F.count(F.lit(1)).alias("cnt_a"), F.max("coin").alias("hk_a")
+    )
+    sb = skb.agg(
+        F.count(F.lit(1)).alias("cnt_b"), F.max("coin").alias("hk_b")
+    )
+    su = sku.agg(
+        F.count(F.lit(1)).alias("cnt_u"), F.max("coin").alias("hk_u")
+    )
+    inter = (
+        sku.join(ska.select("id"), "id", "left_semi")
+        .join(skb.select("id"), "id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_inter_sketch"))
+    )
+    est_u = est(F.col("cnt_u"), F.col("hk_u"))
+    jac = F.col("n_inter_sketch") / F.least(F.col("cnt_u"), F.lit(k))
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(su)
+        .crossJoin(inter)
+        .select(
+            F.round(est(F.col("cnt_a"), F.col("hk_a")), 6).alias("est_distinct_a"),
+            F.round(est(F.col("cnt_b"), F.col("hk_b")), 6).alias("est_distinct_b"),
+            F.round(est_u, 6).alias("est_union"),
+            F.col("n_inter_sketch").alias("n_inter_sketch"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * est_u, 6).alias("est_intersection"),
+        )
+    )

@@ -5563,3 +5563,76 @@ def j10_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+def _kmv_setops_sql(k: int = 256, seed: int = 23) -> str:
+    coin = (
+        "CAST(concat('0x', substring(md5(concat(CAST(id AS VARCHAR), "
+        f"'#{seed}')), 1, 8)) AS BIGINT) % 1048576 / 1048576.0"
+    )
+    return f"""
+    WITH a_ids AS (
+      SELECT DISTINCT o_custkey AS id FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    b_ids AS (
+      SELECT DISTINCT o_custkey AS id FROM orders
+      WHERE o_orderpriority = '5-LOW'
+    ),
+    ska AS (SELECT id, {coin} AS coin FROM a_ids ORDER BY coin, id LIMIT {k}),
+    skb AS (SELECT id, {coin} AS coin FROM b_ids ORDER BY coin, id LIMIT {k}),
+    sku AS (
+      SELECT id, coin FROM (
+        SELECT id, coin FROM ska UNION SELECT id, coin FROM skb
+      ) ORDER BY coin, id LIMIT {k}
+    ),
+    sa AS (SELECT count(*) AS cnt_a, max(coin) AS hk_a FROM ska),
+    sb AS (SELECT count(*) AS cnt_b, max(coin) AS hk_b FROM skb),
+    su AS (SELECT count(*) AS cnt_u, max(coin) AS hk_u FROM sku),
+    si AS (
+      SELECT count(*) AS n_inter_sketch FROM sku
+      WHERE id IN (SELECT id FROM ska) AND id IN (SELECT id FROM skb)
+    )
+    SELECT
+      round(CASE WHEN cnt_a < {k} THEN CAST(cnt_a AS DOUBLE)
+                 ELSE {k - 1}.0 / hk_a END, 6) AS est_distinct_a,
+      round(CASE WHEN cnt_b < {k} THEN CAST(cnt_b AS DOUBLE)
+                 ELSE {k - 1}.0 / hk_b END, 6) AS est_distinct_b,
+      round(CASE WHEN cnt_u < {k} THEN CAST(cnt_u AS DOUBLE)
+                 ELSE {k - 1}.0 / hk_u END, 6) AS est_union,
+      CAST(n_inter_sketch AS BIGINT) AS n_inter_sketch,
+      round(n_inter_sketch * 1.0 / least(cnt_u, {k}), 6) AS jaccard_est,
+      round(n_inter_sketch * 1.0 / least(cnt_u, {k})
+            * (CASE WHEN cnt_u < {k} THEN CAST(cnt_u AS DOUBLE)
+                    ELSE {k - 1}.0 / hk_u END), 6) AS est_intersection
+    FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN si
+    """
+
+
+@register(
+    "a40_kmv_setops",
+    "A11 ⊕ (theta-sketch set-operation estimates)",
+    _kmv_setops_sql(),
+    doc="Distinct-set OVERLAP estimation from mergeable bottom-k "
+    "sketches (theta-sketch framework, Dasgupta et al. 2016; "
+    "operators/sketches.py::kmv_setops): |A|, |B|, |A∪B| via (k-1)/h_k, "
+    "Jaccard and |A∩B| via the coordinated bottom-k sample — here the "
+    "URGENT-order vs LOW-order customer segments. What HLL (a11b) "
+    "cannot do: HLL unions but never intersects reliably, and its "
+    "registers are engine-private bits; the KMV coin is the "
+    "engine-portable md5 road, so the ESTIMATES THEMSELVES are "
+    "oracle-checked, not just bounded. At 100 TB: one distinct + "
+    "TakeOrderedAndProject per side (or per-shard sketches merged as "
+    "k-row artifacts — the streamed twin kmv_stream maintains one "
+    "incrementally), then k-row arithmetic; the raw sets are never "
+    "joined.",
+)
+def a40_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_setops
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return kmv_setops(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        orders.filter(F.col("o_orderpriority") == "5-LOW"),
+        "o_custkey",
+    )

@@ -107,3 +107,33 @@ def test_kmv_quantile_rank_error(spark):
     n = zdocs.count()
     rank = zdocs.filter(F.col("n_chars") <= q50).count() / n
     assert abs(rank - 0.5) < 0.2, (q50, rank)
+
+
+def test_kmv_setops_estimates_within_bottomk_error(spark, sf_dir):
+    """kmv_setops' union/intersection/Jaccard estimates land within the
+    standard bottom-k error envelope of the exact answers, and the
+    per-side estimates agree with exact distinct counts when the set
+    fits inside the sketch (cnt < k => exact by construction)."""
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.operators.sketches import kmv_setops
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    sf_dir = "/root/testdata/sf0.01"
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    est = kmv_setops(a, b, "o_custkey", k=256).collect()[0]
+
+    ids_a = {r[0] for r in a.select("o_custkey").distinct().collect()}
+    ids_b = {r[0] for r in b.select("o_custkey").distinct().collect()}
+    exact_u = len(ids_a | ids_b)
+    exact_i = len(ids_a & ids_b)
+
+    # k=256 -> sigma ~ 1/sqrt(k-1) ~ 6.3%; pin 3 sigma with margin.
+    assert abs(est["est_distinct_a"] - len(ids_a)) / len(ids_a) < 0.25
+    assert abs(est["est_distinct_b"] - len(ids_b)) / len(ids_b) < 0.25
+    assert abs(est["est_union"] - exact_u) / exact_u < 0.25
+    # Intersection compounds the Jaccard sample and the union estimate.
+    assert abs(est["est_intersection"] - exact_i) / max(exact_i, 1) < 0.40
+    assert 0.0 <= est["jaccard_est"] <= 1.0

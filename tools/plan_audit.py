@@ -66,6 +66,7 @@ EXPECTED_NESTED_LOOP = {
     "llm_curriculum_order",  # 1-row corpus-count scalar broadcast cross join
     "etl_zorder_key",        # 1-row global min/max stats broadcast cross join
     "a39_equidepth_histogram",  # 1-row quantile-boundary broadcast cross join
+    "a40_kmv_setops",  # four 1-row sketch-stat frames cross-joined (k-row inputs)
 }
 
 

@@ -92,6 +92,9 @@ PROBE_QUERIES = [
     "llm_curriculum_order",  # two distributed global_rank passes (round-6b)
     "a37_winsorize",         # two grouped passes + broadcast band (round-6b)
     "llm_mixture_temperature",  # one grouped pass + source-frame window (round-6b)
+    "j10_bloom_semi_reduction",  # literal-bloom probe filter + semi join (round-6c)
+    "u11_trigram_backoff",   # 3 n-gram-keyed aggs + broadcast lookups (round-6c)
+    "llm_quality_classifier",  # zero-shuffle hashed-linear scan (round-6c)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
