@@ -1403,3 +1403,92 @@ def passjoin_pairs(
         cands.filter(dist <= k)
         .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment: |S(src) ∩ S(dst)| / |S(src)|.
+
+    Jaccard (ngram_jaccard_pairs) misses the quote/excerpt case — a
+    short document wholly embedded in a long one has tiny Jaccard but
+    containment ≈ 1 from the short side. Emits DIRECTED pairs
+    (src contained-in dst), so an A⊂B relationship appears once with
+    src=A — the signal dedup pipelines use to keep the superset copy
+    and drop excerpts (Broder 1997's 'containment' resemblance twin).
+
+    Same inverted-index shape as the Jaccard path: equi-join on
+    shingle (never all-pairs), one pair-keyed aggregation; with
+    ``max_doc_freq`` the candidate join runs on the capped index and
+    the containment is verified exactly over full shingle arrays
+    (values never distorted; only pairs overlapping solely on
+    boilerplate can be missed — documented cap contract).
+    """
+    if max_doc_freq is None:
+        sh = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        ).persist()
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        l, r = sh.alias("l"), sh.alias("r")
+        shared = (
+            l.join(
+                r,
+                (F.col("l.shingle") == F.col("r.shingle"))
+                & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"l.{id_col}").alias("src_id"),
+                F.col(f"r.{id_col}").alias("dst_id"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        return (
+            shared.join(
+                sizes.select(F.col(id_col).alias("src_id"), F.col("n_sh").alias("n_src")),
+                "src_id",
+            )
+            .withColumn("containment", F.col("shared") / F.col("n_src"))
+            .filter(F.col("containment") >= threshold)
+            .select(
+                "src_id", "dst_id", F.round("containment", 6).alias("containment")
+            )
+        )
+    idx = shingle_index(df, text_col, id_col, n, max_doc_freq).persist()
+    l, r = idx.alias("l"), idx.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("src_id"),
+            F.col(f"r.{id_col}").alias("dst_id"),
+        )
+        .distinct()
+    )
+    full = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    return (
+        cands.join(
+            full.select(F.col(id_col).alias("src_id"), F.col("sh").alias("sh_a")),
+            "src_id",
+        )
+        .join(
+            full.select(F.col(id_col).alias("dst_id"), F.col("sh").alias("sh_b")),
+            "dst_id",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", F.round("containment", 6).alias("containment"))
+    )

@@ -5636,3 +5636,111 @@ def a40_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderpriority") == "5-LOW"),
         "o_custkey",
     )
+
+
+@register(
+    "t7_ohlc_bars",
+    "A7+T ⊕ (time-series OHLC downsampling)",
+    """
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_o,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_c
+      FROM events
+    )
+    SELECT event_type, bar_hour,
+           max(CASE WHEN rn_o = 1 THEN value END) AS open_val,
+           max(value) AS high_val,
+           min(value) AS low_val,
+           max(CASE WHEN rn_c = 1 THEN value END) AS close_val,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY event_type, bar_hour
+    """,
+    doc="Time-series downsampling to hourly OHLC bars — the canonical "
+    "metrics/market rollup. Spark computes all five statistics in ONE "
+    "hash aggregation (min_by/max_by keyed on the (ts, event_id) total "
+    "order pick open/close; plain min/max give low/high) — a single "
+    "shuffle on (event_type, hour), no window, no second pass, and "
+    "map-side partial aggregation does most of the work before the "
+    "exchange (min_by partials merge like any agg). The oracle states "
+    "the same semantics with two row_number windows. open/close/high/"
+    "low are UNTOUCHED input doubles (no arithmetic), so cross-engine "
+    "equality is exact without rounding. At 100 TB this is the shape "
+    "that replaces 'sort each key's history and take first/last' — "
+    "which would shuffle the full stream into per-key sorts.",
+)
+def t7_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar_hour")
+        )
+        .agg(
+            F.min_by("value", key).alias("open_val"),
+            F.max("value").alias("high_val"),
+            F.min("value").alias("low_val"),
+            F.max_by("value", key).alias("close_val"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "w12_user_paths",
+    "W1+A1 ⊕ (path analysis: top journey prefixes)",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+    doc="Path analysis: the 20 most common first-five-event journeys "
+    "across users. The rn <= 5 filter under a row_number window "
+    "compiles to WindowGroupLimit (per-partition top-k BEFORE the "
+    "user_id exchange — only ≤5 rows per user per task cross the "
+    "wire), then each user's prefix is assembled ORDER-DETERMINISTICALLY "
+    "by sorting the collected (rn, event_type) structs before joining "
+    "(collect_list order is partition-dependent; array_sort pins it — "
+    "the engine-side equivalent of string_agg's ORDER BY). Final top-20 "
+    "is TakeOrderedAndProject with a path tiebreak. The classic funnel/"
+    "flow question ('what do users do first?') at 100 TB: two shuffles "
+    "(user_id, then path), both on aggregation keys.",
+)
+def w12_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )

@@ -2334,3 +2334,42 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, _dim = _quality_classifier_weights()
     docs = _t(spark, sf_dir, "documents")["documents"]
     return hashed_linear_score(docs, weights, bias=0.0)
+
+
+@register(
+    "d3_containment_pairs",
+    "D3 ⊕ (asymmetric shingle containment)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    shared AS (
+      SELECT l.doc_id AS src_id, r.doc_id AS dst_id, count(*) AS shared
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id <> r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT src_id, dst_id,
+           round(shared * 1.0 / sa.n_sh, 6) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = src_id
+    WHERE shared * 1.0 / sa.n_sh >= 0.8
+    """,
+    doc="Asymmetric containment |S(src)∩S(dst)|/|S(src)| ≥ 0.8 — the "
+    "quote/excerpt detector Jaccard structurally misses (a short doc "
+    "embedded in a long one has tiny Jaccard but containment ≈ 1 from "
+    "the short side; Broder 1997's resemblance/containment pairing). "
+    "DIRECTED pairs tell the dedup policy which copy is the excerpt "
+    "(drop src, keep dst). Same scale shape as d3_ngram_jaccard: "
+    "shingle inverted-index equi-join, never all-pairs; the df-capped "
+    "variant (operators/dedup.py::shingle_containment_pairs "
+    "max_doc_freq) bounds hot-shingle fan-out at corpus scale with "
+    "exact re-verification over full shingle arrays.",
+)
+def d3_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=0.8)

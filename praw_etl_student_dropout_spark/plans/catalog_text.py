@@ -1350,3 +1350,76 @@ def u11_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lvl") == 3, 1).otherwise(0)).alias("n_oov"),
         )
     )
+
+
+@register(
+    "u6_readability",
+    "U6 ⊕ (Flesch reading-ease scoring)",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t,
+             CAST({SQL_TOKEN_COUNT.format(col='text')} AS INTEGER) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN n_words = 0 THEN 0 ELSE
+             list_aggregate(list_transform(t,
+               tok -> greatest(len(regexp_extract_all(tok, '[aeiouyAEIOUY]+')), 1)),
+               'sum') END AS BIGINT) AS n_syllables,
+           CASE WHEN n_words = 0 THEN CAST(NULL AS DOUBLE) ELSE
+             round(206.835
+                   - 1.015 * (n_words * 1.0 / n_sentences)
+                   - 84.6 * (CAST(list_aggregate(list_transform(t,
+                       tok -> greatest(len(regexp_extract_all(tok, '[aeiouyAEIOUY]+')), 1)),
+                       'sum') AS DOUBLE) / n_words), 4)
+           END AS fre
+    FROM toked
+    """,
+    doc="Flesch reading-ease (public formula, Flesch 1948): 206.835 − "
+    "1.015·(words/sentences) − 84.6·(syllables/word), with the standard "
+    "cheap syllable proxy (vowel-group runs per word, floor 1) and "
+    "sentence count from terminal-punctuation runs (floor 1). A classic "
+    "curation signal alongside u6_quality_score/u6_gopher_rules — "
+    "too-hard and too-trivial documents both get filtered by FRE bands. "
+    "Entirely row-local (one narrow projection, zero shuffle; the "
+    "per-token regexp runs on the MATERIALIZED token array — the "
+    "u11_bigram HOF lesson). Counts come back integer-exact; the score "
+    "is one fixed-shape double expression, identical on both engines.",
+)
+def u6_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toked = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("t"),
+        token_count(F.col("text")).alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+    )
+    syl = F.aggregate(
+        F.transform(
+            F.col("t"),
+            lambda tok: F.greatest(
+                F.regexp_count(tok, F.lit("[aeiouyAEIOUY]+")), F.lit(1)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_syllables = F.when(F.col("n_words") == 0, F.lit(0).cast("long")).otherwise(syl)
+    fre = F.when(F.col("n_words") == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+            - F.lit(84.6) * (syl.cast("double") / F.col("n_words")),
+            4,
+        )
+    )
+    return toked.select(
+        "doc_id", "n_words", "n_sentences",
+        n_syllables.alias("n_syllables"), fre.alias("fre"),
+    )
