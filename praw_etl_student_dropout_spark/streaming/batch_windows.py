@@ -60,3 +60,28 @@ def trending_topk(
         Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc(key))
     )
     return counts.withColumn("trend_rank", r).filter(F.col("trend_rank") <= k)
+
+
+def ohlc_agg(df: DataFrame, ts_col: str = "ts", duration: str = "1 hour") -> DataFrame:
+    """Batch twin of :func:`stream_jobs.ohlc_stream` — per (event_type,
+    window) OHLC bars (t7_ohlc_bars' shape on the window() key so the
+    streamed and batch frames compare row-for-row). open/close pick by
+    the (ts, event_id) total order via min_by/max_by — one hash
+    aggregation, no window function, map-side partials."""
+    w = F.window(ts_col, duration)
+    key = F.struct(ts_col, "event_id")
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open_val"),
+            F.max("value").alias("high_val"),
+            F.min("value").alias("low_val"),
+            F.max_by("value", key).alias("close_val"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "open_val", "high_val", "low_val", "close_val",
+            "n_events",
+        )
+    )

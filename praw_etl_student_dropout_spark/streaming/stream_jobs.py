@@ -720,3 +720,36 @@ def kmv_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def ohlc_stream(
+    stream: DataFrame, watermark: str = "1 hour", duration: str = "1 hour"
+) -> DataFrame:
+    """ST3+A7 — streaming OHLC downsampling: watermarked tumbling
+    windows with min_by/max_by open/close picks (t7_ohlc_bars'
+    single-aggregation shape, maintained incrementally).
+
+    min_by/max_by are declarative aggregates with mergeable partial
+    state ((key, value) pairs), so Structured Streaming maintains each
+    bar in O(1) state per (event_type, window) — no per-event log, no
+    sort; the watermark finalizes and evicts closed bars. Batch twin:
+    batch_windows.ohlc_agg (streamed == batch pinned in
+    tests/test_streaming.py).
+    """
+    key = F.struct("ts", "event_id")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open_val"),
+            F.max("value").alias("high_val"),
+            F.min("value").alias("low_val"),
+            F.max_by("value", key).alias("close_val"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "open_val", "high_val", "low_val", "close_val",
+            "n_events",
+        )
+    )

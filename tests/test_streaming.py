@@ -706,3 +706,29 @@ def test_kmv_stream_equals_batch_sketch(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in streamed.collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_ohlc_stream_matches_batch(spark, events_dir, sf_dir, tmp_path):
+    """Streaming OHLC bars == batch twin (complete mode), and append
+    mode emits only finalized, batch-identical bars."""
+    from praw_etl_student_dropout_spark.streaming.batch_windows import ohlc_agg
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import ohlc_stream
+
+    batch = ohlc_agg(load_tables(spark, sf_dir, ["events"])["events"])
+    streamed = _drain(
+        spark,
+        ohlc_stream(read_event_stream(spark, events_dir)),
+        tmp_path,
+        "ohlc_complete",
+        "complete",
+    )
+    assert _as_set(streamed) == _as_set(batch)
+
+    appended = _drain(
+        spark,
+        ohlc_stream(read_event_stream(spark, events_dir)),
+        tmp_path,
+        "ohlc_append",
+        "append",
+    )
+    assert _as_set(appended) <= _as_set(batch)

@@ -95,6 +95,13 @@ PROBE_QUERIES = [
     "j10_bloom_semi_reduction",  # literal-bloom probe filter + semi join (round-6c)
     "u11_trigram_backoff",   # 3 n-gram-keyed aggs + broadcast lookups (round-6c)
     "llm_quality_classifier",  # zero-shuffle hashed-linear scan (round-6c)
+    "a40_kmv_setops",        # distinct + TakeOrdered bottom-k sketches (round-6c)
+    "t7_ohlc_bars",          # one-shuffle min_by/max_by OHLC rollup (round-6c)
+    "w12_user_paths",        # WindowGroupLimit prefix + path agg (round-6c)
+    "u6_readability",        # zero-shuffle row-local FRE scoring (round-6c)
+    "d3_containment_pairs",  # directed shingle-index join; ~linear like
+                             # d3_jaccard_prefix (10.8x at 8x = the 9.27x
+                             # saturated-cores band, round-3 note)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
