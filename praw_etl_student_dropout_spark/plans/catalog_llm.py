@@ -2373,3 +2373,49 @@ def d3_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+@register(
+    "d3_containment_capped",
+    "D3 ⊕ (asymmetric containment, df-capped index)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    freq AS (SELECT shingle, count(*) AS c FROM inv GROUP BY shingle),
+    capped AS (
+      SELECT inv.doc_id, inv.shingle FROM inv JOIN freq USING (shingle)
+      WHERE c <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS src_id, r.doc_id AS dst_id
+      FROM capped l JOIN capped r
+        ON l.shingle = r.shingle AND l.doc_id <> r.doc_id
+    )
+    SELECT src_id, dst_id,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                 len(sa.shingles), 6) AS containment
+    FROM cand
+    JOIN sh sa ON sa.doc_id = src_id
+    JOIN sh sb ON sb.doc_id = dst_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+          len(sa.shingles) >= 0.8
+    """,
+    doc="d3_containment_pairs' scale shape: candidates from the df≤4 "
+    "capped index (hot boilerplate shingles dropped by a broadcast anti "
+    "join before the self-join — cap² fan-out per shingle instead of "
+    "df²), containment then verified EXACTLY over full shingle arrays, "
+    "so values are never distorted; only pairs overlapping solely on "
+    "boilerplate can be missed. Measured on the 52k-doc Zipf corpus the "
+    "cap is the difference between GC-pressure minutes and seconds "
+    "(BASELINE §round-6c).",
+)
+def d3_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return shingle_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=4
+    )
