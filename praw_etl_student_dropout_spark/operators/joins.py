@@ -201,23 +201,16 @@ def salted_join(
     return out.drop("__salt")
 
 
-def bloom_filter_build(
+def bloom_word_masks(
     build: DataFrame, key: str, m_bits: int = 1 << 16, k_hashes: int = 5
-) -> list[int]:
-    """Build a Bloom filter over ``build[key]`` as a list of m/64 longs.
+) -> DataFrame:
+    """The Bloom filter as a (word, mask) DataFrame — ≤ m/64 rows.
 
-    Spark's own runtime row-group filtering injects exactly this shape
-    (a BloomFilterAggregate scalar subquery broadcast into the probe
-    scan), but ``bloom_filter_agg`` is not registered in the public
-    function registry — so the engine builds the same artifact from
-    public primitives: k xxhash64 probes per key, exploded to
-    (word_idx, bit_mask) rows, OR-folded per word with ``bit_or``. The
-    driver-side collect is BOUNDED by construction — at most m/64 rows
-    (1024 longs for the 64 Kib default) regardless of build-side row
-    count — the same constant-size exception as the PQ codebooks
-    (operators/similarity.py): it is the *filter* that crosses the
-    driver, never data.
-    """
+    This is the MERGEABLE form: two filters over the same (m, k, key
+    domain) merge by union + groupBy(word).bit_or(mask), which is how
+    the streaming twin (stream_jobs.bloom_stream) folds each
+    micro-batch into the persisted filter with bit-for-bit batch
+    equality (OR is associative and commutative)."""
     if m_bits % 64 != 0:
         raise ValueError("m_bits must be a multiple of 64")
     pos = [
@@ -239,12 +232,31 @@ def bloom_filter_build(
             )
         ).alias("h")
     )
-    rows = (
+    return (
         hits.select("h.word", "h.mask")
         .groupBy("word")
         .agg(F.bit_or("mask").alias("mask"))
-        .collect()
     )
+
+
+def bloom_filter_build(
+    build: DataFrame, key: str, m_bits: int = 1 << 16, k_hashes: int = 5
+) -> list[int]:
+    """Build a Bloom filter over ``build[key]`` as a list of m/64 longs.
+
+    Spark's own runtime row-group filtering injects exactly this shape
+    (a BloomFilterAggregate scalar subquery broadcast into the probe
+    scan), but ``bloom_filter_agg`` is not registered in the public
+    function registry — so the engine builds the same artifact from
+    public primitives: k xxhash64 probes per key, exploded to
+    (word_idx, bit_mask) rows, OR-folded per word with ``bit_or``. The
+    driver-side collect is BOUNDED by construction — at most m/64 rows
+    (1024 longs for the 64 Kib default) regardless of build-side row
+    count — the same constant-size exception as the PQ codebooks
+    (operators/similarity.py): it is the *filter* that crosses the
+    driver, never data.
+    """
+    rows = bloom_word_masks(build, key, m_bits, k_hashes).collect()
     words = [0] * (m_bits // 64)
     for r in rows:
         words[r["word"]] = r["mask"]

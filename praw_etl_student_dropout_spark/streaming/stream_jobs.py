@@ -753,3 +753,75 @@ def ohlc_stream(
             "n_events",
         )
     )
+
+
+def bloom_stream(
+    stream: DataFrame,
+    key_col: str,
+    filter_path: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> None:
+    """Streaming Bloom-filter maintenance: each micro-batch's (word,
+    mask) rows OR-fold into the persisted filter — the bounded-state
+    seen-keys screen for ingestion dedup.
+
+    OR is associative and commutative, so the streamed filter equals
+    the batch-built filter BIT FOR BIT whatever the batch boundaries
+    were (pinned in tests/test_streaming.py — the kmv_stream argument;
+    deterministic because positions are content hashes). State on disk
+    stays ≤ m/64 rows forever, regardless of stream length — the
+    complement to st5's exact stateful dedup, whose state grows with
+    distinct keys: the bloom screen never grows, at the price of a
+    bounded false-positive rate on the 'seen' answer (never a false
+    'unseen'), the right trade for at-most-once-ish cheap screening in
+    front of an exact downstream dedup. Versioned state directories,
+    the rate_limited_stream convention.
+    """
+    from ..operators.joins import bloom_word_masks
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = bloom_word_masks(batch_df, key_col, m_bits, k_hashes)
+        try:
+            versions = sorted(
+                int(d[1:])
+                for d in os.listdir(filter_path)
+                if d.startswith("v") and d[1:].isdigit()
+            )
+        except FileNotFoundError:
+            versions = []
+        if versions:
+            prior = spark.read.parquet(f"{filter_path}/v{versions[-1]}")
+            fresh = (
+                prior.unionByName(fresh)
+                .groupBy("word")
+                .agg(F.bit_or("mask").alias("mask"))
+            )
+        fresh.write.mode("overwrite").parquet(f"{filter_path}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_bloom_filter(
+    spark: SparkSession, filter_path: str, m_bits: int = 1 << 16
+) -> list[int]:
+    """Load the latest persisted bloom_stream state as the m/64-long
+    words list bloom_might_contain probes with."""
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(filter_path)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    rows = spark.read.parquet(f"{filter_path}/v{versions[-1]}").collect()
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["word"]] = r["mask"]
+    return words

@@ -732,3 +732,33 @@ def test_ohlc_stream_matches_batch(spark, events_dir, sf_dir, tmp_path):
         "append",
     )
     assert _as_set(appended) <= _as_set(batch)
+
+
+def test_bloom_stream_equals_batch_filter(spark, events_dir, sf_dir, tmp_path):
+    """The streamed bloom filter is BIT-IDENTICAL to the batch-built
+    one (OR-fold mergeability), and screening with it never misses a
+    seen key (no false negatives by construction)."""
+    from praw_etl_student_dropout_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_might_contain,
+    )
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        bloom_stream,
+        read_bloom_filter,
+    )
+
+    bloom_stream(
+        read_event_stream(spark, events_dir),
+        "user_id",
+        str(tmp_path / "bloom_state"),
+        str(tmp_path / "bloom_ckpt"),
+    )
+    streamed = read_bloom_filter(spark, str(tmp_path / "bloom_state"))
+    batch_events = load_tables(spark, sf_dir, ["events"])["events"]
+    batch = bloom_filter_build(batch_events.select("user_id"), "user_id")
+    assert streamed == batch
+
+    misses = batch_events.filter(
+        ~bloom_might_contain(F.col("user_id"), streamed)
+    ).count()
+    assert misses == 0
