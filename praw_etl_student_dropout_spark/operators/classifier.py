@@ -69,8 +69,10 @@ def hashed_linear_score(
     weights[bucket]/n, so w·x is an order-independent exact sum whenever
     the weights are integer-valued (the demo lexicon model) and
     bit-stable regardless of partitioning either way. ``keep`` is
-    decided on the raw margin's sign (dot > −bias·n), never on the
-    rounded probability — no float-boundary flakiness.
+    decided on the raw margin's sign (dot > −bias·n for n>0; the sign
+    of the bias alone for empty documents, so keep and margin_prob =
+    σ(bias) agree on the n=0 edge), never on the rounded probability —
+    no float-boundary flakiness.
 
     Returns (id_col, n_tokens, dot, margin_prob, keep).
     """
@@ -99,5 +101,7 @@ def hashed_linear_score(
         n.alias("n_tokens"),
         F.round(dot, 6).alias("dot"),
         F.round(prob, 6).alias("margin_prob"),
-        (dot + F.lit(bias) * n > 0).alias("keep"),
+        F.when(n == 0, F.lit(bias > 0))
+        .otherwise(dot + F.lit(bias) * n > 0)
+        .alias("keep"),
     )

@@ -24,6 +24,28 @@ from pyspark.sql import types as T
 from ..schemas import EVENTS
 
 
+def _state_version_below(path: str, batch_id: int) -> int | None:
+    """Newest committed state version STRICTLY below ``batch_id``.
+
+    foreachBatch is at-least-once: a crash between the state write and
+    the checkpoint commit replays batch N with ``v{N}`` already on disk.
+    Loading ``versions[-1]`` would merge the batch's own prior
+    contribution into itself (duplicated acceptances / duplicated sketch
+    rows); loading the max version < N reproduces the exact pre-batch
+    state, making the replay idempotent. Returns None when no prior
+    version exists (first batch, or a replay of it)."""
+    try:
+        versions = [
+            int(d[1:])
+            for d in os.listdir(path)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+    except FileNotFoundError:
+        return None
+    below = [v for v in versions if v < batch_id]
+    return max(below) if below else None
+
+
 def read_event_stream(spark: SparkSession, events_dir: str, schema: T.StructType = EVENTS) -> DataFrame:
     """ST1 — file micro-batch source over a parquet directory. New files
     appearing in the dir are discovered per trigger (the streaming analog
@@ -415,6 +437,34 @@ def span_screen_stream(
     q.awaitTermination()
 
 
+def _remove_orphaned_table_location(spark: SparkSession, sink_table: str) -> None:
+    """Remove a managed table's leftover data directory when the table is
+    gone from the catalog (a run killed between the directory write and
+    the catalog commit leaves the LOCATION on disk; the next saveAsTable
+    then fails with LOCATION_ALREADY_EXISTS).
+
+    The path is resolved from catalog metadata — the owning DATABASE's
+    locationUri + lowercased table name, the same rule saveAsTable uses
+    — never assumed to be <warehouse>/<name>: with a db-qualified
+    sink_table or a non-default current database, the warehouse-root
+    guess would point at a DIFFERENT, possibly live, default-database
+    table's data directory (ADVICE r6). No-op when the table exists in
+    the catalog or the directory is absent."""
+    if spark.catalog.tableExists(sink_table):
+        return
+    import shutil
+
+    parts = sink_table.split(".")
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    db_loc = spark.catalog.getDatabase(db).locationUri
+    for prefix in ("file://", "file:"):
+        if db_loc.startswith(prefix):
+            db_loc = db_loc[len(prefix):]
+    orphan = os.path.join(db_loc, parts[-1].lower())
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 def trending_stream(
     stream: DataFrame,
     sink_table: str,
@@ -438,19 +488,8 @@ def trending_stream(
     """
     from pyspark.sql import Window
 
-    # A run killed mid-write can leave the managed table's LOCATION on
-    # disk while the (in-memory) catalog entry is gone — the next
-    # saveAsTable then fails with LOCATION_ALREADY_EXISTS. If the table
-    # is not in the catalog, its location is an orphan: remove it.
     spark = stream.sparkSession
-    if not spark.catalog.tableExists(sink_table):
-        import shutil
-
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        for prefix in ("file://", "file:"):
-            if wh.startswith(prefix):
-                wh = wh[len(prefix):]
-        shutil.rmtree(os.path.join(wh, sink_table.lower()), ignore_errors=True)
+    _remove_orphaned_table_location(spark, sink_table)
 
     counts = (
         stream.withWatermark("ts", watermark)
@@ -476,6 +515,74 @@ def trending_stream(
     )
 
 
+def _rate_limit_one_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    accepted_path: str,
+    state_path: str,
+    quota: int,
+    granularity: str,
+) -> None:
+    """One micro-batch of rate_limited_stream, module-level so the
+    replay-idempotence contract is directly testable: calling this twice
+    with the same (batch_df, batch_id) must leave accepted_path and
+    state_path byte-identical to calling it once."""
+    from pyspark.sql import Window
+
+    spark = batch_df.sparkSession
+    keyed = batch_df.select(
+        "event_id",
+        "user_id",
+        F.date_trunc(granularity, F.col("ts")).alias("window_start"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id", "window_start").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    ranked = keyed.withColumn("__brn", F.row_number().over(w))
+    prior_v = _state_version_below(state_path, batch_id)
+    if prior_v is not None:
+        state = spark.read.parquet(f"{state_path}/v{prior_v}")
+        ranked = ranked.join(
+            state, ["user_id", "window_start"], "left"
+        ).withColumn(
+            "rn", F.col("__brn") + F.coalesce(F.col("n_accepted"), F.lit(0))
+        )
+    else:
+        state = None
+        ranked = ranked.withColumn("rn", F.col("__brn"))
+    accepted = ranked.filter(F.col("rn") <= quota).select(
+        "event_id", "user_id", "window_start", F.col("rn").cast("int").alias("rn")
+    )
+    (
+        accepted.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(accepted_path)
+    )
+    add = accepted.groupBy("user_id", "window_start").agg(
+        F.count(F.lit(1)).alias("__add")
+    )
+    if state is not None:
+        new_state = (
+            state.join(add, ["user_id", "window_start"], "full")
+            .select(
+                "user_id",
+                "window_start",
+                (
+                    F.coalesce(F.col("n_accepted"), F.lit(0))
+                    + F.coalesce(F.col("__add"), F.lit(0))
+                ).alias("n_accepted"),
+            )
+        )
+    else:
+        new_state = add.select(
+            "user_id", "window_start", F.col("__add").alias("n_accepted")
+        )
+    new_state.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
+
+
 def rate_limited_stream(
     stream: DataFrame,
     accepted_path: str,
@@ -493,11 +600,20 @@ def rate_limited_stream(
     — key-domain-sized, like trending_stream's windowed counts, never
     the event stream. Each micro-batch: rank batch rows within key by
     (ts, event_id), shift by the key's prior accepted count, keep
-    ``rn <= quota``, append acceptances, write state as a NEW version
+    ``rn <= quota``, write acceptances, write state as a NEW version
     directory (``state_path/v{batch_id}``) — versioned state avoids the
     read-then-overwrite-same-path race without collecting the state to
     the driver (streaming_cms can collect because a sketch is
     constant-size; a per-key counter table is not).
+
+    Replay-safe end to end (foreachBatch is at-least-once): prior state
+    loads from the newest version STRICTLY below ``batch_id`` — never
+    the batch's own committed ``v{batch_id}`` from a crashed attempt —
+    and acceptances land in a per-batch partition
+    (``accepted_path/batch_id={N}``) under dynamic partition overwrite,
+    so a replayed batch rewrites exactly its own output instead of
+    appending a duplicate. Readers of ``accepted_path`` see one extra
+    ``batch_id`` int partition column.
 
     Acceptance is first-COME: equal to the batch twin's first-by-ts
     choice only when per-key arrival order follows event time (intra-
@@ -506,62 +622,10 @@ def rate_limited_stream(
     tests pin both contracts.
     """
 
-    from pyspark.sql import Window
-
     def limit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        keyed = batch_df.select(
-            "event_id",
-            "user_id",
-            F.date_trunc(granularity, F.col("ts")).alias("window_start"),
-            "ts",
+        _rate_limit_one_batch(
+            batch_df, batch_id, accepted_path, state_path, quota, granularity
         )
-        w = Window.partitionBy("user_id", "window_start").orderBy(
-            F.asc("ts"), F.asc("event_id")
-        )
-        ranked = keyed.withColumn("__brn", F.row_number().over(w))
-        try:
-            versions = sorted(
-                int(d[1:])
-                for d in os.listdir(state_path)
-                if d.startswith("v") and d[1:].isdigit()
-            )
-        except FileNotFoundError:
-            versions = []
-        if versions:
-            state = spark.read.parquet(f"{state_path}/v{versions[-1]}")
-            ranked = ranked.join(
-                state, ["user_id", "window_start"], "left"
-            ).withColumn(
-                "rn", F.col("__brn") + F.coalesce(F.col("n_accepted"), F.lit(0))
-            )
-        else:
-            state = None
-            ranked = ranked.withColumn("rn", F.col("__brn"))
-        accepted = ranked.filter(F.col("rn") <= quota).select(
-            "event_id", "user_id", "window_start", F.col("rn").cast("int").alias("rn")
-        )
-        accepted.write.mode("append").parquet(accepted_path)
-        add = accepted.groupBy("user_id", "window_start").agg(
-            F.count(F.lit(1)).alias("__add")
-        )
-        if state is not None:
-            new_state = (
-                state.join(add, ["user_id", "window_start"], "full")
-                .select(
-                    "user_id",
-                    "window_start",
-                    (
-                        F.coalesce(F.col("n_accepted"), F.lit(0))
-                        + F.coalesce(F.col("__add"), F.lit(0))
-                    ).alias("n_accepted"),
-                )
-            )
-        else:
-            new_state = add.select(
-                "user_id", "window_start", F.col("__add").alias("n_accepted")
-            )
-        new_state.write.mode("overwrite").parquet(f"{state_path}/v{batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(limit_batch)
@@ -670,6 +734,39 @@ def semdedup_screen_stream(
     q.awaitTermination()
 
 
+def _kmv_merge_one_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    sketch_path: str,
+    k: int,
+    seed: int,
+) -> None:
+    """One micro-batch of kmv_stream, module-level for direct replay
+    testing. Replay safety: prior state = newest version STRICTLY below
+    this batch (never a crashed attempt's own v{batch_id} — merging that
+    would present the batch's ids twice, and kmv_sample keeps bottom-k
+    ROWS, so a duplicated id could occupy two of the k slots and evict a
+    distinct id, breaking the bit-for-bit streamed==batch contract). The
+    union is additionally deduped on the id — for identical replayed
+    rows any surviving pick is the same row, so determinism holds."""
+    from ..operators.sketches import kmv_sample
+
+    spark = batch_df.sparkSession
+    fresh = kmv_sample(batch_df, id_col, k=k, seed=seed).drop("kmv_coin")
+    prior_v = _state_version_below(sketch_path, batch_id)
+    if prior_v is not None:
+        prior = spark.read.parquet(f"{sketch_path}/v{prior_v}").drop("kmv_coin")
+        fresh = kmv_sample(
+            prior.unionByName(fresh).dropDuplicates([id_col]),
+            id_col,
+            k=k,
+            seed=seed,
+        ).drop("kmv_coin")
+    merged = kmv_sample(fresh, id_col, k=k, seed=seed)
+    merged.write.mode("overwrite").parquet(f"{sketch_path}/v{batch_id}")
+
+
 def kmv_stream(
     stream: DataFrame,
     id_col: str,
@@ -690,28 +787,8 @@ def kmv_stream(
     over the unbounded stream. Versioned state directories, the
     rate_limited_stream convention.
     """
-    from ..operators.sketches import kmv_sample
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        fresh = kmv_sample(batch_df, id_col, k=k, seed=seed).drop("kmv_coin")
-        try:
-            versions = sorted(
-                int(d[1:])
-                for d in os.listdir(sketch_path)
-                if d.startswith("v") and d[1:].isdigit()
-            )
-        except FileNotFoundError:
-            versions = []
-        if versions:
-            prior = spark.read.parquet(f"{sketch_path}/v{versions[-1]}").drop(
-                "kmv_coin"
-            )
-            fresh = kmv_sample(
-                prior.unionByName(fresh), id_col, k=k, seed=seed
-            ).drop("kmv_coin")
-        merged = kmv_sample(fresh, id_col, k=k, seed=seed)
-        merged.write.mode("overwrite").parquet(f"{sketch_path}/v{batch_id}")
+        _kmv_merge_one_batch(batch_df, batch_id, id_col, sketch_path, k, seed)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -784,16 +861,12 @@ def bloom_stream(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fresh = bloom_word_masks(batch_df, key_col, m_bits, k_hashes)
-        try:
-            versions = sorted(
-                int(d[1:])
-                for d in os.listdir(filter_path)
-                if d.startswith("v") and d[1:].isdigit()
-            )
-        except FileNotFoundError:
-            versions = []
-        if versions:
-            prior = spark.read.parquet(f"{filter_path}/v{versions[-1]}")
+        # OR is idempotent, so reading a crashed attempt's own v{batch_id}
+        # would be harmless here — but load strictly-below anyway, the one
+        # replay convention shared by every versioned-state stream.
+        prior_v = _state_version_below(filter_path, batch_id)
+        if prior_v is not None:
+            prior = spark.read.parquet(f"{filter_path}/v{prior_v}")
             fresh = (
                 prior.unionByName(fresh)
                 .groupBy("word")

@@ -882,3 +882,12 @@ def test_hashed_linear_classifier_separates_and_is_layout_stable(spark):
     }
     for k in out:
         assert out[k]["margin_prob"] == re_out[k]["margin_prob"]
+
+    # n=0 edge (ADVICE r6): keep follows the BIAS sign, agreeing with
+    # margin_prob = sigmoid(bias) — a positive-bias model keeps empty
+    # docs, a negative-bias model drops them, and keep never contradicts
+    # margin_prob's side of 0.5.
+    pos = {r["doc_id"]: r for r in hashed_linear_score(docs, w, bias=2.0).collect()}
+    assert pos[3]["keep"] and pos[3]["margin_prob"] > 0.5
+    neg = {r["doc_id"]: r for r in hashed_linear_score(docs, w, bias=-2.0).collect()}
+    assert not neg[3]["keep"] and neg[3]["margin_prob"] < 0.5

@@ -762,3 +762,119 @@ def test_bloom_stream_equals_batch_filter(spark, events_dir, sf_dir, tmp_path):
         ~bloom_might_contain(F.col("user_id"), streamed)
     ).count()
     assert misses == 0
+
+
+def test_rate_limit_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch whose state
+    version already committed (crash between state write and checkpoint
+    commit) must not duplicate acceptances or double-count state — the
+    ADVICE r6 replay flaw. Prior state loads strictly below batch_id;
+    acceptances overwrite their own batch_id partition."""
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        _rate_limit_one_batch,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    ordered = events.orderBy("ts", "event_id").collect()
+    half = len(ordered) // 2
+    b0 = spark.createDataFrame(ordered[:half], events.schema)
+    b1 = spark.createDataFrame(ordered[half:], events.schema)
+    acc, st = str(tmp_path / "acc"), str(tmp_path / "st")
+
+    _rate_limit_one_batch(b0, 0, acc, st, 3, "day")
+    _rate_limit_one_batch(b1, 1, acc, st, 3, "day")
+    once_acc = _as_set(spark.read.parquet(acc))
+    once_state = _as_set(spark.read.parquet(f"{st}/v1"))
+
+    # replay batch 1 (v1 exists on disk, checkpoint "lost" the commit)
+    _rate_limit_one_batch(b1, 1, acc, st, 3, "day")
+    assert _as_set(spark.read.parquet(acc)) == once_acc
+    assert _as_set(spark.read.parquet(f"{st}/v1")) == once_state
+
+    # the min(quota, seen) invariant still holds after the replay
+    seen = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    got = spark.read.parquet(acc)
+    n_bad = (
+        seen.join(
+            got.groupBy("user_id", "window_start").agg(
+                F.count(F.lit(1)).alias("n_acc")
+            ),
+            ["user_id", "window_start"],
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("n_acc"), F.lit(0)) != F.least(F.lit(3), F.col("n"))
+        )
+        .count()
+    )
+    assert n_bad == 0
+
+
+def test_kmv_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying a KMV micro-batch whose sketch version already committed
+    must reproduce the identical sketch — not merge the batch's own ids
+    into themselves (a duplicated id could occupy two of the k slots and
+    evict a distinct id, diverging from the batch sketch)."""
+    from praw_etl_student_dropout_spark.operators.sketches import kmv_sample
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        _kmv_merge_one_batch,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "event_id", "value"
+    )
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "sketch")
+
+    _kmv_merge_one_batch(b0, 0, "event_id", path, 64, 9)
+    _kmv_merge_one_batch(b1, 1, "event_id", path, 64, 9)
+    once = _as_set(spark.read.parquet(f"{path}/v1"))
+
+    _kmv_merge_one_batch(b1, 1, "event_id", path, 64, 9)  # replay
+    assert _as_set(spark.read.parquet(f"{path}/v1")) == once
+
+    # and the replayed sketch still equals the whole-data batch sketch
+    batch = kmv_sample(events, "event_id", k=64, seed=9)
+    assert _as_set(spark.read.parquet(f"{path}/v1")) == _as_set(batch)
+
+
+def test_orphan_cleanup_never_touches_other_databases_tables(spark, tmp_path):
+    """ADVICE r6: the pre-saveAsTable orphan cleanup must resolve the
+    location from the OWNING database's metadata. With a non-default
+    current database, a missing sink table must not delete the
+    default-database table of the same name."""
+    import os
+
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        _remove_orphaned_table_location,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS orphan_aux")
+    try:
+        spark.range(5).write.mode("overwrite").saveAsTable(
+            "default.orphan_guard"
+        )
+        spark.catalog.setCurrentDatabase("orphan_aux")
+        # sink 'orphan_guard' doesn't exist in orphan_aux: cleanup must
+        # target orphan_aux.db/orphan_guard, NOT default's live table.
+        _remove_orphaned_table_location(spark, "orphan_guard")
+        spark.catalog.setCurrentDatabase("default")
+        assert spark.table("default.orphan_guard").count() == 5
+
+        # and a real orphan in the aux db IS removed
+        aux_loc = spark.catalog.getDatabase("orphan_aux").locationUri
+        for prefix in ("file://", "file:"):
+            if aux_loc.startswith(prefix):
+                aux_loc = aux_loc[len(prefix):]
+        orphan_dir = os.path.join(aux_loc, "dead_table")
+        os.makedirs(orphan_dir, exist_ok=True)
+        spark.catalog.setCurrentDatabase("orphan_aux")
+        _remove_orphaned_table_location(spark, "dead_table")
+        assert not os.path.isdir(orphan_dir)
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS default.orphan_guard")
+        spark.sql("DROP DATABASE IF EXISTS orphan_aux CASCADE")
