@@ -65,38 +65,54 @@ def catalog_all():
 #:       llm_corpus_build (funnel → mixture → hash-sample → pack; every
 #:       stage individually driver-graded in past rounds, composition
 #:       verified foreign-cwd value-equal at two SFs before shipping).
+#:   r7: swapped out ten slots (nine of the ten r6 newly graded — all
+#:       green on first driver contact — plus long-stable
+#:       a12_percentiles; st4_session_window STAYS so the streaming
+#:       batch-twin family keeps a graded slot; families remain covered:
+#:       TPC-H by q3/q5/q17/q18 + incoming q21, SQL interface by
+#:       sql_interface_star, ETL by j2/j3, LLM splits/sampling by the
+#:       incoming mixture entry, u11 by the incoming trigram rung) for
+#:       ten never-driver-graded entries pre-verified by the r6 judge's
+#:       foreign-cwd differential run and re-verified this round:
+#:       q21_waiting_supplier (the r6 one-pass rewrite),
+#:       j10_bloom_semi_reduction (each grade = a no-false-negative
+#:       proof of the bloom path), d3_shared_span_pairs,
+#:       d3b_fuzzy_blocked (oracle = brute force ⇒ losslessness proof),
+#:       d3c_entity_resolution, llm_quality_classifier,
+#:       u11_trigram_backoff, a40_kmv_setops, u7_bm25_topk,
+#:       llm_mixture_temperature.
 GRADED_PREFIX = [
     "flagship_star_pivot",
     "p1_project_clean",
-    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
     "p7_case_bucket",
-    "q13_order_distribution",
+    "j10_bloom_semi_reduction",
     "f9_json_extract",
-    "etl_changelog_compact",
+    "d3_shared_span_pairs",
     "f10_array_dot",
-    "q22_idle_customers",
-    "sql_recursive_hierarchy",
+    "d3b_fuzzy_blocked",
+    "d3c_entity_resolution",
     "a4_q1_pricing_summary",
     "a6_insight_summary",
     "a7_mode",
-    "st3_tumbling_window",
+    "llm_quality_classifier",
     "st4_session_window",
     "j1_star_join_agg",
     "j2_surrogate_key_swap",
     "j3_anti_join",
     "j4_left_join",
-    "st6_attribution_batch",
+    "u11_trigram_backoff",
     "w1_topk_per_group",
-    "llm_leakage_safe_split",
+    "a40_kmv_setops",
     "w3_running_sum",
     "t3_global_topk",
     "d2_dedup_by_key",
-    "u11_unigram_logprob",
+    "u7_bm25_topk",
     "p4_keyword_filter",
     "p6_p8_cast_fill",
     "f4_f6_epoch_datefmt",
     "u5_grouped_udaf",
-    "a12_percentiles",
+    "llm_mixture_temperature",
     "q3_shipping_priority",
     "q5_region_volume",
     "w2_sessionize",
