@@ -349,6 +349,126 @@ def _minhash_core(
     return verified, report, [banded_idx, shingle_sets]
 
 
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures on the ENGINE-PORTABLE md5 coin (round-7
+    VERDICT #3): h_i(shingle) = first 15 hex digits of
+    md5("<i>:<shingle>") as a 60-bit long — the hash_coin / token_bucket
+    md5 road, so ANY SQL engine reproduces the identical signature,
+    banded candidate set, and therefore verified pair list. The xxhash64
+    variant (:func:`minhash_signatures`) stays the production default
+    (JVM-native hash, ~md5-free per-shingle cost); this twin exists so
+    the flagship near-dup operator has a FULL value-equality oracle
+    instead of a rows-only grade — recall parity between the two coins
+    is pinned on the Zipf corpus (tests/test_zipf_dedup.py).
+
+    Same single-pass array fold as the xxhash64 form: NO explode, NO
+    shuffle; per-doc state never leaves the row.
+    """
+    sentinel = 1 << 62  # above any 60-bit hash value
+    sig = F.aggregate(
+        word_shingles(F.col(text_col), shingle_n),
+        F.array_repeat(F.lit(sentinel).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit(str(i)), s)), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    for i in range(num_hashes)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), sig.alias("sig")
+    )
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """D3 — near-dup pairs via md5-coin MinHash + LSH banding, verified
+    with the true Jaccard (same contract as :func:`minhash_dedup_pairs`:
+    (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold, no false
+    positives; recall = the (bands, rows) LSH curve).
+
+    Band keys are the PLAIN space-joined decimal strings of each band's
+    signature slice — no second hash, so the SQL twin is a concat_ws of
+    the same BIGINT minima. Every value here (md5 → 60-bit long → min →
+    string key → equi-join → exact Jaccard) is reproducible in ANSI-ish
+    SQL, which is the whole point: a driver grade of the catalog entry
+    is a value-equality proof over the complete LSH pipeline, not just a
+    row count.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_md5_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.array_join(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
+                    "array<string>"
+                ),
+                " ",
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    shingle_sets = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    return (
+        cands.join(
+            shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

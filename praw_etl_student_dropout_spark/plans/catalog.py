@@ -2913,24 +2913,17 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured WORSE, 2.9 s — the downstream aggs then repay the full "
     "shuffle the join skipped).",
 )
-def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q21_plan(li: DataFrame, ord_f: DataFrame, nation_sup: DataFrame) -> DataFrame:
+    """The q21 one-pass plan over prepared frames, shared by the fixture
+    catalog entry and the bucketed-layout variant (tools/scale_probe.py
+    --q21-bucketed): when ``li``/``ord_f`` scan tables bucketed by
+    orderkey, the SAME plan runs with ZERO exchanges — the orders join,
+    the (order,supplier) collapse, and the per-order windows all reuse
+    the bucket distribution."""
     from pyspark.sql.window import Window
 
-    t = _t(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
-    nation_sup = (
-        t["supplier"]
-        .join(
-            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name")
-    )
-    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
     li2 = li.join(
         F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey"), "left"
-    )
-    ord_f = t["orders"].filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_orderdate"
     )
     joined = li2.join(ord_f, F.col("o_orderkey") == F.col("l_orderkey"))
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
@@ -2954,6 +2947,23 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_late_supp") == 1)
     )
     return sole.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    nation_sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    ord_f = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return q21_plan(li, ord_f, nation_sup)
 
 
 @register(
