@@ -2870,6 +2870,43 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_plan(li: DataFrame, ord_f: DataFrame, nation_sup: DataFrame) -> DataFrame:
+    """The q21 one-pass plan over prepared frames, shared by the fixture
+    catalog entry and the bucketed-layout variant (tools/scale_probe.py
+    --q21-bucketed): when ``li``/``ord_f`` scan tables bucketed by
+    orderkey, the SAME plan runs with ZERO exchanges — the orders join,
+    the (order,supplier) collapse, and the per-order windows all reuse
+    the bucket distribution."""
+    from pyspark.sql.window import Window
+
+    li2 = li.join(
+        F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey"), "left"
+    )
+    joined = li2.join(ord_f, F.col("o_orderkey") == F.col("l_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    # One row per (order, supplier); exchange-free on the join's
+    # orderkey partitioning. s_name is constant per supplier.
+    os_agg = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(late, 1).otherwise(0)).alias("supp_late"),
+        F.first("s_name").alias("s_name"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("late_rows"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = os_agg.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late_supp"),
+    )
+    sole = per.filter(
+        F.col("s_name").isNotNull()
+        & (F.col("supp_late") == 1)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late_supp") == 1)
+    )
+    return sole.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
+
+
+
 @register(
     "q21_waiting_supplier",
     "SQ+J4 (TPC-H Q21 shape)",
@@ -2913,42 +2950,6 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured WORSE, 2.9 s — the downstream aggs then repay the full "
     "shuffle the join skipped).",
 )
-def q21_plan(li: DataFrame, ord_f: DataFrame, nation_sup: DataFrame) -> DataFrame:
-    """The q21 one-pass plan over prepared frames, shared by the fixture
-    catalog entry and the bucketed-layout variant (tools/scale_probe.py
-    --q21-bucketed): when ``li``/``ord_f`` scan tables bucketed by
-    orderkey, the SAME plan runs with ZERO exchanges — the orders join,
-    the (order,supplier) collapse, and the per-order windows all reuse
-    the bucket distribution."""
-    from pyspark.sql.window import Window
-
-    li2 = li.join(
-        F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey"), "left"
-    )
-    joined = li2.join(ord_f, F.col("o_orderkey") == F.col("l_orderkey"))
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    # One row per (order, supplier); exchange-free on the join's
-    # orderkey partitioning. s_name is constant per supplier.
-    os_agg = joined.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(late, 1).otherwise(0)).alias("supp_late"),
-        F.first("s_name").alias("s_name"),
-        F.sum(F.when(late, 1).otherwise(0)).alias("late_rows"),
-    )
-    w = Window.partitionBy("l_orderkey")
-    per = os_agg.select(
-        "*",
-        F.count(F.lit(1)).over(w).alias("n_supp"),
-        F.sum("supp_late").over(w).alias("n_late_supp"),
-    )
-    sole = per.filter(
-        F.col("s_name").isNotNull()
-        & (F.col("supp_late") == 1)
-        & (F.col("n_supp") > 1)
-        & (F.col("n_late_supp") == 1)
-    )
-    return sole.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
-
-
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     nation_sup = (
