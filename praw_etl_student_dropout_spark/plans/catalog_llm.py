@@ -166,6 +166,78 @@ def d3_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    """DuckDB twin of dedup.minhash_md5_pairs — the SAME md5 permutation
+    hashes, min-fold, band keys, candidate join, and exact-Jaccard
+    verify, so the full LSH pipeline value-checks cross-engine."""
+    r = num_hashes // bands
+    h_exprs = ",\n             ".join(
+        f"min(CAST(concat('0x', substring(md5(concat('{i}:', s)), 1, 15)) "
+        f"AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(' ', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    toks = SQL_TOKS.format(col="text")
+    sh = SQL_SHINGLES.format(t="t")
+    return f"""
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    sh AS (SELECT doc_id, {sh} AS shingles FROM toks),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (SELECT doc_id,
+             {h_exprs}
+            FROM inv GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS ia,
+             len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS un
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, round(CAST(ia AS DOUBLE) / un, 6) AS jaccard
+    FROM scored WHERE CAST(ia AS DOUBLE) / un >= {threshold}
+    """
+
+
+@register(
+    "d3_minhash_md5",
+    "D3 ⊕ (MinHash LSH on the engine-portable md5 coin — FULL oracle)",
+    _minhash_md5_sql(num_hashes=16, bands=8, threshold=0.5),
+    doc="The flagship near-dup operator with a complete value-equality "
+    "oracle (round-7 VERDICT #3): h_i(shingle) = 60-bit long from "
+    "md5('<i>:<shingle>') — the sample_weighted_es/token_bucket md5 "
+    "road — so DuckDB reproduces the identical signatures, band keys "
+    "(plain space-joined decimal minima, no second hash), candidate "
+    "pairs, and exact-Jaccard verification. A driver grade is therefore "
+    "a proof of the WHOLE LSH pipeline's values, not a rows-only count. "
+    "16 hashes × 8 bands of 2 (P[collide] = 1-(1-j²)⁸: 0.997 at j=0.7, "
+    "0.90 at j=0.5). The xxhash64 variant (d3_minhash_pairs) stays the "
+    "production default — JVM-native hashing is ~an order cheaper per "
+    "shingle — with recall parity between the two coins pinned on the "
+    "Zipf corpus (tests/test_zipf_dedup.py). Same scale shape: banded "
+    "bucket equi-join, never all-pairs; signature build is a row-local "
+    "array fold (no explode, no shuffle).",
+)
+def d3_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_md5_pairs
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return minhash_md5_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=16, bands=8
+    )
+
+
 @register(
     "u8_decontaminate_capped",
     "D3+U8",
