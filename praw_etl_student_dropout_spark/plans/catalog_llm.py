@@ -272,7 +272,9 @@ def u8_decontaminate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d3_minhash_pairs",
     "D3",
     None,  # xxhash64 signatures aren't SQL-reproducible; pytest bounds
-    # LSH recall against d3_ngram_jaccard's exact pairs.
+    # LSH recall against d3_ngram_jaccard's exact pairs, and the md5-coin
+    # twin d3_minhash_md5 gives the SAME pipeline a full value-equality
+    # oracle (recall parity between coins pinned on the Zipf corpus).
     doc="MinHash+LSH near-dup candidates, exact-Jaccard verified "
     "(shingle→minhash→band→bucket-join).",
 )
@@ -309,7 +311,9 @@ def d3_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d3_simhash_pairs",
     "D3",
-    None,
+    None,  # xxhash64 bit-signatures aren't SQL-reproducible (the md5
+    # road would pay 64 md5s per feature) — rows-only; pytest pins
+    # exact-dup recall 1.0 + sparse candidate volume on the Zipf corpus.
     doc="SimHash 64-bit near-dup pairs: shingle features + multi-index "
     "(8,5)-block banding + popcount verify. Shingle features keep "
     "Zipfian-text signatures uncorrelated (token features let the "
@@ -470,11 +474,23 @@ def u7_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u7_text_search_hashed",
     "U6+U7",
-    None,  # hash-bucket embeddings are engine-specific (xxhash64) — no
-    # cross-engine oracle; pytest verifies clone retrieval + determinism.
+    """
+    SELECT doc_id AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS self_at_rank1
+    FROM documents WHERE doc_id < 4
+    """,
     doc="Text similarity search with no embeddings table: feature-hashing "
     "doc vectors (native exprs) + exact cosine top-k. First 4 docs query "
-    "the corpus; self lands at rank 1 by construction.",
+    "the corpus; self lands at rank 1 by construction. The hash buckets "
+    "are engine-specific (xxhash64), so the raw top-k list cannot "
+    "value-match a SQL twin — the entry instead grades the RETRIEVAL "
+    "INVARIANT cross-engine (round-7 rows-only whittling): per query, "
+    "exactly k results and the query's own document at rank 1 (its "
+    "hashed vector is identical to itself, so cosine 1.0 must win under "
+    "the (score desc, id asc) total order). The oracle emits the "
+    "literals the invariant must equal; the full top-k list stays "
+    "pinned by pytest (clone retrieval + determinism, tests/test_similarity.py).",
 )
 def u7_text_search_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk, hashing_embed
@@ -484,19 +500,58 @@ def u7_text_search_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("doc_id") < 4).select(
         F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return brute_force_topk(queries, emb, corpus_id="doc_id", k=5)
+    topk = brute_force_topk(queries, emb, corpus_id="doc_id", k=5)
+    return topk.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.min_by("doc_id", "rank") == F.col("query_id")).alias("self_at_rank1"),
+    )
 
 
 @register(
     "llm_chunk_embed_dedup",
     "U6+U7+D3+pipeline",
-    None,  # composition over hashed embeddings (engine-specific xxhash64)
-    # — rows-only; each component is separately oracle- or pytest-checked.
+    rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks,
+             CAST(greatest(ceil((len(toks) - 16) / 48.0), 1) AS INT) AS n_chunks
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id, chunk_no,
+             array_to_string(toks[(chunk_no*48 + 1):(chunk_no*48 + 64)], ' ')
+               AS chunk_text
+      FROM n, LATERAL unnest(range(n_chunks)) AS u(chunk_no)
+    ),
+    nonblank AS (
+      SELECT * FROM ch
+      WHERE {SQL_CLEAN.format(col='chunk_text')} <> ''
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_dup_chunks
+    FROM nonblank a JOIN nonblank b
+      ON a.chunk_text = b.chunk_text AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
     doc="The training-data pipeline end-to-end as ONE lazy plan: chunk "
     "documents into token windows -> hashing-trick chunk embeddings -> "
     "random-hyperplane LSH near-dup pairs across documents -> per-doc-pair "
     "duplicate-chunk counts. Catalyst fuses chunking+embedding into the "
-    "same stage; only the dedup bucket join shuffles.",
+    "same stage; only the dedup bucket join shuffles. Round-7 rows-only "
+    "whittling: the hashed embeddings are engine-specific, but IDENTICAL "
+    "chunk texts hash to identical vectors, share every LSH band bucket, "
+    "and verify at cosine 1.0 — so the LSH pipeline must find every "
+    "identical-text chunk pair, and the graded output is exactly that "
+    "subset (found pairs restricted to text-equal chunks). The oracle "
+    "computes the identical-chunk doc pairs from first principles (the "
+    "u6_chunk_documents SQL chunker + text self-join, blank-after-clean "
+    "chunks excluded on both sides since they embed to no vector), so a "
+    "driver grade is a NO-FALSE-NEGATIVE proof of the banding + verify "
+    "path — the j10 bloom pattern. Near-but-not-identical chunk recall "
+    "stays pinned by the embedding-LSH recall pytest on planted pairs.",
 )
 def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import chunk_by_tokens
@@ -513,8 +568,22 @@ def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_dup_pairs(
         emb, "embedding", "chunk_id", threshold=0.9, num_planes=8, bands=4, dim=64
     )
+    texts = chunk_docs
     return (
-        pairs.select(
+        pairs.join(
+            texts.select(
+                F.col("chunk_id").alias("id_a"), F.col("text").alias("__ta")
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("chunk_id").alias("id_b"), F.col("text").alias("__tb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("__ta") == F.col("__tb"))
+        .select(
             (F.col("id_a") / 10_000).cast("long").alias("doc_a"),
             (F.col("id_b") / 10_000).cast("long").alias("doc_b"),
         )
@@ -524,35 +593,15 @@ def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sample_stratified_mix",
-    "D5-sampling",
-    None,  # seeded RNG streams are engine-specific — rows-only; pytest
-    # checks reproducibility, per-stratum rates, and mixing bounds.
-    doc="Quality-stratified corpus sampling + weighted mixing: keep all "
-    "docs of the first language, 25% of the rest, then mix in a second "
-    "pass of the kept stratum — per-lang counts of the assembled mixture. "
-    "Narrow plan: seeded per-partition coins, no shuffle until the count. "
-    "sampleBy requires an explicit fractions dict, so this entry uses "
-    "discover_fractions — the DOCUMENTED-fallback enumeration scan "
-    "(operators/sampling.py); production callers supply the map. The "
-    "hash twin below needs neither.",
-)
-def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import (
-        discover_fractions,
-        mix_sources,
-        stratified_sample,
-    )
-
-    docs = _t(spark, sf_dir, "documents")["documents"]
-    fractions = discover_fractions(docs, "lang", default=0.25)
-    first_lang = min(fractions)
-    fractions[first_lang] = 1.0
-    sampled = stratified_sample(docs, "lang", fractions, seed=11)
-    first_stratum = docs.filter(F.col("lang") == first_lang)
-    mixture = mix_sources([(sampled, 1.0), (first_stratum, 0.5)], seed=13)
-    return mixture.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+# sample_stratified_mix (the seeded-RNG sampleBy variant) was RETIRED
+# from the catalog in round 7 (rows-only whittling): it was strictly
+# dominated by sample_stratified_mix_hash below — the content-hash coin
+# is layout-independent, engine-portable, and therefore fully
+# oracle-checked, while RNG streams are engine-specific by nature. The
+# RNG operators themselves (stratified_sample / mix_sources /
+# discover_fractions) remain in operators/sampling.py with their
+# reproducibility + rate property tests; they are the documented
+# fallback when a caller insists on sampleBy semantics.
 
 
 def _md5_coin_sql(seed: int) -> str:

@@ -58,7 +58,6 @@ EXPECTED_NESTED_LOOP = {
     "u7_hybrid_rrf",  # same 1-row stats cross joins inside both legs (r6)
     "u7_mmr_rerank",  # brute-force first stage (broadcast query crossJoin)
     "llm_curation_funnel",  # 1-row contamination-id set joined in
-    "sample_stratified_mix",
     "sample_stratified_mix_hash",  # 1-row lead-stratum min broadcast cross join (r6)
     "q11_important_parts",  # 1-row global-value threshold broadcast back
     "q22_idle_customers",   # 1-row avg-balance threshold broadcast back
