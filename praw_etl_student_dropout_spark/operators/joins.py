@@ -174,6 +174,7 @@ def salted_join(
     keys: list[str],
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_on: str | None = None,
 ) -> DataFrame:
     """Skew-busting equi-join: salt the skewed (left) side, replicate the
     other side once per salt bucket.
@@ -184,7 +185,18 @@ def salted_join(
     times — so use it when the right side is small-to-medium but too big
     to broadcast outright, and AQE's skew-join split (which only helps
     sort-merge joins on partition-size skew it can detect) isn't enough.
-    The salt column never escapes: output schema equals a plain join's.
+    The salt column never escapes: output schema equals a plain join's,
+    and the RESULT equals a plain join's whatever the salt values are —
+    which is why the graded catalog entry (j11_salted_skew_join) can
+    oracle-check a salted plan against the unsalted SQL join.
+
+    ``salt_on`` names a left column to derive the salt from
+    deterministically (pmod(xxhash64(col), buckets)) — layout-independent
+    and reproducible, the production default; pick a column that is
+    high-cardinality WITHIN each hot key (a row id) so the hot key
+    actually spreads. With ``salt_on=None`` the salt is a seeded
+    per-partition rand() — fine for one-shot jobs, but the spread then
+    depends on partitioning.
 
     Supports inner/left joins (the replicated right side makes right/full
     semantics ambiguous — every unmatched right row would appear
@@ -192,7 +204,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = (F.rand(seed=7) * salt_buckets).cast("int")
+    if salt_on is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets)).cast("int")
+    else:
+        salt = (F.rand(seed=7) * salt_buckets).cast("int")
     salted_left = left.withColumn("__salt", salt)
     exploded_right = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

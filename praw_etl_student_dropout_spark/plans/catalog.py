@@ -3888,6 +3888,59 @@ def a24_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j11_salted_skew_join",
+    "J4 ⊕ (skew-busting salted join)",
+    """
+    WITH skewed AS (
+      SELECT CASE WHEN l_orderkey % 3 != 0 THEN 1 ELSE l_suppkey END
+               AS hot_suppkey,
+             l_extendedprice, l_discount
+      FROM lineitem
+    )
+    SELECT s_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM skewed JOIN supplier ON s_suppkey = hot_suppkey
+    GROUP BY s_name
+    """,
+    doc="Salted equi-join under deliberate key skew (round-7 VERDICT #7): "
+    "two thirds of lineitem is remapped onto ONE hot supplier key — the "
+    "Zipfian-fact shape where a plain shuffle join serializes the hot "
+    "key's rows through a single reducer. The salted plan fans the hot "
+    "key over 16 reducers (deterministic xxhash64(l_orderkey) salt — "
+    "layout-independent) and replicates the supplier side once per salt. "
+    "The oracle is the PLAIN join: salting is an execution strategy, not "
+    "a semantics change (the salt column never escapes), so every driver "
+    "grade proves result-equality of the salted plan. Broadcast is "
+    "disabled via hint-free sizing at real scale; the paired skew probe "
+    "(tools/skew_probe.py, BASELINE §round-7-skew) measures the salted "
+    "vs unsalted wall-clock on a 32x hot-key replica.",
+)
+def j11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    skewed = t["lineitem"].select(
+        F.when(F.col("l_orderkey") % 3 != 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("hot_suppkey"),
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+    )
+    sup = t["supplier"].select(F.col("s_suppkey").alias("hot_suppkey"), "s_name")
+    joined = salted_join(
+        skewed, sup, ["hot_suppkey"], salt_buckets=16, salt_on="l_orderkey"
+    )
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
     "a25_incremental_agg",
     "A ⊕ (incremental aggregate maintenance)",
     """
