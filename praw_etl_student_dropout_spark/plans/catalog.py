@@ -3266,6 +3266,128 @@ def w5_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w13_rolling_median",
+    "W3 ⊕ (holistic aggregate over a sliding frame)",
+    """
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5,
+           CAST(count(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_frame
+    FROM events WHERE user_id < 200
+    """,
+    doc="Rolling exact median over a 5-row sliding frame per user — the "
+    "HOLISTIC window aggregate (not partial-able like w3's running sum: "
+    "the whole frame must be held, which is why the frame is row-bounded "
+    "— an unbounded-preceding exact median would grow per-row state). "
+    "Both engines use the same linear-interpolation percentile "
+    "definition over the frame's non-NULL values (the a12_percentiles "
+    "precedent), NULLs occupy frame slots but not the median, and the "
+    "(ts, event_id) order is total — bit-stable cross-engine after the "
+    "6-decimal round. Frame state is 5 values per row: scales as one "
+    "user-partitioned sort, no matter the corpus.",
+)
+def w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med5"),
+        F.count("value").over(w).alias("n_in_frame"),
+    )
+
+
+@register(
+    "a41_spearman_corr",
+    "A16 ⊕ (rank correlation from exact integer sums)",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+               AS rx,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+               AS ry
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx*rx) AS BIGINT) AS sxx,
+             CAST(sum(ry*ry) AS BIGINT) AS syy,
+             CAST(sum(rx*ry) AS BIGINT) AS sxy
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                 sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+                 6) AS spearman
+    FROM sums
+    """,
+    doc="Spearman rank correlation (quantity vs price per return flag) "
+    "computed the cross-engine-stable way: average-tie ranks DOUBLED to "
+    "stay integer (2*rank + ties - 1 = twice the conventional average "
+    "rank; the constant factor cancels in the correlation), power sums "
+    "accumulated as exact BIGINTs (order-independent — the a16 lesson: "
+    "float Welford streams never bit-match across engines), one double "
+    "division + sqrt at the end, rounded to 6. Two rank windows + one "
+    "grouped agg; the windows partition by the group key so no global "
+    "sort. DuckDB sums BIGINT into HUGEINT — cast back (sharp-edges "
+    "list).",
+)
+def a41_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    tq = Window.partitionBy("l_returnflag", "l_quantity")
+    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(tq) - 1)
+        .cast("long")
+        .alias("rx"),
+        (2 * F.rank().over(wp) + F.count(F.lit(1)).over(tp) - 1)
+        .cast("long")
+        .alias("ry"),
+    )
+    sums = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    # Final products in DOUBLE: n*sxy overflows BIGINT once groups pass
+    # ~100k rows (n * n * (2n)^2 ~ 1e21 at sf0.1). The sums themselves
+    # stay exact BIGINTs; the same IEEE multiply/subtract on identical
+    # exact inputs is bit-deterministic on both engines.
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
+    )
+    return sums.select(
+        "l_returnflag", "n", F.round(num / den, 6).alias("spearman")
+    )
+
+
+@register(
     "a18_yoy_growth",
     "W2+A2 (analytic over aggregate)",
     """

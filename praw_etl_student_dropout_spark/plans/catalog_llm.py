@@ -1952,6 +1952,55 @@ def llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_l_diversity",
+    "U6 ⊕ (privacy governance: l-diversity report)",
+    """
+    WITH g AS (
+      SELECT lang,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS size_bucket,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+             count(*) AS grp_n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT CAST(min(n_sensitive) AS BIGINT) AS l_diversity,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(sum(CASE WHEN n_sensitive < 3 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM g
+    """,
+    doc="l-diversity risk report — k-anonymity's complement (Machanavajjhala "
+    "et al. 2007): a class can be large (k-safe) yet expose its members if "
+    "every row shares one SENSITIVE value. Quasi-identifiers (lang, length "
+    "bucket) against the sensitive attribute (source): per class, the "
+    "distinct sensitive count; the corpus's l is the minimum, with classes "
+    "below l=3 and their row mass quantifying attribute-disclosure "
+    "exposure before a dataset ships. Same scale-free two-level shape as "
+    "llm_k_anonymity — one QI-tuple shuffle with an exact-distinct expand, "
+    "then a single-row collapse over the QI space.",
+)
+def llm_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    groups = docs.groupBy(
+        "lang", F.floor(F.col("n_chars") / 100.0).alias("size_bucket")
+    ).agg(
+        F.countDistinct("source").alias("n_sensitive"),
+        F.count(F.lit(1)).alias("grp_n"),
+    )
+    return groups.agg(
+        F.min("n_sensitive").alias("l_diversity"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("n_sensitive") < 3, 1).otherwise(0)).alias(
+            "n_low_diversity"
+        ),
+        F.sum(F.when(F.col("n_sensitive") < 3, F.col("grp_n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+    )
+
+
+@register(
     "d3_line_dedup",
     "D3 ⊕ (cross-doc line/segment boilerplate removal)",
     """
