@@ -349,6 +349,85 @@ def _minhash_core(
     return verified, report, [banded_idx, shingle_sets]
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable MinHash index: ``(banded, shingles)`` where
+    ``banded`` is the exploded (id, band, band_sig) LSH table and
+    ``shingles`` the (id, sh) distinct-shingle sets for exact verify.
+    Write both out (bucketed by (band, band_sig) at scale) and screen
+    arrivals against them with :func:`minhash_pairs_incremental` — the
+    corpus is hashed ONCE, never re-self-joined per ingest."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    shingles = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    return banded, shingles
+
+
+def minhash_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_banded: DataFrame,
+    corpus_shingles: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Screen NEW documents against a persisted banded MinHash index —
+    the ingestion-time form of near-dup dedup (the shared-span
+    ``shared_span_pairs_incremental`` pattern applied to the flagship
+    MinHash family): per-arrival cost is linear in the batch (signature
+    fold + band equi-join + exact verify on candidates), the corpus side
+    is read-only, and the (num_hashes, bands, shingle_n)
+    parameterization MUST match the index build or the band keys are
+    meaningless. Returns (new_id, corpus_id, jaccard >= threshold);
+    same no-false-positive contract as :func:`minhash_dedup_pairs`.
+    """
+    new_banded = _minhash_banded(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    cands = (
+        new_banded.alias("n")
+        .join(
+            corpus_banded.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_sig") == F.col("c.band_sig")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .distinct()
+    )
+    new_sh = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh_n"),
+    )
+    corpus_sh = corpus_shingles.select(
+        F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_c")
+    )
+    return (
+        cands.join(new_sh, "new_id")
+        .join(corpus_sh, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_c"))
+            / F.size(F.array_union("sh_n", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_md5_signatures(
     df: DataFrame,
     text_col: str,

@@ -3607,6 +3607,149 @@ def d5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t8_resample_interp",
+    "T+W2 ⊕ (time-series resample with linear interpolation)",
+    """
+    WITH ev AS (
+      SELECT event_type, ts, value, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type,
+             date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS gstart,
+             date_trunc('hour', max(ts)) AS gstop
+      FROM ev GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(gstart, gstop,
+                                                INTERVAL 1 HOUR)) AS ts
+      FROM b WHERE gstart <= gstop
+    ),
+    u AS (
+      SELECT event_type, ts, value, FALSE AS is_grid, event_id FROM ev
+      UNION ALL
+      SELECT event_type, ts, NULL, TRUE, NULL FROM grid
+    ),
+    w AS (
+      SELECT *,
+        last_value(value IGNORE NULLS) OVER wb AS v_prev,
+        last_value(CASE WHEN NOT is_grid THEN ts END IGNORE NULLS)
+          OVER wb AS t_prev,
+        first_value(value IGNORE NULLS) OVER wf AS v_next,
+        first_value(CASE WHEN NOT is_grid THEN ts END IGNORE NULLS)
+          OVER wf AS t_next
+      FROM u
+      WINDOW
+        wb AS (PARTITION BY event_type
+               ORDER BY ts, is_grid, coalesce(event_id, 9223372036854775807)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY event_type
+               ORDER BY ts, is_grid, coalesce(event_id, 9223372036854775807)
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, ts AS grid_ts,
+           round(v_prev + (v_next - v_prev) *
+                 (CASE WHEN epoch_us(t_next) = epoch_us(t_prev) THEN 0.0
+                       ELSE CAST(epoch_us(ts) - epoch_us(t_prev) AS DOUBLE)
+                            / (epoch_us(t_next) - epoch_us(t_prev)) END),
+                 6) AS interp_value
+    FROM w
+    WHERE is_grid AND v_prev IS NOT NULL AND v_next IS NOT NULL
+    """,
+    doc="Time-series regularization: resample each event_type's irregular "
+    "value stream onto an hourly grid with time-weighted LINEAR "
+    "interpolation between the bracketing observations — the sensor/"
+    "metrics shape (t7's OHLC summarizes per bucket; this reconstructs a "
+    "value AT each grid instant). One union of events with the generated "
+    "grid, then two frame windows per partition (backward last-non-null, "
+    "forward first-non-null) — no self-join, no per-grid-point probe; "
+    "scales as one sort per event_type. Determinism: the window order is "
+    "made total with (ts, is_grid, coalesce(event_id, MAX)) — the "
+    "coalesce avoids the Spark-nulls-first / DuckDB-nulls-last default "
+    "divergence (sharp-edges list) — ties at the same ts resolve "
+    "events-before-grid, the interpolation fraction is a ratio of exact "
+    "epoch-microsecond integers, and t_prev == t_next (a grid point "
+    "coinciding with an observation) short-circuits to frac 0 before "
+    "the 0/0.",
+)
+def t8_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")["events"]
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "value", "event_id")
+    )
+    b = ev.groupBy("event_type").agg(
+        (F.date_trunc("hour", F.min("ts")) + F.expr("INTERVAL 1 HOUR")).alias(
+            "gstart"
+        ),
+        F.date_trunc("hour", F.max("ts")).alias("gstop"),
+    )
+    grid = b.select(
+        "event_type",
+        F.explode(
+            F.when(
+                F.col("gstart") <= F.col("gstop"),
+                F.sequence("gstart", "gstop", F.expr("INTERVAL 1 HOUR")),
+            ).otherwise(F.array())
+        ).alias("ts"),
+    )
+    u = ev.withColumn("is_grid", F.lit(False)).unionByName(
+        grid.select(
+            "event_type",
+            "ts",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(True).alias("is_grid"),
+        )
+    )
+    order = [
+        F.asc("ts"),
+        F.asc("is_grid"),
+        F.asc(F.coalesce(F.col("event_id"), F.lit(9223372036854775807))),
+    ]
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(~F.col("is_grid"), F.col("ts"))
+    w = u.select(
+        "*",
+        F.last("value", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(ev_ts, ignorenulls=True).over(wb).alias("t_prev"),
+        F.first("value", ignorenulls=True).over(wf).alias("v_next"),
+        F.first(ev_ts, ignorenulls=True).over(wf).alias("t_next"),
+    )
+    frac = F.when(
+        F.unix_micros("t_next") == F.unix_micros("t_prev"), F.lit(0.0)
+    ).otherwise(
+        (F.unix_micros("ts") - F.unix_micros("t_prev")).cast("double")
+        / (F.unix_micros("t_next") - F.unix_micros("t_prev"))
+    )
+    return (
+        w.filter(
+            F.col("is_grid")
+            & F.col("v_prev").isNotNull()
+            & F.col("v_next").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("ts").alias("grid_ts"),
+            F.round(
+                F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac, 6
+            ).alias("interp_value"),
+        )
+    )
+
+
+@register(
     "t6_gapfill_monthly",
     "T+J4 (calendar densification)",
     """

@@ -437,6 +437,59 @@ def span_screen_stream(
     q.awaitTermination()
 
 
+def minhash_screen_stream(
+    doc_stream: DataFrame,
+    index_dir: str,
+    flagged_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Streaming near-dup ingestion screen (round-7 ⊕ — the MinHash
+    sibling of span_screen_stream and semdedup_screen_stream, completing
+    the screen family: exact substrings / embeddings / near-dup text):
+    each arriving micro-batch is signature-folded row-locally, its band
+    keys equi-joined against the PERSISTED banded index at
+    ``index_dir/banded`` (built once by ``dedup.minhash_index``), and
+    candidates exact-Jaccard verified against ``index_dir/shingles``;
+    flagged (new_id, corpus_id, jaccard) pairs append to
+    ``flagged_path``.
+
+    State is the read-only index — per-trigger cost is linear in the
+    batch, the corpus is never re-self-joined, no watermark needed, and
+    a checkpoint replay re-screens only unprocessed files. The
+    (num_hashes, bands, shingle_n) parameterization must match the index
+    build (minhash_pairs_incremental's contract). Index refresh is the
+    IVF/semdedup convention: rebuild offline, swap directories.
+    """
+    from ..operators.dedup import minhash_pairs_incremental
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        flagged = minhash_pairs_incremental(
+            batch_df,
+            spark.read.parquet(f"{index_dir}/banded"),
+            spark.read.parquet(f"{index_dir}/shingles"),
+            "text",
+            "doc_id",
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+        flagged.write.mode("append").parquet(flagged_path)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _remove_orphaned_table_location(spark: SparkSession, sink_table: str) -> None:
     """Remove a managed table's leftover data directory when the table is
     gone from the catalog (a run killed between the directory write and

@@ -878,3 +878,74 @@ def test_orphan_cleanup_never_touches_other_databases_tables(spark, tmp_path):
         spark.catalog.setCurrentDatabase("default")
         spark.sql("DROP TABLE IF EXISTS default.orphan_guard")
         spark.sql("DROP DATABASE IF EXISTS orphan_aux CASCADE")
+
+
+def test_minhash_screen_stream_matches_batch_and_resumes(spark, sf_dir, tmp_path):
+    """Streaming MinHash screen == the batch incremental operator on the
+    same split (round-7: the near-dup sibling of the span screen), and a
+    checkpointed re-run with no new files appends nothing. Jaccard-1
+    self-partners exist by construction: every streamed doc is screened
+    against a corpus that contains near-identical fixture duplicates or
+    itself via the 0.5 threshold only where true Jaccard clears it."""
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        minhash_index,
+        minhash_pairs_incremental,
+    )
+    from praw_etl_student_dropout_spark.schemas import DOCUMENTS
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        minhash_screen_stream,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # stream side carries exact copies of corpus docs (shifted ids), so
+    # every streamed doc has a guaranteed jaccard-1.0 partner
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    ).unionByName(
+        corpus.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    )
+    banded, shingles = minhash_index(corpus, "text", "doc_id", 32, 8, 3)
+    index_dir = str(tmp_path / "idx")
+    banded.write.parquet(f"{index_dir}/banded")
+    shingles.write.parquet(f"{index_dir}/shingles")
+
+    batch_expect = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in minhash_pairs_incremental(
+            new_docs,
+            spark.read.parquet(f"{index_dir}/banded"),
+            spark.read.parquet(f"{index_dir}/shingles"),
+            "text", "doc_id", threshold=0.5,
+        ).collect()
+    }
+    # every streamed exact copy of a corpus doc must be flagged at 1.0
+    copies = {r.doc_id for r in new_docs.filter(F.col("doc_id") >= 2_000_000).collect()}
+    flagged_copies = {
+        new_id for (new_id, cid, j) in batch_expect
+        if new_id >= 2_000_000 and j == 1.0 and cid == new_id - 2_000_000
+    }
+    assert flagged_copies == copies and copies
+
+    arriving = str(tmp_path / "arriving")
+    new_docs.filter(F.col("doc_id") < 2_000_000).write.parquet(arriving)
+    new_docs.filter(F.col("doc_id") >= 2_000_000).write.mode("append").parquet(
+        arriving
+    )
+    target = str(tmp_path / "flagged")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(DOCUMENTS).parquet(arriving)
+    minhash_screen_stream(stream, index_dir, target, ckpt, threshold=0.5)
+    got = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == batch_expect and got
+    # resume with the same checkpoint: nothing new → nothing appended
+    stream2 = spark.readStream.schema(DOCUMENTS).parquet(arriving)
+    minhash_screen_stream(stream2, index_dir, target, ckpt, threshold=0.5)
+    assert spark.read.parquet(target).count() == len(got)
