@@ -4986,6 +4986,48 @@ def a38_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a43_grouped_mad",
+    "A16 ⊕ (median absolute deviation — robust dispersion)",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(min(m.med), 6) AS median_qty,
+           round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 6) AS mad,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    doc="Median absolute deviation per group — the robust dispersion "
+    "companion to a37's winsorized stats (outliers move variance "
+    "unboundedly but MAD not at all). Two grouped exact-percentile "
+    "passes with the tiny per-group medians broadcast back between them "
+    "(the a37 band shape). Cross-engine stable because quantity values "
+    "are integer-valued doubles: the median interpolates to halves, the "
+    "absolute deviations are exact halves, and the second percentile "
+    "interpolates exactly again (a12_percentiles precedent).",
+)
+def a43_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_qty"),
+            F.round(
+                F.expr("percentile(abs(l_quantity - med), 0.5)"), 6
+            ).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "etl_zorder_key",
     "ETL ⊕ (z-order layout key parity)",
     """
