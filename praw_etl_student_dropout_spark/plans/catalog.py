@@ -3388,6 +3388,84 @@ def a41_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w14_rolling_zscore",
+    "W3 ⊕ (rolling z-score anomaly flag from exact frame sums)",
+    """
+    WITH c AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT event_id, event_type, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(cents) OVER w AS BIGINT) AS s1,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           CASE WHEN n < 2 OR n * s2 - s1 * s1 = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE round((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                           / sqrt((CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                                  / (n - 1)), 6)
+           END AS zscore,
+           (n >= 2 AND n * s2 - s1 * s1 != 0
+            AND abs((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                    / sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                           / (n - 1))) > 3.0) AS is_anomaly
+    FROM f
+    """,
+    doc="Rolling z-score anomaly flag: each event scored against the "
+    "trailing 20 observations of its type — the metrics-monitoring "
+    "shape (a spike detector that needs no model). Cross-engine float "
+    "discipline (the a16 pattern applied to a moving FRAME): values are "
+    "integerized to exact cents first (round(value*100) recovers the "
+    "true integer from 2-decimal data's double noise), the frame's "
+    "power sums are exact BIGINTs, and the z algebra is one "
+    "deterministic IEEE tree per row — frame-windowed variance via "
+    "float natives would never bit-match. Zero-variance and n<2 frames "
+    "short-circuit to 0 before the division. One sort per event_type; "
+    "frame state is 20 longs.",
+)
+def w14_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(F.col("value").isNotNull())
+    c = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    f = c.select(
+        "event_id",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+    )
+    n = F.col("n")
+    x = F.col("cents").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    degenerate = (n < 2) | (n * F.col("s2") - F.col("s1") * F.col("s1") == 0)
+    z = (x - s1d / n) / F.sqrt((s2d - s1d * s1d / n) / (n - 1))
+    return f.select(
+        "event_id",
+        F.when(degenerate, F.lit(0.0)).otherwise(F.round(z, 6)).alias("zscore"),
+        (~degenerate & (F.abs(z) > 3.0)).alias("is_anomaly"),
+    )
+
+
+@register(
     "a18_yoy_growth",
     "W2+A2 (analytic over aggregate)",
     """
