@@ -69,6 +69,51 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    dup_threshold: float = 0.95,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (round-7
+    ⊕): per query, the k MOST similar corpus vectors that are NOT
+    near-duplicates — cosine strictly below ``dup_threshold``, self
+    excluded. The classic DPR/contrastive recipe: random negatives are
+    too easy; near-duplicates are false negatives; the band just under
+    the dup screen is where the training signal lives.
+
+    Same scale shape as :func:`brute_force_topk` (broadcast queries ×
+    one corpus scan, hoisted norms, deterministic (score desc, id asc)
+    window top-k); swap the first stage for :func:`ivf_topk`'s probe
+    join at corpus scale. Returns (query_id, corpus_id, score, rank).
+    """
+    q = queries.withColumn("__qn", l2_norm(F.col(query_vec)))
+    c = corpus.withColumn("__cn", l2_norm(F.col(corpus_vec)))
+    score = cosine_from_norms(
+        dot_product(F.col(query_vec), F.col(corpus_vec)),
+        F.col("__qn"),
+        F.col("__cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(F.col(query_id), F.col(corpus_id), score.alias("score"))
+        .filter(
+            (F.col("score") < dup_threshold) & (F.col(query_id) != F.col(corpus_id))
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -433,6 +433,45 @@ def u7_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_hard_negatives",
+    "U7 ⊕ (contrastive hard-negative mining)",
+    f"""
+    SELECT query_id, vec_id, round(score, 6) AS score, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             {SQL_COSINE.format(a='q.embedding', b='c.embedding')} AS score,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {SQL_COSINE.format(a='q.embedding', b='c.embedding')} DESC,
+                        c.vec_id ASC
+             ) AS INTEGER) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < 4) q
+      CROSS JOIN embeddings c
+      WHERE {SQL_COSINE.format(a='q.embedding', b='c.embedding')} < 0.95
+        AND q.vec_id != c.vec_id
+    ) WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training (DPR recipe): per "
+    "query, the 5 most-similar corpus vectors BELOW the near-dup screen "
+    "(cosine < 0.95, self excluded) — random negatives are too easy and "
+    "near-duplicates are false negatives; the band under the dup "
+    "threshold carries the training signal. Broadcast queries x one "
+    "corpus scan with hoisted norms; at 100 TB the first stage swaps for "
+    "the IVF probe join (operators/similarity.py::hard_negative_topk).",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negative_topk
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hard_negative_topk(
+        queries, e, query_id="query_id", corpus_id="vec_id", k=5,
+        dup_threshold=0.95,
+    )
+
+
+@register(
     "u7_knn_ivf",
     "U7",
     None,  # approximate (probes nprobe centroid partitions); pytest

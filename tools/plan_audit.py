@@ -39,6 +39,7 @@ EXPECTED_NESTED_LOOP = {
     "d3b_fuzzy_name_pairs",
     "d3_embedding_dup_exact",
     "u7_knn_bruteforce",
+    "llm_hard_negatives",  # broadcast query crossJoin, the brute-force scoring shape (r7)
     "u7_knn_ivf",
     "u7_kmeans_ivf",
     "u7_text_search_hashed",
