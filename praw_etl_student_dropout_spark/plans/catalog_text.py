@@ -167,6 +167,71 @@ def u6_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u6_vocab_coverage",
+    "U6 ⊕ (tokenizer vocabulary coverage / OOV report)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({SQL_TOKS.format(col='text')}) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT 200),
+    per_doc AS (
+      SELECT doc_id, lang, count(*) AS n,
+             sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS o
+      FROM toks LEFT JOIN vocab v USING (tok)
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(o) AS BIGINT) AS oov_tokens,
+           round(CAST(sum(o) AS DOUBLE) / sum(n), 6) AS oov_rate,
+           CAST(count(*) FILTER (o * 1.0 / n > 0.5) AS BIGINT)
+             AS high_oov_docs
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Tokenizer vocabulary coverage: per-language OOV mass against the "
+    "top-200 corpus vocabulary — the report that decides whether a "
+    "tokenizer's vocab (or a fixed vocab's corpus) needs retraining "
+    "before a run burns compute on <unk> soup; high_oov_docs counts "
+    "documents whose majority is out-of-vocabulary (candidate drops). "
+    "The vocabulary is derived in-query (count desc, token asc — total "
+    "order, so the 200-cutoff is deterministic) and broadcast back onto "
+    "the token stream; corpus-level rates divide exact integer counts "
+    "once (no order-dependent float accumulation). A trained BPE vocab "
+    "(operators/bpe.py) drops into the same shape as a literal table.",
+)
+def u6_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(200)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("o"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n").alias("total_tokens"),
+        F.sum("o").alias("oov_tokens"),
+        F.round(F.sum("o").cast("double") / F.sum("n"), 6).alias("oov_rate"),
+        F.count_if(F.col("o") * 1.0 / F.col("n") > 0.5).alias("high_oov_docs"),
+    )
+
+
+@register(
     "multimodal_meta",
     "S-multimodal",
     """
