@@ -3719,10 +3719,12 @@ def d5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
       WINDOW
         wb AS (PARTITION BY event_type
-               ORDER BY ts, is_grid, coalesce(event_id, 9223372036854775807)
+               ORDER BY ts, is_grid DESC,
+                        coalesce(event_id, 9223372036854775807)
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         wf AS (PARTITION BY event_type
-               ORDER BY ts, is_grid, coalesce(event_id, 9223372036854775807)
+               ORDER BY ts, is_grid DESC,
+                        coalesce(event_id, 9223372036854775807)
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, ts AS grid_ts,
@@ -3745,10 +3747,13 @@ def d5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     "made total with (ts, is_grid, coalesce(event_id, MAX)) — the "
     "coalesce avoids the Spark-nulls-first / DuckDB-nulls-last default "
     "divergence (sharp-edges list) — ties at the same ts resolve "
-    "events-before-grid, the interpolation fraction is a ratio of exact "
-    "epoch-microsecond integers, and t_prev == t_next (a grid point "
-    "coinciding with an observation) short-circuits to frac 0 before "
-    "the 0/0.",
+    "GRID-before-events, so a grid point coinciding with an observation "
+    "finds that observation in its FORWARD window and interpolates to "
+    "exactly its value (frac 1) — ordering it the other way silently "
+    "drops such grid points for lack of a next bracket (caught by the "
+    "hand-series pytest). The interpolation fraction is a ratio of "
+    "exact epoch-microsecond integers; the t_prev == t_next guard stays "
+    "as defensive dead code.",
 )
 def t8_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -3784,7 +3789,7 @@ def t8_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [
         F.asc("ts"),
-        F.asc("is_grid"),
+        F.desc("is_grid"),
         F.asc(F.coalesce(F.col("event_id"), F.lit(9223372036854775807))),
     ]
     wb = (
