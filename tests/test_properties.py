@@ -891,3 +891,96 @@ def test_hashed_linear_classifier_separates_and_is_layout_stable(spark):
     assert pos[3]["keep"] and pos[3]["margin_prob"] > 0.5
     neg = {r["doc_id"]: r for r in hashed_linear_score(docs, w, bias=-2.0).collect()}
     assert not neg[3]["keep"] and neg[3]["margin_prob"] < 0.5
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=50),  # minutes offset
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+        ),
+        max_size=30,
+    )
+)
+@SET
+def test_rolling_median_matches_python_reference(spark, data):
+    """w13's frame semantics vs a pure-Python reference: per user, order
+    by (ts, event_id), median of the last <=5 non-NULL values with NULL
+    rows occupying frame slots but not the median."""
+    import datetime as dt
+    import statistics
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), None if v is None else float(v))
+        for i, (u, m, v) in enumerate(data)
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, user_id int, ts timestamp, value double")
+        if rows
+        else spark.createDataFrame([], "event_id long, user_id int, ts timestamp, value double")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    got = {
+        r.event_id: r.med5
+        for r in df.select(
+            "event_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med5"),
+        ).collect()
+    }
+    by_user: dict = {}
+    for eid, u, ts, v in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        hist = by_user.setdefault(u, [])
+        hist.append(v)
+        frame = [x for x in hist[-5:] if x is not None]
+        expect = round(statistics.median(frame), 6) if frame else None
+        assert got[eid] == expect, (eid, frame, got[eid], expect)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+)
+@SET
+def test_minhash_md5_signature_matches_python_reference(spark, texts):
+    """The md5-coin signature is a pure deterministic function any engine
+    can reproduce — pinned against a from-scratch Python implementation
+    of the same definition (tokens -> distinct 3-gram shingles ->
+    min over shingles of int(md5('<i>:<s>')[:15], 16))."""
+    import hashlib
+    import re
+
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        minhash_md5_signatures,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.sig)
+        for r in minhash_md5_signatures(df, "text", "doc_id", num_hashes=4).collect()
+    }
+
+    def py_shingles(text: str) -> list[str]:
+        toks = re.split(r"\s+", text.strip())
+        n = 3
+        starts = range(0, max(len(toks) - n, 0) + 1)
+        grams = [" ".join(toks[i : i + n]) for i in starts]
+        return list(dict.fromkeys(grams))
+
+    for i, t in rows:
+        sh = py_shingles(t)
+        expect = [
+            min(
+                int(hashlib.md5(f"{h}:{s}".encode()).hexdigest()[:15], 16)
+                for s in sh
+            )
+            if sh
+            else 1 << 62
+            for h in range(4)
+        ]
+        assert got[i] == expect, (t, got[i], expect)
