@@ -632,6 +632,63 @@ def llm_chunk_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_dataset_card",
+    "U6+A ⊕ (dataset-card corpus summary)",
+    f"""
+    WITH d AS (
+      SELECT lang, source,
+             {SQL_TOKEN_COUNT.format(col='text')} AS n_toks,
+             md5(array_to_string(list_sort(
+               {SQL_TOKS.format(col=SQL_CLEAN.format(col='text'))}), ' '))
+               AS fp,
+             ({SQL_CLEAN.format(col='text')} = '') AS blank
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+           CAST(count(*) FILTER (blank) AS BIGINT) AS blank_docs,
+           round(CAST(sum(n_toks) AS DOUBLE) / count(*), 2) AS mean_doc_tokens
+    FROM d
+    """,
+    doc="The dataset card a corpus release ships with, as ONE query: doc "
+    "and token totals, language/source cardinalities, exact-duplicate "
+    "mass (docs minus distinct order-insensitive fingerprints — the "
+    "d3_exact_dedup fingerprint), blank-after-clean count, and mean "
+    "document length. One scan feeds every stat; the three exact "
+    "distincts ride the same aggregation via Expand (a20's plan shape). "
+    "The composed observability twin of etl_contract_report: that one "
+    "gates a LOAD on named expectations, this one SUMMARIZES a corpus "
+    "for its consumers.",
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_text, token_count
+    from ..operators.dedup import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    d = docs.select(
+        "lang",
+        "source",
+        token_count(F.col("text")).alias("n_toks"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        (clean_text(F.col("text")) == "").alias("blank"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("exact_dup_docs"),
+        F.count_if(F.col("blank")).alias("blank_docs"),
+        F.round(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 2).alias(
+            "mean_doc_tokens"
+        ),
+    )
+
+
 # sample_stratified_mix (the seeded-RNG sampleBy variant) was RETIRED
 # from the catalog in round 7 (rows-only whittling): it was strictly
 # dominated by sample_stratified_mix_hash below — the content-hash coin
