@@ -102,6 +102,16 @@ PROBE_QUERIES = [
     "d3_containment_pairs",  # directed shingle-index join; ~linear like
                              # d3_jaccard_prefix (10.8x at 8x = the 9.27x
                              # saturated-cores band, round-3 note)
+    "d3_minhash_md5",        # md5-coin LSH: row-local fold + band join (r7)
+    "j11_salted_skew_join",  # 16-way salted hot-key join (r7)
+    "t8_resample_interp",    # grid union + two frame windows per type (r7)
+    "w13_rolling_median",    # holistic 5-row frame median per user (r7)
+    "w14_rolling_zscore",    # exact-cents frame power sums (r7)
+    "a41_spearman_corr",     # two rank windows + one grouped agg (r7)
+    "a43_grouped_mad",       # two grouped percentile passes (r7)
+    "u6_vocab_coverage",     # token explode + broadcast vocab (r7)
+    "llm_hard_negatives",    # broadcast-query brute-force scoring (r7)
+    "llm_dataset_card",      # one-scan multi-distinct Expand (r7)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
