@@ -216,6 +216,47 @@ def salted_join(
     return out.drop("__salt")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_unit: str = "day",
+) -> DataFrame:
+    """Interval × interval OVERLAP equi-join via time-bin decomposition —
+    the two-sided sibling of the banded point join (j6): each interval
+    explodes into the calendar bins it touches, candidates come from an
+    equi-join on (keys, bin), and the exact overlap predicate verifies.
+    Sharing a touched bin is NECESSARY for overlap when bins tile time,
+    so the decomposition is lossless; a naive theta join is O(n·m)
+    nested-loop and unrunnable at fact scale. Bin granularity trades
+    fan-out (≤ interval_length/bin rows per interval) against candidate
+    precision — pick it near the typical interval length.
+
+    Returns left.* + right.* for every overlapping pair (closed
+    intervals: touching endpoints overlap).
+    """
+    def bins(start: str, end: str):
+        return F.explode(
+            F.sequence(
+                F.date_trunc(bin_unit, F.col(start)),
+                F.date_trunc(bin_unit, F.col(end)),
+                F.expr(f"INTERVAL 1 {bin_unit}"),
+            )
+        )
+
+    lb = left.withColumn("__bin", bins(left_start, left_end))
+    rb = right.withColumn("__bin", bins(right_start, right_end))
+    cands = lb.join(rb, keys + ["__bin"]).drop("__bin").dropDuplicates()
+    return cands.filter(
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+    )
+
+
 def bloom_word_masks(
     build: DataFrame, key: str, m_bits: int = 1 << 16, k_hashes: int = 5
 ) -> DataFrame:

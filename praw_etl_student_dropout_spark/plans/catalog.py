@@ -3685,6 +3685,79 @@ def d5_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j12_interval_overlap",
+    "J4 ⊕ (interval × interval overlap join, bin-decomposed)",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS a_key, o_custkey,
+             o_orderdate AS a_start,
+             o_orderdate + INTERVAL (o_orderkey % 14 + 1) DAY AS a_end
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    b AS (
+      SELECT o_orderkey AS b_key, o_custkey,
+             o_orderdate AS b_start,
+             o_orderdate + INTERVAL (o_orderkey % 21 + 1) DAY AS b_end
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT a_key, b_key, o_custkey,
+           CAST((CAST(floor(epoch(least(a_end, b_end))) AS BIGINT)
+                 - CAST(floor(epoch(greatest(a_start, b_start))) AS BIGINT))
+                / 86400 + 1 AS BIGINT) AS overlap_days
+    FROM a JOIN b USING (o_custkey)
+    WHERE a_start <= b_end AND b_start <= a_end
+    """,
+    doc="Interval-overlap join (two interval sets, same customer, closed "
+    "intervals touching = overlapping) — the reservation/session-collision "
+    "shape. The oracle is the plain theta join; the engine decomposes "
+    "each interval into the DAY bins it touches and equi-joins on "
+    "(custkey, bin) before the exact overlap verify "
+    "(operators/joins.py::interval_overlap_join) — lossless (overlapping "
+    "intervals share a touched bin by construction) and shuffle-join-"
+    "shaped instead of the O(n·m) nested loop a raw range predicate "
+    "plans as. Synthetic-but-deterministic interval lengths "
+    "(orderkey-derived, 1-21 days) keep bin fan-out bounded; "
+    "overlap_days divides exact epoch integers.",
+)
+def j12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("a_key"),
+        "o_custkey",
+        F.col("o_orderdate").alias("a_start"),
+        (
+            F.col("o_orderdate")
+            + F.make_interval(days=(F.col("o_orderkey") % 14 + 1).cast("int"))
+        ).alias("a_end"),
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("b_key"),
+        "o_custkey",
+        F.col("o_orderdate").alias("b_start"),
+        (
+            F.col("o_orderdate")
+            + F.make_interval(days=(F.col("o_orderkey") % 21 + 1).cast("int"))
+        ).alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ["o_custkey"], "a_start", "a_end", "b_start", "b_end"
+    )
+    overlap_days = (
+        (
+            F.unix_timestamp(F.least("a_end", "b_end"))
+            - F.unix_timestamp(F.greatest("a_start", "b_start"))
+        )
+        / 86400
+        + 1
+    ).cast("long")
+    return pairs.select(
+        "a_key", "b_key", "o_custkey", overlap_days.alias("overlap_days")
+    )
+
+
+@register(
     "t8_resample_interp",
     "T+W2 ⊕ (time-series resample with linear interpolation)",
     """
