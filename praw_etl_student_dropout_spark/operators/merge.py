@@ -75,6 +75,13 @@ def merge_upsert(
     Within-source duplicates collapse arbitrarily (dropDuplicates) —
     give the source a deterministic tiebreak upstream if it matters.
     Returns the new version number.
+
+    Schema EVOLUTION is additive (round-7): a source carrying new
+    columns widens the table — untouched rows read NULL for them — and
+    a source missing columns leaves its rows NULL there; earlier
+    versions stay readable unchanged via time travel (each version
+    directory is self-describing parquet). This is the mergeSchema
+    write-side twin of ``readers.read_parquet_merged``.
     """
     src = source.dropDuplicates(keys)
     v = _current_version(base_dir)
@@ -83,7 +90,7 @@ def merge_upsert(
     else:
         target = spark.read.parquet(os.path.join(base_dir, f"v{v}"))
         kept = target.join(src.select(*keys), on=keys, how="left_anti")
-        merged = kept.unionByName(src)
+        merged = kept.unionByName(src, allowMissingColumns=True)
         new_v = v + 1
     out = os.path.join(base_dir, f"v{new_v}")
     writer = merged.write.mode("overwrite")

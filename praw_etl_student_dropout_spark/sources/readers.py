@@ -245,3 +245,28 @@ def read_avro(spark: SparkSession, path: str, schema: T.StructType | None = None
     if schema is not None:
         reader = reader.schema(schema)
     return reader.format("avro").load(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """binaryFile source — the REAL ingestion edge for the multimodal
+    column model (operators/multimodal.py): each matching file becomes
+    one row of (path, modificationTime, length, content: binary), which
+    is exactly the opaque-payload + typed-metadata shape the decode /
+    feature / frame-sample operators consume. ``path_glob`` filters by
+    name (e.g. ``*.jpg``); ``max_bytes`` drops oversized payloads at the
+    SCAN (pushed filter on the length metadata — the content of a
+    skipped file is never read, which is what makes a 100 TB asset
+    crawl plannable).
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

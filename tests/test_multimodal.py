@@ -75,3 +75,60 @@ def test_real_decoder_stub_raises(spark, media):
             extract_features(media).collect()
     finally:
         set_decoder(_fake_decode_features)
+
+
+def test_binary_file_source_roundtrip_and_scan_pruning(spark, tmp_path):
+    """binaryFile ingestion edge (round-7): payload bytes round-trip
+    exactly, pathGlobFilter selects by extension, and max_bytes filters
+    on the length METADATA (the pushed filter that keeps oversized
+    payloads unread at a 100 TB crawl)."""
+    import os
+
+    from praw_etl_student_dropout_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "assets"
+    os.makedirs(d)
+    payloads = {
+        "a.jpg": b"\xff\xd8tiny-jpeg-payload",
+        "b.jpg": b"\xff\xd8" + b"x" * 1000,
+        "c.txt": b"not an image",
+    }
+    for name, blob in payloads.items():
+        (d / name).write_bytes(blob)
+
+    all_rows = {
+        r.path.rsplit("/", 1)[-1]: bytes(r.content)
+        for r in read_binary_files(spark, str(d)).collect()
+    }
+    assert all_rows == payloads  # exact byte round-trip
+
+    jpgs = read_binary_files(spark, str(d), path_glob="*.jpg")
+    assert {r.path.rsplit("/", 1)[-1] for r in jpgs.collect()} == {"a.jpg", "b.jpg"}
+
+    small = read_binary_files(spark, str(d), path_glob="*.jpg", max_bytes=100)
+    assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.jpg"]
+    # the length predicate is pushed into the binaryFile scan
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "length" in plan
+
+    # the binary rows adapt onto the MEDIA contract and feed the
+    # multimodal feature extractor unchanged
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    media = small.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content").alias("payload"),
+        F.named_struct(
+            F.lit("width"), F.lit(None).cast("int"),
+            F.lit("height"), F.lit(None).cast("int"),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(None).cast("int"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    assert feats.count() == 1

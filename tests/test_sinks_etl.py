@@ -437,3 +437,34 @@ def test_jsonl_round_trip_preserves_hostile_text(spark, tmp_path):
     write_jsonl(df, path2, compression=None)
     back2 = read_json(spark, path2, schema=schema)
     assert {tuple(r) for r in back2.collect()} == set(rows)
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """Additive schema evolution on the versioned table (round-7): a
+    delta carrying a NEW column widens the current snapshot (untouched
+    rows read NULL), earlier versions stay readable via time travel,
+    and a later delta missing the column leaves its rows NULL there."""
+    from praw_etl_student_dropout_spark.operators.merge import (
+        merge_upsert,
+        read_merged,
+    )
+
+    base = str(tmp_path / "tbl")
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert merge_upsert(spark, base, v0, ["k"]) == 0
+
+    widened = spark.createDataFrame([(2, "b2", 99.0)], ["k", "v", "score"])
+    assert merge_upsert(spark, base, widened, ["k"]) == 1
+    cur = {r.k: (r.v, r.score) for r in read_merged(spark, base).collect()}
+    assert cur == {1: ("a", None), 2: ("b2", 99.0)}
+
+    # time travel: version 0 keeps its original two-column schema
+    old = read_merged(spark, base, version=0)
+    assert set(old.columns) == {"k", "v"}
+    assert {tuple(r) for r in old.collect()} == {(1, "a"), (2, "b")}
+
+    # a delta WITHOUT the new column upserts with NULL score
+    narrow = spark.createDataFrame([(1, "a3")], ["k", "v"])
+    assert merge_upsert(spark, base, narrow, ["k"]) == 2
+    cur2 = {r.k: (r.v, r.score) for r in read_merged(spark, base).collect()}
+    assert cur2 == {1: ("a3", None), 2: ("b2", 99.0)}
