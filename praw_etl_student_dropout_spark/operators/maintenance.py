@@ -310,3 +310,97 @@ def pruned_read(
             raise ValueError("pruned_read: stats index is empty")
         return empty.limit(0)
     return spark.read.parquet(*files)
+
+
+def file_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = 1 << 13,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Per-data-file Bloom filter on ``col`` — the skipping index's
+    point-lookup complement (round-7; the Delta/Iceberg bloom analog for
+    plain parquet). min/max envelopes (:func:`file_stats_index`) prune
+    RANGES but admit every file whose envelope happens to span a probed
+    key; the bloom prunes EQUALITY probes file-by-file with a bounded
+    false-positive rate and zero false negatives.
+
+    One scan: each value explodes into its k (word, mask) bit positions
+    (the joins.bloom_word_masks math, xxhash64 seeded per hash), OR-
+    folded per (file, word). Index size ≤ files × m/64 rows — listing-
+    scaled, not data-scaled; persist it and refresh per compaction like
+    the stats index. Pair with :func:`pruned_read_bloom`.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), F.col(col)
+    )
+    pos = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+    hits = df.filter(F.col(col).isNotNull()).select(
+        "file",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.shiftright(p, 6).alias("word"),
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                        ).alias("mask"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("h"),
+    )
+    return (
+        hits.select("file", "h.word", "h.mask")
+        .groupBy("file", "word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+
+
+def pruned_read_bloom(
+    spark: SparkSession,
+    bloom_idx: DataFrame,
+    col: str,
+    value,
+    m_bits: int = 1 << 13,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Scan only the files whose Bloom filter says ``col = value`` MIGHT
+    match (coordinator-side planning over the listing-sized index, the
+    pruned_read contract: false positives possible, false negatives
+    never). (m_bits, k_hashes) must match the index build. A file with
+    no row for a probed word has that bit 0 and is pruned."""
+    probe = spark.range(1).select(
+        *[
+            F.pmod(F.xxhash64(F.lit(value).cast("long") if isinstance(value, int) else F.lit(value), F.lit(i)), F.lit(m_bits)).alias(f"p{i}")
+            for i in range(k_hashes)
+        ]
+    ).first()
+    needed: dict[int, int] = {}
+    for i in range(k_hashes):
+        p = probe[f"p{i}"]
+        needed[p >> 6] = needed.get(p >> 6, 0) | (1 << (p % 64))
+    rows = bloom_idx.filter(
+        F.col("word").isin(list(needed))
+    ).collect()
+    masks: dict[str, dict[int, int]] = {}
+    for r in rows:
+        masks.setdefault(r.file, {})[r.word] = r.mask
+    files = [
+        f
+        for f, words in masks.items()
+        if all(words.get(w, 0) & m == m for w, m in needed.items())
+    ]
+    if not files:
+        any_file = [r.file for r in bloom_idx.select("file").limit(1).collect()]
+        if not any_file:
+            raise ValueError("pruned_read_bloom: bloom index is empty")
+        return spark.read.parquet(*any_file).limit(0)
+    return spark.read.parquet(*files)

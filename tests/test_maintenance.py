@@ -279,3 +279,52 @@ def test_merge_time_travel_reads_any_retained_version(spark, tmp_path):
     assert read_merged(spark, base).agg(F.max("gen")).first()[0] == 2
     with pytest.raises(FileNotFoundError, match="retained"):
         read_merged(spark, base, version=0)
+
+
+def test_file_bloom_index_prunes_point_lookups(spark, tmp_path):
+    """Per-file Bloom skipping index (round-7): a point lookup reads only
+    the files whose filter admits the key — never missing the true file
+    (no false negatives), pruning most others; an absent key prunes to
+    an empty frame with the data schema; result parity with a full-scan
+    filter."""
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.operators.maintenance import (
+        file_bloom_index,
+        pruned_read_bloom,
+    )
+
+    path = str(tmp_path / "tbl")
+    # 8 files with disjoint key ranges
+    for i in range(8):
+        spark.createDataFrame(
+            [(int(i * 1000 + j), f"v{i}_{j}") for j in range(50)], "k long, v string"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    idx = file_bloom_index(spark, path, "k").persist()
+    try:
+        n_files = idx.select("file").distinct().count()
+        assert n_files == 8
+
+        probe = 3007  # lives in file 3
+        got = pruned_read_bloom(spark, idx, "k", probe).filter(F.col("k") == probe)
+        full = spark.read.parquet(path).filter(F.col("k") == probe)
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in full.collect()}
+        assert got.count() == 1
+
+        # pruning: the candidate list is far smaller than the table
+        import re
+
+        cand = pruned_read_bloom(spark, idx, "k", probe)
+        n_cand_files = len(
+            {r[0] for r in cand.select(F.input_file_name()).distinct().collect()}
+        )
+        assert n_cand_files <= 2  # 8 KiB filter over 50 keys: ~no false positives
+
+        # absent key: empty result, schema preserved
+        missing = pruned_read_bloom(spark, idx, "k", 999_999)
+        assert missing.count() == 0
+        assert set(missing.columns) == {"k", "v"}
+        assert re is not None
+    finally:
+        idx.unpersist()
