@@ -237,7 +237,10 @@ def interval_overlap_join(
     precision — pick it near the typical interval length.
 
     Returns left.* + right.* for every overlapping pair (closed
-    intervals: touching endpoints overlap).
+    intervals: touching endpoints overlap). Candidate dedup is by full
+    row value (a pair sharing several bins emits once), so byte-equal
+    duplicate input rows also collapse — give rows a distinguishing id
+    if duplicate intervals must pair independently.
     """
     def bins(start: str, end: str):
         return F.explode(

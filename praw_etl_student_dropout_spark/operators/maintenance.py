@@ -376,10 +376,23 @@ def pruned_read_bloom(
     match (coordinator-side planning over the listing-sized index, the
     pruned_read contract: false positives possible, false negatives
     never). (m_bits, k_hashes) must match the index build. A file with
-    no row for a probed word has that bit 0 and is pruned."""
+    no row for a probed word has that bit 0 and is pruned.
+
+    Type contract: the probe value must hash as the SAME Spark type the
+    index hashed — python ints are cast to LONG here (xxhash64(int) !=
+    xxhash64(long)), matching bigint key columns; for an int32 column
+    pass a pre-cast Column as ``value``."""
+    from pyspark.sql import Column
+
+    if isinstance(value, Column):
+        probe_col = value
+    elif isinstance(value, int):
+        probe_col = F.lit(value).cast("long")
+    else:
+        probe_col = F.lit(value)
     probe = spark.range(1).select(
         *[
-            F.pmod(F.xxhash64(F.lit(value).cast("long") if isinstance(value, int) else F.lit(value), F.lit(i)), F.lit(m_bits)).alias(f"p{i}")
+            F.pmod(F.xxhash64(probe_col, F.lit(i)), F.lit(m_bits)).alias(f"p{i}")
             for i in range(k_hashes)
         ]
     ).first()
