@@ -3319,19 +3319,17 @@ def w13_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-             CAST(sum(rx*rx) AS BIGINT) AS sxx,
-             CAST(sum(ry*ry) AS BIGINT) AS syy,
-             CAST(sum(rx*ry) AS BIGINT) AS sxy
+             CAST(sum(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(rx AS HUGEINT)*rx) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(ry AS HUGEINT)*ry) AS DOUBLE) AS syy,
+             CAST(sum(CAST(rx AS HUGEINT)*ry) AS DOUBLE) AS sxy
       FROM ranked GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
-                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
-                 sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
-                      * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
-                         - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+           round((CAST(n AS DOUBLE)*sxy - sx*sy) /
+                 sqrt((CAST(n AS DOUBLE)*sxx - sx*sx)
+                      * (CAST(n AS DOUBLE)*syy - sy*sy)),
                  6) AS spearman
     FROM sums
     """,
@@ -3363,24 +3361,29 @@ def a41_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ry"),
     )
+    # Sums accumulate in DECIMAL(38,0) (exact to 1e38; DuckDB's HUGEINT
+    # twin is int128): sum(rx*rx) ~ (4/3)n^3 overflows BIGINT once a
+    # group passes ~1.9M rows — i.e. exactly at the 8x/32x replica
+    # scales the probe runs (review r7 finding #1). The row-level
+    # product is computed wide too (rx^2 <= 4n^2 would outgrow a long
+    # past n ~ 1.5e9). Downstream algebra converts the exact sums to
+    # DOUBLE once; same conversions + same IEEE tree on both engines.
+    rx_w = F.col("rx").cast("decimal(38,0)")
+    ry_w = F.col("ry").cast("decimal(38,0)")
     sums = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(rx_w).cast("double").alias("sx"),
+        F.sum(ry_w).cast("double").alias("sy"),
+        F.sum(rx_w * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(ry_w * F.col("ry")).cast("double").alias("syy"),
+        F.sum(rx_w * F.col("ry")).cast("double").alias("sxy"),
     )
-    # Final products in DOUBLE: n*sxy overflows BIGINT once groups pass
-    # ~100k rows (n * n * (2n)^2 ~ 1e21 at sf0.1). The sums themselves
-    # stay exact BIGINTs; the same IEEE multiply/subtract on identical
-    # exact inputs is bit-deterministic on both engines.
     n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    num = n * F.col("sxy").cast("double") - sx * sy
+    sx, sy = F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
     den = F.sqrt(
-        (n * F.col("sxx").cast("double") - sx * sx)
-        * (n * F.col("syy").cast("double") - sy * sy)
+        (n * F.col("sxx") - sx * sx)
+        * (n * F.col("syy") - sy * sy)
     )
     return sums.select(
         "l_returnflag", "n", F.round(num / den, 6).alias("spearman")

@@ -437,6 +437,43 @@ def span_screen_stream(
     q.awaitTermination()
 
 
+def _minhash_screen_one_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    flagged_path: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> None:
+    """One micro-batch of minhash_screen_stream, module-level so replay
+    idempotence is directly testable (the _rate_limit_one_batch
+    convention): running the same (batch_df, batch_id) twice leaves
+    flagged_path identical."""
+    from ..operators.dedup import minhash_pairs_incremental
+
+    spark = batch_df.sparkSession
+    flagged = minhash_pairs_incremental(
+        batch_df,
+        spark.read.parquet(f"{index_dir}/banded"),
+        spark.read.parquet(f"{index_dir}/shingles"),
+        "text",
+        "doc_id",
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
+    (
+        flagged.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(flagged_path)
+    )
+
+
 def minhash_screen_stream(
     doc_stream: DataFrame,
     index_dir: str,
@@ -459,27 +496,22 @@ def minhash_screen_stream(
 
     State is the read-only index — per-trigger cost is linear in the
     batch, the corpus is never re-self-joined, no watermark needed, and
-    a checkpoint replay re-screens only unprocessed files. The
+    a checkpoint replay re-screens only unprocessed files. Flagged
+    pairs land in a per-batch partition under dynamic partition
+    overwrite (the rate_limited_stream convention), so an at-least-once
+    REPLAY of a batch whose write committed before the checkpoint did
+    rewrites exactly its own output instead of appending duplicates;
+    readers see one extra batch_id partition column. The
     (num_hashes, bands, shingle_n) parameterization must match the index
     build (minhash_pairs_incremental's contract). Index refresh is the
     IVF/semdedup convention: rebuild offline, swap directories.
     """
-    from ..operators.dedup import minhash_pairs_incremental
 
     def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        flagged = minhash_pairs_incremental(
-            batch_df,
-            spark.read.parquet(f"{index_dir}/banded"),
-            spark.read.parquet(f"{index_dir}/shingles"),
-            "text",
-            "doc_id",
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_n=shingle_n,
+        _minhash_screen_one_batch(
+            batch_df, batch_id, index_dir, flagged_path,
+            threshold, num_hashes, bands, shingle_n,
         )
-        flagged.write.mode("append").parquet(flagged_path)
 
     q = (
         doc_stream.writeStream.foreachBatch(screen_batch)
