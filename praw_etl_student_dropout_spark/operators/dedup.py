@@ -390,6 +390,15 @@ def minhash_pairs_incremental(
     parameterization MUST match the index build or the band keys are
     meaningless. Returns (new_id, corpus_id, jaccard >= threshold);
     same no-false-positive contract as :func:`minhash_dedup_pairs`.
+
+    ID-SPACE CONTRACT (ADVICE r7): new-doc ids MUST be disjoint from
+    corpus ids. Candidates with ``new_id == corpus_id`` are excluded as
+    self-matches (re-screening a corpus doc against its own index entry
+    is not a dup), so if the ingest id space overlapped the corpus id
+    space for DIFFERENT documents, a true near-dup pair whose ids
+    happened to collide would be silently dropped — a false negative
+    against the screening contract. Callers re-screening mutated corpus
+    docs must re-key them (the tests shift ingest ids by 1M/2M).
     """
     new_banded = _minhash_banded(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n

@@ -241,7 +241,24 @@ def interval_overlap_join(
     row value (a pair sharing several bins emits once), so byte-equal
     duplicate input rows also collapse — give rows a distinguishing id
     if duplicate intervals must pair independently.
+
+    Malformed intervals drop DELIBERATELY (ADVICE r7): each side is
+    pre-filtered to ``start IS NOT NULL AND end IS NOT NULL AND
+    start <= end`` before bin explosion. Without the guard an inverted
+    interval makes ``F.sequence(later, earlier, +1 unit)`` throw an
+    opaque runtime error deep in the explode, and null endpoints would
+    silently null out the bin anyway — the explicit predicate makes the
+    drop a documented semantic (overlap is undefined for an empty or
+    unknown interval) instead of an accident. Pre-validate upstream if
+    malformed rows must error instead.
     """
+    def valid(start: str, end: str):
+        return (
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (F.col(start) <= F.col(end))
+        )
+
     def bins(start: str, end: str):
         return F.explode(
             F.sequence(
@@ -251,8 +268,12 @@ def interval_overlap_join(
             )
         )
 
-    lb = left.withColumn("__bin", bins(left_start, left_end))
-    rb = right.withColumn("__bin", bins(right_start, right_end))
+    lb = left.filter(valid(left_start, left_end)).withColumn(
+        "__bin", bins(left_start, left_end)
+    )
+    rb = right.filter(valid(right_start, right_end)).withColumn(
+        "__bin", bins(right_start, right_end)
+    )
     cands = lb.join(rb, keys + ["__bin"]).drop("__bin").dropDuplicates()
     return cands.filter(
         (F.col(left_start) <= F.col(right_end))

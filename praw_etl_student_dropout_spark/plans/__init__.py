@@ -81,38 +81,54 @@ def catalog_all():
 #:       d3c_entity_resolution, llm_quality_classifier,
 #:       u11_trigram_backoff, a40_kmv_setops, u7_bm25_topk,
 #:       llm_mixture_temperature.
+#:   r8: swapped out the ten slots r7 newly graded (all green on first
+#:       driver contact: q21_waiting_supplier, j10_bloom_semi_reduction,
+#:       d3_shared_span_pairs, d3b_fuzzy_blocked, d3c_entity_resolution,
+#:       llm_quality_classifier, u11_trigram_backoff, a40_kmv_setops,
+#:       u7_bm25_topk, llm_mixture_temperature; families stay covered:
+#:       TPC-H by q3/q5/q17/q18 + incoming q8, joins by j1-j4 + incoming
+#:       j5/j6/j11, D3 near-dup by d3_exact_dedup + incoming
+#:       d3_minhash_md5, LLM surface by llm_curation_funnel /
+#:       llm_corpus_build / u8_decontaminate) for ten never-driver-graded
+#:       entries (VERDICT r7 #1), led by the five r7-new local-only
+#:       greens: j11_salted_skew_join, d3_minhash_md5,
+#:       t8_resample_interp (the O(n^2)-window fix deserves a driver
+#:       grade), w13_rolling_median, w14_rolling_zscore, plus
+#:       j5_asof_join, j6_range_join, a14_event_funnel, q8_market_share,
+#:       u6_gopher_rules. All ten re-verified this round with
+#:       check_oracle at 2 SFs + foreign-cwd harness before shipping.
 GRADED_PREFIX = [
     "flagship_star_pivot",
     "p1_project_clean",
-    "q21_waiting_supplier",
+    "q8_market_share",
     "p7_case_bucket",
-    "j10_bloom_semi_reduction",
+    "j11_salted_skew_join",
     "f9_json_extract",
-    "d3_shared_span_pairs",
+    "d3_minhash_md5",
     "f10_array_dot",
-    "d3b_fuzzy_blocked",
-    "d3c_entity_resolution",
+    "t8_resample_interp",
+    "a14_event_funnel",
     "a4_q1_pricing_summary",
     "a6_insight_summary",
     "a7_mode",
-    "llm_quality_classifier",
+    "w13_rolling_median",
     "st4_session_window",
     "j1_star_join_agg",
     "j2_surrogate_key_swap",
     "j3_anti_join",
     "j4_left_join",
-    "u11_trigram_backoff",
+    "w14_rolling_zscore",
     "w1_topk_per_group",
-    "a40_kmv_setops",
+    "j5_asof_join",
     "w3_running_sum",
     "t3_global_topk",
     "d2_dedup_by_key",
-    "u7_bm25_topk",
+    "j6_range_join",
     "p4_keyword_filter",
     "p6_p8_cast_fill",
     "f4_f6_epoch_datefmt",
     "u5_grouped_udaf",
-    "llm_mixture_temperature",
+    "u6_gopher_rules",
     "q3_shipping_priority",
     "q5_region_volume",
     "w2_sessionize",

@@ -33,7 +33,20 @@ def _state_version_below(path: str, batch_id: int) -> int | None:
     contribution into itself (duplicated acceptances / duplicated sketch
     rows); loading the max version < N reproduces the exact pre-batch
     state, making the replay idempotent. Returns None when no prior
-    version exists (first batch, or a replay of it)."""
+    version exists (first batch, or a replay of it).
+
+    State lifetime is bound to the CHECKPOINT directory (ADVICE r7):
+    batch_id comes from the checkpoint's commit log, so restarting a
+    stream with a fresh checkpoint but a pre-existing state path resets
+    batch_id to 0 while v1..vN state survives on disk — silently
+    ignoring all of it and interleaving new per-batch overwrites with
+    stale partitions. Any version STRICTLY ABOVE batch_id is impossible
+    under at-least-once replay (a crashed attempt writes at most its own
+    v{batch_id}), so that condition is detected and fails loudly. The
+    one ambiguous shape — batch_id == 0 with only v0 on disk — is
+    indistinguishable from a legitimate crash-replay of the first batch
+    and is treated as one; wipe state_path together with checkpoint_dir
+    when restarting from scratch."""
     try:
         versions = [
             int(d[1:])
@@ -42,6 +55,13 @@ def _state_version_below(path: str, batch_id: int) -> int | None:
         ]
     except FileNotFoundError:
         return None
+    if versions and max(versions) > batch_id:
+        raise RuntimeError(
+            f"state path {path!r} holds version v{max(versions)} but the "
+            f"checkpoint says batch {batch_id}: the state predates this "
+            "checkpoint (fresh checkpoint over an old state_path?). State "
+            "and checkpoint lifetimes are bound — wipe both or neither."
+        )
     below = [v for v in versions if v < batch_id]
     return max(below) if below else None
 
@@ -832,9 +852,13 @@ def _kmv_merge_one_batch(
     this batch (never a crashed attempt's own v{batch_id} — merging that
     would present the batch's ids twice, and kmv_sample keeps bottom-k
     ROWS, so a duplicated id could occupy two of the k slots and evict a
-    distinct id, breaking the bit-for-bit streamed==batch contract). The
-    union is additionally deduped on the id — for identical replayed
-    rows any surviving pick is the same row, so determinism holds."""
+    distinct id, breaking the bit-for-bit streamed==batch contract).
+    Cross-version id collisions resolve PRIOR-WINS (ADVICE r7): the
+    fresh side is anti-joined against the prior sketch's ids before the
+    union, so when the same id arrives again with a DIFFERENT payload
+    the surviving row is deterministically the first-seen one — not an
+    arbitrary dropDuplicates pick — matching first-arrival semantics of
+    a batch dropDuplicates over the concatenated stream."""
     from ..operators.sketches import kmv_sample
 
     spark = batch_df.sparkSession
@@ -843,7 +867,7 @@ def _kmv_merge_one_batch(
     if prior_v is not None:
         prior = spark.read.parquet(f"{sketch_path}/v{prior_v}").drop("kmv_coin")
         fresh = kmv_sample(
-            prior.unionByName(fresh).dropDuplicates([id_col]),
+            prior.unionByName(fresh.join(prior, [id_col], "left_anti")),
             id_col,
             k=k,
             seed=seed,

@@ -106,6 +106,25 @@ EXPECTED_GLOBAL_WINDOW = {
 }
 
 
+# Frames of shape [<bounded lower>, unboundedFollowing] make WindowExec
+# RESCAN from the current row to the partition end for EVERY row —
+# O(n^2) per partition (t8 round-7: correctness-green at sf0.001 but
+# 809 s at 8x; SURVEY §9a). Full-partition [unbounded, unbounded] frames
+# are computed once per partition and are fine. Express forward passes
+# as a running [unboundedPreceding, currentRow] frame over the REVERSED
+# total order instead. No catalog entry is allowed this shape.
+FWD_RESCAN_PAT = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame, "
+    r"(?!unboundedpreceding\$\(\))[^,]+, unboundedfollowing\$\(\)\)"
+)
+
+
+def forward_rescan_frames(plan: str) -> int:
+    """Count window frames with a bounded lower bound and an
+    unboundedFollowing upper bound (the per-row partition-end rescan)."""
+    return len(FWD_RESCAN_PAT.findall(plan))
+
+
 def global_windows(plan: str) -> int:
     """Count windowspecdefinitions with NO partition columns.
 
@@ -140,6 +159,7 @@ def audit(plan: str) -> dict:
         if False
         else int("Exchange rangepartitioning" in plan and "TakeOrdered" not in plan),
         "gwin": global_windows(plan),
+        "fwin": forward_rescan_frames(plan),
     }
 
 
@@ -152,7 +172,7 @@ def main() -> int:
     reg = catalog_all()
     wanted = sys.argv[1:] or list(reg)
     problems = []
-    print(f"{'query':32s} {'exch':>4} {'bhj':>4} {'smj':>4} {'bnlj':>4} {'py':>3} {'gwin':>4}")
+    print(f"{'query':32s} {'exch':>4} {'bhj':>4} {'smj':>4} {'bnlj':>4} {'py':>3} {'gwin':>4} (+fwin flag)")
     for name in wanted:
         try:
             plan = (
@@ -174,6 +194,8 @@ def main() -> int:
             flags.append("UNEXPECTED-NESTED-LOOP")
         if a["gwin"] and name not in EXPECTED_GLOBAL_WINDOW:
             flags.append("UNEXPECTED-GLOBAL-WINDOW")
+        if a["fwin"]:
+            flags.append("FWD-UNBOUNDED-RESCAN")
         print(
             f"{name:32s} {a['exchanges']:>4} {a['bhj']:>4} {a['smj']:>4} "
             f"{a['bnlj']:>4} {a['python']:>3} {a['gwin']:>4}  {' '.join(flags)}"
