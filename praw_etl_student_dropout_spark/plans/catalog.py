@@ -1140,22 +1140,56 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q5 shape: six-table join with a two-column join condition "
     "(local supplier: same nation as customer) and a region filter that "
-    "prunes through two broadcast dims before the fact tables join.",
+    "prunes through two broadcast dims before the fact tables join. "
+    "JOIN ORDER IS HAND-PUSHED (round 8): Catalyst without CBO stats "
+    "keeps the written order, and the naive customer→orders→lineitem "
+    "chain shuffles BOTH full fact tables before the selective "
+    "ASIA-supplier join ever cuts a row — the r8 headline scale probe "
+    "caught the ratio RISING with data (9.8→15.9× at 1→32×; DuckDB "
+    "reorders, Spark didn't). Here the region filter reaches both fact "
+    "scans first: ASIA nations broadcast into supplier and customer, "
+    "the filtered supplier broadcasts into lineitem (1/|regions| of "
+    "rows survive before any exchange), and the one fact-fact shuffle "
+    "moves only the surviving fifth, projected narrow. Same inner-join "
+    "semantics, same oracle; 3.34 → 1.84 s at 32× (ratio 15.9 → ~8.6, "
+    "falling with scale again) — variant search and the per-core floor "
+    "decomposition in BASELINE §round-8-q5.",
 )
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
-    joined = (
-        t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            t["supplier"],
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    asia = (
+        t["nation"]
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(asia.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
+    )
+    ords = (
+        t["orders"]
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    joined = li.join(
+        ords,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
     )
     return joined.groupBy("n_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -6313,4 +6347,233 @@ def w12_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
+    )
+
+
+# =====================================================================
+# Round-8 widening: inequality / concentration statistics + smoothing
+# =====================================================================
+
+@register(
+    "a44_gini_customer_value",
+    "A ⊕ (inequality statistic: Gini coefficient)",
+    """
+    WITH cust AS (
+      SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c.c_nationkey, cust.cents,
+             row_number() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY cust.cents, cust.o_custkey) AS i,
+             count(*) OVER (PARTITION BY c.c_nationkey) AS n,
+             sum(cust.cents) OVER (PARTITION BY c.c_nationkey) AS tot
+      FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(2.0 * sum(CAST(i AS DOUBLE) * cents) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+    doc="Gini coefficient of customer order value per nation — the "
+    "inequality statistic a corpus-balance or revenue-concentration "
+    "report runs at warehouse scale. Rank-based closed form "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over the ascending total "
+    "order (cents, custkey): one grouped agg to per-customer EXACT "
+    "CENTS (the a16 float discipline — integer sums are "
+    "engine-order-independent), one nation-partitioned rank window, "
+    "one grouped fold. Two shuffles, both on aggregation keys; no "
+    "driver state. Extends §2.4 with the distributional-shape "
+    "statistic the reference's mean/count insights lack.",
+)
+def a44_gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "orders", "customer")
+    cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    joined = cust.join(
+        t["customer"].select("c_custkey", "c_nationkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    wn = Window.partitionBy("c_nationkey")
+    ranked = joined.select(
+        "c_nationkey",
+        "cents",
+        F.row_number()
+        .over(wn.orderBy(F.asc("cents"), F.asc("o_custkey")))
+        .alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.sum("cents").over(wn).alias("tot"),
+    )
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(
+                2.0 * F.sum(F.col("i").cast("double") * F.col("cents"))
+                / (F.max("n") * F.max("tot"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"), "n_customers", "gini"
+        )
+    )
+
+
+@register(
+    "a45_hhi_concentration",
+    "A ⊕ (market concentration: Herfindahl–Hirschman index)",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    shares AS (
+      SELECT s_nationkey,
+             CAST(cents AS DOUBLE)
+               / sum(cents) OVER (PARTITION BY s_nationkey) AS share
+      FROM rev
+    )
+    SELECT s_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(10000.0 * sum(share * share), 4) AS hhi
+    FROM shares
+    GROUP BY s_nationkey
+    """,
+    doc="Herfindahl–Hirschman index of supplier revenue concentration "
+    "per nation: per-(nation, supplier) revenue in EXACT CENTS "
+    "(per-row round then integer sum — engine-order-independent), "
+    "shares against the nation-partition total, HHI = 10000 * sum of "
+    "squared shares. One grouped agg + one bounded window over the "
+    "supplier-domain frame + one grouped fold; at 100 TB the only "
+    "data-proportional cost is the first (nation, supplier) "
+    "aggregation, which map-side combines. The anti-monopoly twin of "
+    "a44's Gini — together they give a release report the corpus "
+    "source-mix concentration numbers (llm_mixture's diagnostic).",
+)
+def a45_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    share = F.col("cents").cast("double") / F.sum("cents").over(
+        Window.partitionBy("s_nationkey")
+    )
+    return (
+        rev.select("s_nationkey", (share * share).alias("sh2"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(10000.0 * F.sum("sh2"), 4).alias("hhi"),
+        )
+        .select(F.col("s_nationkey").alias("nationkey"), "n_suppliers", "hhi")
+    )
+
+
+@register(
+    "w15_ewma_smooth",
+    "W ⊕ (exponentially weighted moving average)",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+      SELECT event_type, day, cents,
+             lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2,
+             lag(cents, 3) OVER w AS l3, lag(cents, 4) OVER w AS l4,
+             lag(cents, 5) OVER w AS l5, lag(cents, 6) OVER w AS l6,
+             lag(cents, 7) OVER w AS l7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           round(CAST(cents AS DOUBLE) / 100, 2) AS day_value,
+           round((
+              0.3 * cents
+            + 0.3 * 0.7 * coalesce(l1, 0) + 0.3 * 0.49 * coalesce(l2, 0)
+            + 0.3 * 0.343 * coalesce(l3, 0) + 0.3 * 0.2401 * coalesce(l4, 0)
+            + 0.3 * 0.16807 * coalesce(l5, 0) + 0.3 * 0.117649 * coalesce(l6, 0)
+            + 0.3 * 0.0823543 * coalesce(l7, 0)
+           ) / (
+              0.3
+            + CASE WHEN l1 IS NULL THEN 0 ELSE 0.3 * 0.7 END
+            + CASE WHEN l2 IS NULL THEN 0 ELSE 0.3 * 0.49 END
+            + CASE WHEN l3 IS NULL THEN 0 ELSE 0.3 * 0.343 END
+            + CASE WHEN l4 IS NULL THEN 0 ELSE 0.3 * 0.2401 END
+            + CASE WHEN l5 IS NULL THEN 0 ELSE 0.3 * 0.16807 END
+            + CASE WHEN l6 IS NULL THEN 0 ELSE 0.3 * 0.117649 END
+            + CASE WHEN l7 IS NULL THEN 0 ELSE 0.3 * 0.0823543 END
+           ) / 100, 4) AS ewma_value
+    FROM lagged
+    """,
+    doc="Truncated exponentially weighted moving average (alpha = 0.3, "
+    "8 taps, weights renormalized over the taps actually present) of "
+    "the daily event-value series per event_type — the smoothing pass "
+    "a drift monitor runs over ingestion metrics. Two sharp-edge "
+    "disciplines at once: daily sums in EXACT CENTS (integer, "
+    "engine-order-independent) and an explicit (event_type, day) total "
+    "order for the lag chain. The 8-tap truncation bounds the frame "
+    "(a true recurrence needs running state — (1-a)^-n overflows the "
+    "power-sum trick), keeps the window whole-stage-codegen'd, and "
+    "captures 94% of the weight mass (1 - 0.7^8). One shuffle on the "
+    "aggregation key; the lag window reuses it.",
+)
+def w15_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    alpha = 0.3
+    taps = [alpha * (1 - alpha) ** j for j in range(8)]
+    lags = [F.col("cents")] + [F.lag("cents", j).over(w) for j in range(1, 8)]
+    num = sum(
+        (F.lit(t) * F.coalesce(c, F.lit(0)) for t, c in zip(taps, lags)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(c.isNull(), 0.0).otherwise(t) for t, c in zip(taps, lags)),
+        F.lit(0.0),
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.col("cents").cast("double") / 100, 2).alias("day_value"),
+        F.round(num / den / 100, 4).alias("ewma_value"),
     )

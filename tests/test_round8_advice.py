@@ -130,3 +130,82 @@ def test_plan_audit_flags_forward_unbounded_rescan(spark):
     assert forward_rescan_frames(plan_of(bad_offset)) == 1
     assert forward_rescan_frames(plan_of(full)) == 0
     assert forward_rescan_frames(plan_of(running)) == 0
+
+
+def test_gini_matches_mean_absolute_difference_form(spark):
+    """a44's rank-form Gini equals the definitional form
+    G = sum_ij |x_i - x_j| / (2 n^2 mean) on a hand series."""
+    import datetime
+    import itertools
+
+    xs = [100, 200, 200, 500, 1000, 0, 300]
+    n = len(xs)
+    mean = sum(xs) / n
+    g_def = sum(abs(a - b) for a, b in itertools.product(xs, xs)) / (
+        2 * n * n * mean
+    )
+    # rank form over ascending order (ties broken arbitrarily — the
+    # formula is tie-stable because equal x contribute symmetric terms)
+    s = sorted(xs)
+    g_rank = 2 * sum((i + 1) * x for i, x in enumerate(s)) / (
+        n * sum(s)
+    ) - (n + 1) / n
+    assert abs(g_def - g_rank) < 1e-12
+
+    # and the catalog entry's Spark expression reproduces it: build a
+    # one-nation orders/customer pair carrying exactly these totals.
+    d0 = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, i, "O", float(x), d0, "1-URGENT") for i, x in enumerate(xs)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 7, 0.0, "BUILDING") for i in range(n)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    orders.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    cust.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    from praw_etl_student_dropout_spark.plans.catalog import REGISTRY
+
+    got = REGISTRY["a44_gini_customer_value"].builder(spark, d).collect()
+    assert len(got) == 1
+    assert abs(got[0]["gini"] - g_rank) < 1e-6
+
+
+def test_ewma_matches_python_reference(spark):
+    """w15's 8-tap renormalized EWMA equals a pure-Python fold over a
+    hand-built daily series (one event per day, integer cents)."""
+    import datetime
+
+    vals = [10.0, 12.0, 9.5, 20.0, 0.25, 7.75, 14.0, 3.0, 8.5, 11.25]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i, 5, 0, 0), 1, "tick", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from praw_etl_student_dropout_spark.plans.catalog import REGISTRY
+
+    got = {
+        r["day"].day: r["ewma_value"]
+        for r in REGISTRY["w15_ewma_smooth"].builder(spark, d).collect()
+    }
+    alpha, cents = 0.3, [round(v * 100) for v in vals]
+    for t in range(len(vals)):
+        taps = [(alpha * (1 - alpha) ** j, cents[t - j]) for j in range(8) if t - j >= 0]
+        expect = round(sum(w * c for w, c in taps) / sum(w for w, _ in taps) / 100, 4)
+        assert abs(got[1 + t] - expect) < 1e-9, (t, got[1 + t], expect)

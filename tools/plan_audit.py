@@ -67,6 +67,7 @@ EXPECTED_NESTED_LOOP = {
     "etl_zorder_key",        # 1-row global min/max stats broadcast cross join
     "a39_equidepth_histogram",  # 1-row quantile-boundary broadcast cross join
     "a40_kmv_setops",  # four 1-row sketch-stat frames cross-joined (k-row inputs)
+    "a17_cms_heavy_hitters",  # 1-row corpus-total N broadcast cross join (bound check)
 }
 
 

@@ -206,43 +206,57 @@ def _duck_con(sf_dir: str, plain: bool):
     return con
 
 
-def paired_probe(spark, registry, sf_dir: str, plain: bool, n_timed: int = 2) -> dict:
+def paired_probe(
+    spark,
+    registry,
+    sf_dir: str,
+    plain: bool,
+    n_timed: int = 2,
+    queries: list[str] | None = None,
+) -> dict:
     from praw_etl_student_dropout_spark.plans.cache_registry import (
         release_session_caches,
     )
 
     con = _duck_con(sf_dir, plain)
     spark_s, duck_s = {}, {}
-    for name in PAIRED_QUERIES:
+    for name in queries or PAIRED_QUERIES:
         spec = registry[name]
         spec.builder(spark, sf_dir).count()  # warm-up
         release_session_caches()
-        con.sql(spec.oracle).fetchall()
+        if spec.oracle is not None:
+            con.sql(spec.oracle).fetchall()
         st, dt = [], []
         for _ in range(n_timed):
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).count()
             st.append(time.perf_counter() - t0)
             release_session_caches()
-            t0 = time.perf_counter()
-            con.sql(spec.oracle).fetchall()
-            dt.append(time.perf_counter() - t0)
+            if spec.oracle is not None:
+                t0 = time.perf_counter()
+                con.sql(spec.oracle).fetchall()
+                dt.append(time.perf_counter() - t0)
         spark_s[name] = round(min(st), 3)
-        duck_s[name] = round(min(dt), 3)
+        duck_s[name] = round(min(dt), 3) if dt else None
+        ratio = f"{spark_s[name] / duck_s[name]:.2f}" if dt else "n/a (rows-only)"
         print(
-            f"# {name}: spark={spark_s[name]:.3f}s duckdb={duck_s[name]:.3f}s "
-            f"ratio={spark_s[name] / duck_s[name]:.2f}",
+            f"# {name}: spark={spark_s[name]:.3f}s "
+            f"duckdb={duck_s[name] if dt else 'n/a'} ratio={ratio}",
             file=sys.stderr,
         )
     con.close()
     return {
         "spark_s": spark_s,
         "duckdb_s": duck_s,
-        "ratio": {q: round(spark_s[q] / duck_s[q], 2) for q in spark_s},
+        "ratio": {
+            q: round(spark_s[q] / duck_s[q], 2)
+            for q in spark_s
+            if duck_s[q]
+        },
     }
 
 
-def main_paired(scales: list[int], scratch: str) -> None:
+def main_paired(scales: list[int], scratch: str, queries: list[str] | None = None) -> None:
     from praw_etl_student_dropout_spark.plans import catalog_all
     from praw_etl_student_dropout_spark.session import get_spark
 
@@ -250,14 +264,14 @@ def main_paired(scales: list[int], scratch: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = catalog_all()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()  # JVM warm
-    out = {"queries": PAIRED_QUERIES, "scales": {}}
-    out["scales"]["1"] = paired_probe(spark, registry, SF_DIR, plain=True)
+    out = {"queries": queries or PAIRED_QUERIES, "scales": {}}
+    out["scales"]["1"] = paired_probe(spark, registry, SF_DIR, plain=True, queries=queries)
     for n in scales:
         d = f"{scratch}_{n}x"
         if not os.path.isdir(d):
             print(f"# building {n}x replicas in {d}", file=sys.stderr)
             build_replicas(spark, d, n)
-        out["scales"][str(n)] = paired_probe(spark, registry, d, plain=False)
+        out["scales"][str(n)] = paired_probe(spark, registry, d, plain=False, queries=queries)
     print(json.dumps(out))
 
 
@@ -269,8 +283,16 @@ def main() -> None:
             i = args.index("--scratch")
             scratch = args[i + 1]
             del args[i : i + 2]
+        queries = None
+        if "--headline" in args:
+            # VERDICT r7 #3: pair the FULL bench headline set, not just
+            # the perf-watch five — rows-only entries time Spark-only.
+            args.remove("--headline")
+            import bench
+
+            queries = list(bench.HEADLINE)
         scales = [int(a) for a in args] or [8, 32]
-        main_paired(scales, scratch)
+        main_paired(scales, scratch, queries)
         return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale"
