@@ -6577,3 +6577,132 @@ def w15_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents").cast("double") / 100, 2).alias("day_value"),
         F.round(num / den / 100, 4).alias("ewma_value"),
     )
+
+
+@register(
+    "a46_ks_two_sample",
+    "A ⊕ (two-sample Kolmogorov–Smirnov drift test)",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             count(*) FILTER (WHERE event_type = 'click') AS c1,
+             count(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pts
+    ),
+    cum AS (
+      SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+             sum(c2) OVER (ORDER BY v) AS cum2
+      FROM pts
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                 / (n1 * n2), 6) AS ks_stat
+    FROM cum, tot
+    GROUP BY n1, n2
+    """,
+    doc="Two-sample Kolmogorov–Smirnov statistic between the value "
+    "distributions of two event types — the nonparametric drift test "
+    "that complements llm_corpus_drift's JSD (distribution shape, not "
+    "vocabulary). Ties and float order are both neutralized: values "
+    "quantize to exact cents and group FIRST (per-distinct-value "
+    "counts are unordered-sum integers), the empirical CDFs are "
+    "integer running sums over the distinct-value order, and the sup "
+    "gap is maximized as the INTEGER |cum1*n2 - cum2*n1| before the "
+    "single division — bit-identical on any engine, any partitioning. "
+    "One aggregation shuffle + one bounded window over the distinct "
+    "value domain; the 1-row totals broadcast back.",
+)
+def a46_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    pts = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.round(F.col("value") * 100).cast("long").alias("v"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                ).cast("double")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("ks_stat")
+        )
+        .select("n1", "n2", "ks_stat")
+    )
+
+
+@register(
+    "a47_benford_deviation",
+    "A ⊕ (data-quality audit: Benford first-digit deviation)",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS INTEGER) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT d, count(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT d,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_freq,
+           round(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_freq,
+           round(abs(CAST(n AS DOUBLE) / total - ln(1.0 + 1.0 / d) / ln(10.0)), 6)
+             AS abs_dev
+    FROM obs, tot
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "fraud/synthetic-data smoke test a data-quality report runs on any "
+    "monetary column (genuinely organic magnitudes follow "
+    "log10(1 + 1/d); uniform generators, truncations, and copy-paste "
+    "batches don't). First digit is taken from the EXACT-CENTS integer "
+    "rendering (no float formatting divergence), expected frequencies "
+    "from the closed form, both rounded at 6. One aggregation to the "
+    "9-row digit domain + a 1-row total broadcast back — a "
+    "whole-corpus audit for the cost of one scan.",
+)
+def a47_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = _t(spark, sf_dir, "orders")["orders"]
+    digits = ords.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log(F.lit(1.0) + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    freq = F.col("n").cast("double") / F.col("total")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n"),
+            F.round(freq, 6).alias("observed_freq"),
+            F.round(benford, 6).alias("benford_freq"),
+            F.round(F.abs(freq - benford), 6).alias("abs_dev"),
+        )
+    )

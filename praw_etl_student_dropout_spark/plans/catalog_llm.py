@@ -3042,3 +3042,91 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(ip)).cast("long").alias("n_ips"),
         F.length(redacted).cast("long").alias("redacted_len"),
     )
+
+
+@register(
+    "u6_url_normalize",
+    "U6 ⊕ (URL parsing + canonicalization)",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+               || CAST(doc_id % 3 AS VARCHAR) || '.com/p/'
+               || CAST(doc_id AS VARCHAR) || '/x?utm_source=feed&id='
+               || CAST(doc_id % 50 AS VARCHAR) || '&utm_medium=rss#frag'
+               AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '([a-z0-9-]+\.[a-z]+)$',
+             1) AS reg_domain_probe,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+             '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS registrable_domain,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(url,
+             '#.*$', '', 'g'),
+             '(\?|&)utm_[a-z]+=[^&#]*', '\1', 'g'),
+             '&+', '&', 'g'),
+             '\?&', '?', 'g'),
+             '[?&]+$', '', 'g') AS canonical_probe,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+    FROM urls
+    """,
+    doc="URL parse + canonicalize — the crawl-pipeline normalization "
+    "step (dedup by registrable domain, strip tracking params, drop "
+    "fragments) expressed entirely in RE2-portable regex so Spark and "
+    "DuckDB extract identical pieces: host, registrable domain "
+    "(last two labels of the host), path, the utm_*-stripped "
+    "fragment-free canonical form, and a named query parameter. "
+    "Spark's parse_url exists but has no DuckDB twin — the regex form "
+    "IS the oracle-checkable contract, and stays row-local / "
+    "zero-shuffle / codegen'd. Fixture docs carry no URLs, so a "
+    "deterministic URL is composed from doc_id (the llm_pii_scrub "
+    "injection pattern) — every extracted value is a real nonzero "
+    "cross-engine match.",
+)
+def u6_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    url = F.concat(
+        F.lit("https://sub"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/x?utm_source=feed&id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_medium=rss#frag"),
+    )
+    host = F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_extract(url, r"([a-z0-9-]+\.[a-z]+)$", 1).alias(
+            "reg_domain_probe"
+        ),
+        F.regexp_extract(host, r"([a-z0-9-]+\.[a-z0-9-]+)$", 1).alias(
+            "registrable_domain"
+        ),
+        F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(url, r"#.*$", ""),
+                        r"(\?|&)utm_[a-z]+=[^&#]*",
+                        r"$1",
+                    ),
+                    r"&+",
+                    "&",
+                ),
+                r"\?&",
+                "?",
+            ),
+            r"[?&]+$",
+            "",
+        ).alias("canonical_probe"),
+        F.regexp_extract(url, r"[?&]id=([^&#]*)", 1).alias("id_param"),
+    )

@@ -68,6 +68,8 @@ EXPECTED_NESTED_LOOP = {
     "a39_equidepth_histogram",  # 1-row quantile-boundary broadcast cross join
     "a40_kmv_setops",  # four 1-row sketch-stat frames cross-joined (k-row inputs)
     "a17_cms_heavy_hitters",  # 1-row corpus-total N broadcast cross join (bound check)
+    "a46_ks_two_sample",   # 1-row (n1,n2) totals broadcast cross join
+    "a47_benford_deviation",  # 1-row digit-total broadcast cross join
 }
 
 
@@ -104,6 +106,10 @@ EXPECTED_GLOBAL_WINDOW = {
     # corpus_build composes the mixture window (source-domain frame) and
     # pack_sequences' offsets window (≤ #partitions rows) — both bounded.
     "llm_corpus_build",
+    # KS empirical-CDF running sums order the DISTINCT-cents domain
+    # (bounded by the value range, not the row count) — the
+    # a28/a31-style domain-frame exception.
+    "a46_ks_two_sample",
 }
 
 
