@@ -209,3 +209,78 @@ def test_ewma_matches_python_reference(spark):
         taps = [(alpha * (1 - alpha) ** j, cents[t - j]) for j in range(8) if t - j >= 0]
         expect = round(sum(w * c for w, c in taps) / sum(w for w, _ in taps) / 100, 4)
         assert abs(got[1 + t] - expect) < 1e-9, (t, got[1 + t], expect)
+
+
+def test_ks_matches_python_reference(spark, tmp_path):
+    """a46's integer-CDF KS equals a pure-Python two-sample KS on a
+    hand-built events table with deliberate cross-group ties."""
+    import bisect
+    import datetime
+
+    a = [1.00, 2.50, 2.50, 3.75, 9.99, 2.50]   # click
+    b = [0.50, 2.50, 4.00, 4.00, 7.25]          # purchase
+    d0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, d0, i, "click", v, "{}") for i, v in enumerate(a)
+    ] + [
+        (100 + i, d0, i, "purchase", v, "{}") for i, v in enumerate(b)
+    ] + [(999, d0, 1, "view", 5.0, "{}")]  # excluded type
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "ks")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from praw_etl_student_dropout_spark.plans.catalog import REGISTRY
+
+    got = REGISTRY["a46_ks_two_sample"].builder(spark, d).collect()[0]
+
+    sa, sb = sorted(a), sorted(b)
+    pts = sorted(set(sa) | set(sb))
+    ks = max(
+        abs(
+            bisect.bisect_right(sa, x) / len(sa)
+            - bisect.bisect_right(sb, x) / len(sb)
+        )
+        for x in pts
+    )
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert abs(got["ks_stat"] - round(ks, 6)) < 1e-9
+
+
+def test_hhi_matches_python_reference(spark, tmp_path):
+    """a45's HHI equals the definitional sum of squared shares, and a
+    single-supplier nation scores the 10000 monopoly maximum."""
+    li = spark.createDataFrame(
+        # (orderkey, partkey, suppkey, linenumber, qty, price, disc, tax, rf, ls, shipdate)
+        [
+            (1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", None),
+            (2, 1, 10, 1, 1.0, 300.0, 0.5, 0.0, "N", "O", None),
+            (3, 1, 11, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", None),
+            (4, 1, 20, 1, 1.0, 777.0, 0.0, 0.0, "N", "O", None),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    sup = spark.createDataFrame(
+        [(10, "s10", 1, 0.0), (11, "s11", 1, 0.0), (20, "s20", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    d = str(tmp_path / "hhi")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    sup.write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    from praw_etl_student_dropout_spark.plans.catalog import REGISTRY
+
+    got = {
+        r["nationkey"]: (r["n_suppliers"], r["hhi"])
+        for r in REGISTRY["a45_hhi_concentration"].builder(spark, d).collect()
+    }
+    # nation 1: supplier 10 revenue 100+150=250 cents=25000; supplier 11 = 50 (5000)
+    s1, s2 = 25000, 5000
+    tot = s1 + s2
+    hhi1 = round(10000 * ((s1 / tot) ** 2 + (s2 / tot) ** 2), 4)
+    assert got[1] == (2, hhi1)
+    assert got[2] == (1, 10000.0)
