@@ -949,3 +949,74 @@ def test_minhash_screen_stream_matches_batch_and_resumes(spark, sf_dir, tmp_path
     stream2 = spark.readStream.schema(DOCUMENTS).parquet(arriving)
     minhash_screen_stream(stream2, index_dir, target, ckpt, threshold=0.5)
     assert spark.read.parquet(target).count() == len(got)
+
+
+def test_incremental_reference_stream_equals_batch(spark, tmp_path):
+    """CAPSTONE — the reference's actual operating mode (re-run the
+    script on a cadence, INSERT IGNORE keeping the warehouse stable) as
+    a checkpointed stream: drain the same raw posts in two micro-batch
+    files and the final star read-back must VALUE-equal the one-shot
+    batch pipeline (surrogate ids may differ; the read-back resolves
+    them to natural values, which is what the reference consumed)."""
+    from praw_etl_student_dropout_spark.plans.reference_pipeline import (
+        extract,
+        run_pipeline,
+    )
+    from praw_etl_student_dropout_spark.streaming.incremental_reference import (
+        _reference_merge_one_batch,
+        incremental_reference_stream,
+        query_star_incremental,
+    )
+
+    from praw_etl_student_dropout_spark.plans.reference_pipeline import (
+        query_star,
+    )
+
+    keys, terms = ["college", "gradschool"], ["dropout", "quit school"]
+    fetcher = "praw_etl_student_dropout_spark.sources.fake_api:fetch_page"
+
+    # one-shot batch reference over ALL posts
+    batch_wh = str(tmp_path / "wh_batch")
+    res = run_pipeline(spark, keys, terms, batch_wh, fetcher=fetcher)
+    batch_star = _as_set(res.heatmap)
+    batch_rows = _as_set(query_star(spark, batch_wh))
+    raw_count = res.raw_count
+
+    # the same raw posts, split into two arrival files (glob path: each
+    # write lands as its own subdirectory the file source then lists)
+    raw = extract(spark, keys, terms, fetcher).cache()
+    posts_dir = tmp_path / "posts"
+    posts_dir.mkdir()
+    half = F.abs(F.xxhash64("id")) % 2
+    raw.filter(half == 0).coalesce(1).write.parquet(str(posts_dir / "f0"))
+    inc_wh = str(tmp_path / "wh_inc")
+    ckpt = str(tmp_path / "ckpt")
+    incremental_reference_stream(spark, str(posts_dir) + "/*", inc_wh, ckpt)
+    raw.filter(half == 1).coalesce(1).write.parquet(str(posts_dir / "f1"))
+    incremental_reference_stream(spark, str(posts_dir) + "/*", inc_wh, ckpt)
+
+    star = query_star_incremental(spark, inc_wh)
+    assert star.count() == raw_count
+    # full value equality of the analytics surface
+    from praw_etl_student_dropout_spark.operators.aggregations import (
+        pivot_count,
+    )
+
+    inc_heat = _as_set(
+        pivot_count(
+            star.select("subreddit", "sentiment_label"),
+            row_key="subreddit",
+            pivot_key="sentiment_label",
+            pivot_values=["positive", "negative", "neutral"],
+        )
+    )
+    assert inc_heat == batch_star
+    # row-level parity too (id-resolved natural values)
+    assert _as_set(star) == batch_rows
+
+    # replay idempotence: re-running the LAST batch changes nothing
+    last = spark.read.parquet(str(posts_dir / "f1"))
+    before = _as_set(query_star_incremental(spark, inc_wh))
+    _reference_merge_one_batch(last, 1, inc_wh)
+    assert _as_set(query_star_incremental(spark, inc_wh)) == before
+    raw.unpersist()
