@@ -394,3 +394,41 @@ def bloom_semi_reduce(
         on=probe_key,
         how="left_semi",
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_val: str,
+    right_val: str,
+    eps: float,
+) -> DataFrame:
+    """Numeric ε-band equi-accelerated join: pairs with
+    ``|left_val - right_val| <= eps`` (plus the key equality) — the
+    value-space sibling of the time-bin interval join above, used for
+    sensor alignment, price matching, and numeric near-dup blocking.
+
+    A naive theta join is an O(n·m) nested loop. Quantizing both sides
+    to ``eps``-wide bins makes bin adjacency NECESSARY for the band
+    predicate (two values within eps differ by at most one bin), so the
+    left side explodes into its bin and both neighbors (3 rows), the
+    join is a plain hash equi-join on (keys..., bin), and the exact
+    band predicate verifies — lossless, with candidate fan-out bounded
+    by 3x the per-bin occupancy. Null values drop (band distance to an
+    unknown value is undefined), mirroring interval_overlap_join's
+    deliberate-drop contract.
+    """
+    bw = float(eps)
+    lbin = F.floor(F.col(left_val) / F.lit(bw)).cast("long")
+    rbin = F.floor(F.col(right_val) / F.lit(bw)).cast("long")
+    lb = (
+        left.filter(F.col(left_val).isNotNull())
+        .withColumn("__bin", F.explode(F.array(lbin - 1, lbin, lbin + 1)))
+    )
+    rb = right.filter(F.col(right_val).isNotNull()).withColumn("__bin", rbin)
+    return (
+        lb.join(rb, keys + ["__bin"])
+        .filter(F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(bw))
+        .drop("__bin")
+    )

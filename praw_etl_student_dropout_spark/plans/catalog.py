@@ -6706,3 +6706,48 @@ def a47_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(freq - benford), 6).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "j15_band_join",
+    "J ⊕ (numeric ε-band join, bin-decomposed)",
+    """
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(p.event_id + c.event_id) AS BIGINT) AS pair_checksum,
+           round(min(abs(p.value - c.value)), 6) AS closest_gap
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND abs(p.value - c.value) <= 0.5
+    GROUP BY p.user_id
+    """,
+    doc="Numeric ε-band join (operators/joins.py::band_join): each "
+    "user's purchases paired with their clicks of nearly-equal value "
+    "(|Δ| <= 0.5) — the sensor-alignment / price-match / numeric "
+    "near-dup blocking shape. The oracle states the O(n·m) theta join; "
+    "the Spark side quantizes both sides to ε-wide bins so adjacency "
+    "is NECESSARY for the band predicate: left explodes into bin±1, a "
+    "plain hash equi-join on (user_id, bin) generates candidates, the "
+    "exact predicate verifies — lossless (a driver grade proves it "
+    "against the brute-force oracle), and the nested loop never "
+    "happens. Aggregated per user (count, id checksum, closest gap) so "
+    "the grade covers every pair without emitting the pair set.",
+)
+def j15_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import band_join
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("value").alias("p_val")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("value").alias("c_val")
+    )
+    pairs = band_join(p, c, ["user_id"], "p_val", "c_val", eps=0.5)
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("p_id") + F.col("c_id")).cast("long").alias("pair_checksum"),
+        F.round(F.min(F.abs(F.col("p_val") - F.col("c_val"))), 6).alias(
+            "closest_gap"
+        ),
+    )

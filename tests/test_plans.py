@@ -412,3 +412,51 @@ def test_weighted_sample_is_take_ordered(spark, sf_dir, registry):
 def test_kmv_sketch_is_take_ordered(spark, sf_dir, registry):
     plan = plan_of(registry["a36_kmv_quantiles"].builder(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_groupby_dedup_has_no_big_exchange(spark, sf_dir, tmp_path):
+    """The d2 lever (BASELINE §round-8): groupBy on the bucket column
+    aggregates ON the bucketed scan — the data-proportional exchange is
+    gone; only the tiny post-collapse returnflag regroup remains."""
+    from praw_etl_student_dropout_spark.operators.bucketing import write_bucketed
+    from praw_etl_student_dropout_spark.operators.setops import dedup_by_key
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    write_bucketed(
+        li, "b_li_dedup", ["l_orderkey"], num_buckets=8,
+        path=str(tmp_path / "bld"),
+    )
+
+    def d2_shape(src):
+        first = dedup_by_key(
+            src.select(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "l_quantity", "l_extendedprice", "l_returnflag",
+            ),
+            ["l_orderkey"],
+            tiebreak=["l_linenumber", "l_partkey", "l_suppkey",
+                      "l_quantity", "l_extendedprice"],
+        )
+        return first.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+
+    def shuffle_exchanges(df):
+        plan = plan_of(df)
+        return sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange" in line
+            and "ReusedExchange" not in line
+            and "BroadcastExchange" not in line
+        )
+
+    plain = d2_shape(li)
+    bucketed = d2_shape(spark.table("b_li_dedup"))
+    assert shuffle_exchanges(plain) == 2
+    assert shuffle_exchanges(bucketed) == 1  # only the 3-group regroup
+    # and value-identical results
+    assert {tuple(r) for r in bucketed.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
