@@ -6751,3 +6751,96 @@ def j15_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "closest_gap"
         ),
     )
+
+
+@register(
+    "a48_autocorrelation",
+    "A ⊕ (lag-k autocorrelation of a daily series)",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+      SELECT event_type, cents,
+             lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n, sum(cents) AS s, sum(cents * cents) AS s2,
+             sum(CASE WHEN l1 IS NOT NULL THEN cents * l1 END) AS x1,
+             sum(CASE WHEN l1 IS NOT NULL THEN cents END) AS a1,
+             sum(CASE WHEN l1 IS NOT NULL THEN l1 END) AS b1,
+             count(l1) AS n1,
+             sum(CASE WHEN l7 IS NOT NULL THEN cents * l7 END) AS x7,
+             sum(CASE WHEN l7 IS NOT NULL THEN cents END) AS a7,
+             sum(CASE WHEN l7 IS NOT NULL THEN l7 END) AS b7,
+             count(l7) AS n7
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round((CAST(x1 AS DOUBLE) - CAST(a1 AS DOUBLE) * b1 / n1)
+                 / (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+             AS acf_lag1,
+           round((CAST(x7 AS DOUBLE) - CAST(a7 AS DOUBLE) * b7 / n7)
+                 / (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+             AS acf_lag7
+    FROM stats
+    """,
+    doc="Lag-1 and lag-7 autocorrelation of each event type's daily "
+    "value series — the seasonality/trend detector that rounds out the "
+    "drift toolkit (w15 EWMA smooths, a46 KS compares distributions, "
+    "this measures serial structure). All moments are INTEGER power "
+    "sums over exact cents (the a16 discipline — no cross-engine "
+    "float-order divergence; the only doubles appear in the final "
+    "closed-form division, identical IEEE on both engines). ACF_k = "
+    "cov(x_t, x_{t-k}) / var(x) with the standard denominator over the "
+    "full series. One aggregation shuffle; the lag windows reuse its "
+    "partitioning; per-type output is domain-bounded.",
+)
+def a48_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lag("cents", 7).over(w).alias("l7"),
+    )
+    c, l1, l7 = F.col("cents"), F.col("l1"), F.col("l7")
+    stats = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s"),
+        F.sum(c * c).alias("s2"),
+        F.sum(F.when(l1.isNotNull(), c * l1)).alias("x1"),
+        F.sum(F.when(l1.isNotNull(), c)).alias("a1"),
+        F.sum(F.when(l1.isNotNull(), l1)).alias("b1"),
+        F.count(l1).alias("n1"),
+        F.sum(F.when(l7.isNotNull(), c * l7)).alias("x7"),
+        F.sum(F.when(l7.isNotNull(), c)).alias("a7"),
+        F.sum(F.when(l7.isNotNull(), l7)).alias("b7"),
+        F.count(l7).alias("n7"),
+    )
+    var = F.col("s2").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+
+    def acf(x, a, b, nk):
+        return F.round(
+            (F.col(x).cast("double") - F.col(a).cast("double") * F.col(b) / F.col(nk))
+            / var,
+            6,
+        )
+
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        acf("x1", "a1", "b1", "n1").alias("acf_lag1"),
+        acf("x7", "a7", "b7", "n7").alias("acf_lag7"),
+    )
