@@ -6844,3 +6844,79 @@ def a48_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf("x1", "a1", "b1", "n1").alias("acf_lag1"),
         acf("x7", "a7", "b7", "n7").alias("acf_lag7"),
     )
+
+
+@register(
+    "a49_mann_whitney",
+    "A ⊕ (Mann–Whitney U rank-sum test)",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             count(*) FILTER (WHERE event_type = 'click') AS c1,
+             count(*) FILTER (WHERE event_type = 'purchase') AS c2,
+             count(*) AS c
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c,
+             sum(c) OVER (ORDER BY v) - c AS cum_prev
+      FROM pts
+    ),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM pts)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(sum(c1 * (2 * cum_prev + c + 1)) - n1 * (n1 + 1) AS BIGINT)
+             AS u1_doubled,
+           round(CAST(sum(c1 * (2 * cum_prev + c + 1)) - n1 * (n1 + 1)
+                      AS DOUBLE) / (2.0 * n1 * n2), 6) AS auc
+    FROM cum, tot
+    GROUP BY n1, n2
+    """,
+    doc="Mann–Whitney U between two event types' value distributions — "
+    "the rank-based location test beside a46's KS (KS sees any shape "
+    "difference; U targets stochastic dominance, and U/(n1·n2) IS the "
+    "AUC of one sample over the other). Entirely integer until the "
+    "final division (the a41 doubled-rank trick): quantize to exact "
+    "cents, group to per-distinct-value counts, tie-averaged ranks as "
+    "2·avg_rank = 2·cum_prev + c + 1 (always an integer), "
+    "U1_doubled = 2·R1 − n1(n1+1). One aggregation shuffle + one "
+    "window over the distinct-cents domain + a 1-row totals broadcast "
+    "— bit-identical on any engine, any partitioning.",
+)
+def a49_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    pts = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.round(F.col("value") * 100).cast("long").alias("v"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        "c1",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+    )
+    tot = pts.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    r1d = F.sum(F.col("c1") * (2 * F.col("cum_prev") + F.col("c") + 1))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            (r1d - F.col("n1") * (F.col("n1") + 1)).cast("long").alias("u1_doubled"),
+            F.round(
+                (r1d - F.col("n1") * (F.col("n1") + 1)).cast("double")
+                / (2.0 * F.col("n1") * F.col("n2")),
+                6,
+            ).alias("auc"),
+        )
+        .select("n1", "n2", "u1_doubled", "auc")
+    )

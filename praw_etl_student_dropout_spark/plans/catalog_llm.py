@@ -3130,3 +3130,48 @@ def u6_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("canonical_probe"),
         F.regexp_extract(url, r"[?&]id=([^&#]*)", 1).alias("id_param"),
     )
+
+
+@register(
+    "u7_radius_search",
+    "U7 ⊕ (threshold / radius similarity search)",
+    f"""
+    SELECT query_id, vec_id, round(score, 6) AS score FROM (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             {SQL_COSINE.format(a='q.embedding', b='c.embedding')} AS score
+      FROM (SELECT * FROM embeddings WHERE vec_id < 6) q
+      CROSS JOIN embeddings c
+      WHERE q.vec_id != c.vec_id
+    ) WHERE round(score, 6) >= 0.12
+    """,
+    doc="Radius search — ALL corpus vectors within a similarity "
+    "threshold of each query (cosine >= tau, self excluded), the "
+    "retrieval mode dedup sweeps and recall-oriented RAG use when "
+    "top-k's fixed cutoff is wrong (result count varies per query; "
+    "top-k is u7_knn_bruteforce). Same scale shape as the exact knn "
+    "baseline: broadcast query set x one corpus scan with hoisted "
+    "norms, no window needed — the threshold filter replaces the "
+    "rank cutoff, so the plan is pure scan+filter (no top-k sort at "
+    "all). At 100 TB the first stage swaps for the IVF probe join "
+    "exactly like knn; every returned score is exact.",
+)
+def u7_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(e.select("vec_id", "embedding"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("embedding")), 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= 0.12)
+    )

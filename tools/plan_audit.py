@@ -39,6 +39,7 @@ EXPECTED_NESTED_LOOP = {
     "d3b_fuzzy_name_pairs",
     "d3_embedding_dup_exact",
     "u7_knn_bruteforce",
+    "u7_radius_search",  # broadcast query crossJoin, the brute-force scoring shape (r8)
     "llm_hard_negatives",  # broadcast query crossJoin, the brute-force scoring shape (r7)
     "u7_knn_ivf",
     "u7_kmeans_ivf",
@@ -69,6 +70,7 @@ EXPECTED_NESTED_LOOP = {
     "a40_kmv_setops",  # four 1-row sketch-stat frames cross-joined (k-row inputs)
     "a17_cms_heavy_hitters",  # 1-row corpus-total N broadcast cross join (bound check)
     "a46_ks_two_sample",   # 1-row (n1,n2) totals broadcast cross join
+    "a49_mann_whitney",    # same 1-row totals broadcast cross join
     "a47_benford_deviation",  # 1-row digit-total broadcast cross join
 }
 
@@ -110,6 +112,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # (bounded by the value range, not the row count) — the
     # a28/a31-style domain-frame exception.
     "a46_ks_two_sample",
+    # Mann–Whitney's tie-averaged ranks run over the same
+    # distinct-cents domain frame.
+    "a49_mann_whitney",
 }
 
 
