@@ -112,6 +112,17 @@ PROBE_QUERIES = [
     "u6_vocab_coverage",     # token explode + broadcast vocab (r7)
     "llm_hard_negatives",    # broadcast-query brute-force scoring (r7)
     "llm_dataset_card",      # one-scan multi-distinct Expand (r7)
+    "a44_gini_customer_value",  # rank window + closed-form fold (r8)
+    "a45_hhi_concentration",    # one grouped pass + squared-share fold (r8)
+    "a46_ks_two_sample",        # two CDF windows over the value domain (r8)
+    "a47_benford_deviation",    # first-digit histogram, one grouped pass (r8)
+    "a48_autocorrelation",      # daily-series power sums, lag joins (r8)
+    "a49_mann_whitney",         # distinct-domain tie ranks + rank-sum (r8)
+    "w15_ewma_smooth",          # 8-tap lag chain over daily sums (r8)
+    "j15_band_join",            # eps-bin explode + hash equi-join (r8)
+    "llm_pii_scrub",            # row-local regex chains, zero shuffle (r8)
+    "u7_radius_search",         # scan+filter threshold search (r8)
+    "u6_url_normalize",         # row-local URL canonicalization (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
