@@ -824,3 +824,94 @@ def mmr_rerank(
         return pd.DataFrame(rows, columns=[query_id, corpus_id, "mmr_rank", "mmr_score"])
 
     return candidates.groupBy(query_id).applyInPandas(_mmr, schema=out_schema)
+
+
+def int8_quantize(
+    df: DataFrame, vec_col: str, out_q: str = "qvec", out_norm2: str = "qnorm2"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the FAISS SQ8 /
+    vector-DB memory-compression recipe): q_i = round(x_i * 127 / max|x|),
+    so every component lands in [-127, 127] and the vector costs 1 byte a
+    dimension instead of 4. Adds the quantized BIGINT array plus its exact
+    integer squared norm; zero-vectors (max|x| = 0) are dropped — they have
+    no direction to preserve.
+
+    Every derived number is integer-exact, which is what makes the
+    downstream quantized-cosine scores bit-stable across engines: the only
+    floats in the whole pipeline are IEEE-exact casts of integers, one
+    sqrt, and one division (both correctly rounded by IEEE-754), never an
+    accumulation whose order could differ.
+    """
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    qvec = F.transform(
+        x, lambda v: F.round(v.cast("double") * 127.0 / F.col("__scale")).cast("long")
+    )
+    norm2 = F.aggregate(
+        F.col(out_q), F.lit(0).cast("long"), lambda acc, q: acc + q * q
+    )
+    return (
+        df.withColumn("__scale", scale)
+        .filter(F.col("__scale") > 0)
+        .withColumn(out_q, qvec)
+        .withColumn(out_norm2, norm2)
+        .drop("__scale")
+    )
+
+
+def int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k over int8-quantized vectors by QUANTIZED cosine:
+    int_dot / sqrt(qnorm2_q * qnorm2_c) — the per-vector scales cancel, so
+    the score is the true cosine of the quantized vectors and is
+    comparable across vectors without any dequantization float path.
+
+    Scale shape: identical to brute_force_topk (broadcast query side x one
+    corpus scan, WindowGroupLimit top-k) but the corpus column it scans is
+    4x smaller and the inner loop is integer multiply-add — the practical
+    first rung of memory-bound ANN before IVF/PQ. int_dot and the norms
+    stay in int64 (|q| <= 127, d <= ~500k dims before overflow); the final
+    sqrt/division are IEEE-correctly-rounded single ops, hence
+    cross-engine deterministic, unlike float dot products.
+    """
+    from pyspark.sql import Window
+
+    q = int8_quantize(queries, query_vec, out_q="__qq", out_norm2="__qn2")
+    c = int8_quantize(corpus, corpus_vec, out_q="__cq", out_norm2="__cn2")
+    int_dot = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q.select(query_id, "__qq", "__qn2")))
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn("int_dot", int_dot)
+        .withColumn(
+            "qcos",
+            F.col("int_dot").cast("double")
+            / F.sqrt((F.col("__qn2") * F.col("__cn2")).cast("double")),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("qcos").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            "int_dot",
+            F.round("qcos", 6).alias("qcos"),
+            "rank",
+        )
+    )

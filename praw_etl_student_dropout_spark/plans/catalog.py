@@ -6920,3 +6920,189 @@ def a49_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n1", "n2", "u1_doubled", "auc")
     )
+
+
+@register(
+    "a50_survival_km",
+    "A ⊕ (Kaplan–Meier dropout risk table)",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_mi,
+             max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_mi
+      FROM orders GROUP BY 1
+    ),
+    horizon AS (
+      SELECT max(year(o_orderdate) * 12 + month(o_orderdate)) AS max_mi
+      FROM orders
+    ),
+    tagged AS (
+      SELECT CAST(last_mi - first_mi AS BIGINT) AS tenure_months,
+             CASE WHEN last_mi >= max_mi - 2 THEN 1 ELSE 0 END AS censored
+      FROM cust, horizon
+    ),
+    per_t AS (
+      SELECT tenure_months,
+             CAST(sum(1 - censored) AS BIGINT) AS n_events,
+             CAST(sum(censored) AS BIGINT) AS n_censored,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM tagged GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_total) AS grand FROM per_t)
+    SELECT tenure_months,
+           CAST(grand - (sum(n_total) OVER (ORDER BY tenure_months)
+                         - n_total) AS BIGINT) AS n_risk,
+           n_events, n_censored,
+           round(CAST(n_events AS DOUBLE) /
+                 (grand - (sum(n_total) OVER (ORDER BY tenure_months)
+                           - n_total)), 6) AS hazard
+    FROM per_t, tot
+    """,
+    doc="Kaplan–Meier risk table for customer dropout — the survival-"
+    "analysis shape the reference repo's namesake (student dropout) "
+    "calls for, on the warehouse's own order history. Tenure = months "
+    "between a customer's first and last order; customers whose last "
+    "order falls in the final 3-month observation window are right-"
+    "CENSORED (still active, not dropped out). Emits the exact integer "
+    "risk table per tenure month — n_risk (still observed at t), "
+    "n_events (dropped at t), n_censored — plus the discrete hazard "
+    "n_events/n_risk; the survival curve is the client-side running "
+    "product of (1 - hazard), kept out of the engine because a "
+    "cross-engine float product is not bit-stable while the integer "
+    "table is. Scale shape: one groupBy(custkey) shuffle + a window "
+    "over the tiny tenure-month domain; n_risk is computed as "
+    "grand_total - exclusive-forward-cumsum, NEVER a reverse "
+    "[current, unboundedFollowing] frame (the t8 O(n^2) trap, "
+    "SURVEY §9a).",
+)
+def a50_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    mi = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cust = orders.groupBy("o_custkey").agg(
+        F.min(mi).alias("first_mi"), F.max(mi).alias("last_mi")
+    )
+    # global horizon from the per-customer maxima — same value as
+    # max(mi) over orders, one fewer scan of the fact table
+    horizon = cust.agg(F.max("last_mi").alias("max_mi"))
+    tagged = cust.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_mi") - F.col("first_mi")).cast("long").alias("tenure_months"),
+        F.when(F.col("last_mi") >= F.col("max_mi") - 2, 1).otherwise(0).alias("censored"),
+    )
+    per_t = tagged.groupBy("tenure_months").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_events"),
+        F.sum("censored").cast("long").alias("n_censored"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    tot = per_t.agg(F.sum("n_total").alias("grand"))
+    w = Window.orderBy("tenure_months").rowsBetween(Window.unboundedPreceding, 0)
+    n_risk = F.col("grand") - (F.sum("n_total").over(w) - F.col("n_total"))
+    return (
+        per_t.crossJoin(F.broadcast(tot))
+        .select(
+            "tenure_months",
+            n_risk.cast("long").alias("n_risk"),
+            "n_events",
+            "n_censored",
+            F.round(F.col("n_events").cast("double") / n_risk, 6).alias("hazard"),
+        )
+    )
+
+
+@register(
+    "a51_bootstrap_ci",
+    "A ⊕ (hash-coin bootstrap confidence interval)",
+    """
+    WITH reps AS (SELECT unnest(range(32)) AS b),
+    inc AS (
+      SELECT b, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders CROSS JOIN reps
+      WHERE CAST(concat('0x', substring(md5(concat(
+              CAST(o_orderkey AS VARCHAR), '#', CAST(b AS VARCHAR))), 1, 6))
+            AS BIGINT) % 2 = 0
+    ),
+    rep_means AS (
+      SELECT b, round(sum(cents) / (100.0 * count(*)), 6) AS m
+      FROM inc GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rn,
+             count(*) OVER () AS nb
+      FROM rep_means
+    ),
+    full_mean AS (
+      SELECT round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   / (100.0 * count(*)), 6) AS mean_full
+      FROM orders
+    )
+    SELECT CAST(max(nb) AS BIGINT) AS b_replicates,
+           max(mean_full) AS mean_full,
+           max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+           max(CASE WHEN rn = nb - 1 THEN m END) AS ci_hi
+    FROM ranked, full_mean
+    """,
+    doc="Distribution-free confidence interval for the mean order price "
+    "via a DETERMINISTIC half-sampling bootstrap: replicate b of 32 "
+    "includes an order iff the first-6-hex md5(orderkey#b) coin is "
+    "even — a pure function of (key, replicate), so any engine, any "
+    "partitioning, any rerun draws the identical resamples (the same "
+    "portability coin as the sampling family), which is what makes a "
+    "resampling procedure oracle-checkable at all. Replicate means "
+    "over exact cents; the CI is the 2nd-lowest / 2nd-highest of the "
+    "32 sorted means (~94% empirical coverage). Scale shape: a narrow "
+    "(key, cents) projection fans out x32 BEFORE the shuffle but "
+    "map-side partial aggregation collapses each task to <=32 partial "
+    "sums — the exchange carries 32 rows per task regardless of data "
+    "size, then a 32-row sort on the driver-sized tail. No RNG state, "
+    "no broadcast of samples, no quadratic anything.",
+)
+def a51_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    rep_means = (
+        orders.select(F.col("o_orderkey"), cents.alias("cents"))
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+        .filter(coin == 0)
+        .groupBy("b")
+        .agg(
+            F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 6).alias("m")
+        )
+    )
+    full_mean = orders.agg(
+        F.round(F.sum(cents) / (100.0 * F.count(F.lit(1))), 6).alias("mean_full")
+    )
+    # 32 replicate means: collapse to one sorted array (order-insensitive
+    # collect + sort_array with (m, b) tiebreak = deterministic), pick the
+    # 2nd-lowest / 2nd-highest as the interval.
+    stats = rep_means.agg(
+        F.sort_array(F.collect_list(F.struct(F.col("m"), F.col("b")))).alias("ms"),
+        F.count(F.lit(1)).cast("long").alias("b_replicates"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(full_mean))
+        .select(
+            "b_replicates",
+            "mean_full",
+            F.element_at(F.col("ms"), 2)["m"].alias("ci_lo"),
+            F.element_at(F.col("ms"), -2)["m"].alias("ci_hi"),
+        )
+    )

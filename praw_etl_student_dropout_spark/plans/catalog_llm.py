@@ -3175,3 +3175,68 @@ def u7_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= 0.12)
     )
+
+
+@register(
+    "u7_int8_ann",
+    "U7 ⊕ (int8 scalar-quantized retrieval)",
+    """
+    WITH z AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                 list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+               ) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+    ),
+    zn AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS n2
+      FROM z
+    )
+    SELECT query_id, vec_id, int_dot, round(qcos, 6) AS qcos, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS int_dot,
+             CAST(CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(q.n2 * c.n2 AS DOUBLE)) AS qcos,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY CAST(CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS DOUBLE)
+                          / sqrt(CAST(q.n2 * c.n2 AS DOUBLE)) DESC,
+                        c.vec_id ASC
+             ) AS INTEGER) AS rank
+      FROM (SELECT * FROM zn WHERE vec_id < 4) q
+      CROSS JOIN zn c
+      WHERE q.vec_id != c.vec_id
+    ) WHERE rank <= 10
+    """,
+    doc="Top-k retrieval over int8 scalar-quantized embeddings (FAISS "
+    "SQ8 recipe): q_i = round(x_i * 127 / max|x|) per vector, score = "
+    "quantized cosine int_dot / sqrt(qnorm2_q * qnorm2_c) — the "
+    "per-vector scales cancel, so no dequantization float path exists "
+    "at all. The whole score is integers plus one IEEE-exact sqrt and "
+    "one division, which is why a quantized ANN stage can carry a FULL "
+    "value-equality oracle (float dot products cannot — accumulation "
+    "order). Production value: the corpus column shrinks 4x (1 byte/dim) "
+    "— at 100 TB of embeddings that is the difference between spilling "
+    "and scanning; the plan is the u7_knn shape (broadcast queries x "
+    "one corpus scan, WindowGroupLimit top-k) with an integer inner "
+    "loop. operators/similarity.py::int8_quantize/int8_topk.",
+)
+def u7_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import int8_topk
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return int8_topk(
+        queries,
+        e,
+        query_id="query_id",
+        corpus_id="vec_id",
+        query_vec="query_vec",
+        corpus_vec="embedding",
+        k=10,
+    )

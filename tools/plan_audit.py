@@ -72,6 +72,9 @@ EXPECTED_NESTED_LOOP = {
     "a46_ks_two_sample",   # 1-row (n1,n2) totals broadcast cross join
     "a49_mann_whitney",    # same 1-row totals broadcast cross join
     "a47_benford_deviation",  # 1-row digit-total broadcast cross join
+    "a50_survival_km",   # 1-row horizon max + 1-row grand-total broadcast cross joins
+    "a51_bootstrap_ci",  # 1-row full-sample mean broadcast cross join
+    "u7_int8_ann",       # broadcast query crossJoin, the brute-force scoring shape (r8)
 }
 
 
@@ -115,6 +118,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # Mann–Whitney's tie-averaged ranks run over the same
     # distinct-cents domain frame.
     "a49_mann_whitney",
+    # KM risk-table cumsum runs over the tenure-MONTH domain frame
+    # (bounded by the calendar, not the row count).
+    "a50_survival_km",
 }
 
 
