@@ -160,15 +160,21 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.alias("new")
-            .join(ranks.alias("old"), "id")
-            .agg(F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))))
-            .collect()[0][0]
-        )
-        ranks = new_ranks
-        if delta is not None and delta < tol * n:
-            break
+        if tol > 0.0:
+            # convergence test costs one action per round — skip it
+            # entirely on a fixed-round schedule (tol=0), where the
+            # loop runs max_iter rounds unconditionally
+            delta = (
+                new_ranks.alias("new")
+                .join(ranks.alias("old"), "id")
+                .agg(F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol * n:
+                break
+        else:
+            ranks = new_ranks
     return ranks
 
 

@@ -1117,33 +1117,112 @@ def llm_shuffle_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", seq_len=2048)
 
 
+PAGERANK_ITERS = 12
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled power-iteration oracle: one CTE per round, r0..r{iters},
+    each computing rank' = (1-d) + d*(in_sum + dangling/n) exactly as
+    operators/clusters.py::pagerank does with tol=0 (fixed rounds, no
+    early stop — the one semantics change that makes an iterative float
+    fixpoint oracle-checkable at all: a data-dependent convergence test
+    cannot be replicated bit-for-bit in SQL, a fixed round count can).
+    The (1-d) literal is spelled 0.15000000000000002 — the exact double
+    Python's 1.0-0.85 produces — so both engines add the same constant;
+    the only remaining cross-engine float freedom is per-node in-sum
+    accumulation ORDER (<=25 damped terms, error ~1e-15), five orders
+    below the round(.,4) output grid. Every CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs, and r{k} references r{k-1} twice, so an
+    uninlined chain re-evaluates the base join 2^iters times (observed
+    as a too-many-open-files explosion before materializing)."""
+    base = """
+    WITH pairs AS MATERIALIZED (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             count(*) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    ptot AS MATERIALIZED (
+      SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM pairs, ptot WHERE vol * n_pairs > total
+    ),
+    verts AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS od FROM edges GROUP BY 1),
+    r0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM verts)"""
+    step = """,
+    r{k} AS MATERIALIZED (
+      SELECT v.id,
+             0.15000000000000002 + 0.85 * (
+               COALESCE(s.in_sum, 0.0) + d.dang / nn.n) AS rank
+      FROM verts v
+      CROSS JOIN nn
+      CROSS JOIN (
+        SELECT COALESCE(sum(r.rank), 0.0) AS dang
+        FROM r{prev} r LEFT JOIN outdeg o ON r.id = o.id
+        WHERE o.id IS NULL) d
+      LEFT JOIN (
+        SELECT e.dst AS id, sum(r.rank / o.od) AS in_sum
+        FROM edges e
+        JOIN r{prev} r ON e.src = r.id
+        JOIN outdeg o ON o.id = e.src
+        GROUP BY 1) s ON s.id = v.id
+    )"""
+    sql = base
+    for k in range(1, iters + 1):
+        sql += step.format(k=k, prev=k - 1)
+    return sql + f"\n    SELECT id, round(rank, 4) AS rank FROM r{iters}"
+
+
 @register(
     "u9_pagerank_nations",
     "U ⊕ (iterative fixpoint: PageRank)",
-    None,  # iterative float fixpoint — not ANSI-SQL-expressible; matches dense power iteration in tests/test_properties.py
+    _pagerank_oracle_sql(PAGERANK_ITERS),
     doc="PageRank over the nation-level trade graph (supplier nation -> "
-    "customer nation edges derived from lineitem⋈orders⋈customer⋈"
-    "supplier): power iteration as join+groupBy rounds with dangling-"
-    "mass redistribution, lineage cut per round, convergence by total "
-    "change — the second iterative-fixpoint operator beside connected "
-    "components. One shuffle of the edge list per round; the graph "
-    "never leaves the executors.",
+    "customer nation edges from lineitem⋈orders⋈customer⋈supplier, "
+    "SPARSIFIED to above-average-volume pairs by the integer test "
+    "vol*n_pairs > total — the raw pair graph is complete at every SF, "
+    "where PageRank is uniformly 1.0): power iteration as join+groupBy "
+    "rounds with dangling-mass redistribution, lineage cut per round — the second iterative-"
+    "fixpoint operator beside connected components. Runs a FIXED "
+    "12-round schedule (tol=0) so the unrolled-CTE oracle replays the "
+    "identical computation — converted from rows-only in r8; the "
+    "tol-driven early-stop variant remains available on the operator "
+    "(operators/clusters.py::pagerank) and is property-tested against "
+    "dense power iteration in tests/test_properties.py. One shuffle of "
+    "the edge list per round; the graph never leaves the executors.",
 )
 def u9_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clusters import pagerank
 
     t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    edges = (
+    pairs = (
         t["lineitem"]
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
-        .select(
+        .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("vol"))
     )
-    ranks = pagerank(edges, max_iter=15, tol=1e-6)
+    ptot = pairs.agg(
+        F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(ptot))
+        .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
+        .select("src", "dst")
+    )
+    ranks = pagerank(edges, max_iter=PAGERANK_ITERS, tol=0.0)
     return ranks.select("id", F.round("rank", 4).alias("rank"))
 
 

@@ -20,7 +20,7 @@ def test_queries_and_oracles_align(spark):
     # rows-only ops are the documented exceptions, not accidents
     rows_only = set(qs) - set(oracles)
     assert all(
-        any(tag in name for tag in ("lsh", "minhash", "simhash", "ivf", "pq", "approx", "hashed", "llm_", "sample", "sketch", "cms", "pagerank", "bpe_train", "mmr", "semdedup"))
+        any(tag in name for tag in ("lsh", "minhash", "simhash", "ivf", "pq", "approx", "hashed", "llm_", "sample", "sketch", "cms", "bpe_train", "mmr", "semdedup"))
         for name in rows_only
     ), rows_only
 

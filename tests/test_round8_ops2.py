@@ -148,3 +148,20 @@ def test_int8_topk_tracks_exact_cosine(spark, sf_dir):
         top3_exact = {vid for _, vid in exact[:3]}
         top1_quant = next(r["vec_id"] for r in rows if r["rank"] == 1)
         assert top1_quant in top3_exact
+
+
+def test_pagerank_fixed_round_path_matches_tol_path(spark):
+    """tol=0 skips the per-round convergence action but must compute the
+    identical ranks as the tol-checking path when no early stop fires."""
+    from praw_etl_student_dropout_spark.operators.clusters import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src long, dst long"
+    )
+    fixed = {
+        r["id"]: r["rank"] for r in pagerank(edges, max_iter=8, tol=0.0).collect()
+    }
+    checked = {
+        r["id"]: r["rank"] for r in pagerank(edges, max_iter=8, tol=1e-300).collect()
+    }
+    assert fixed == checked

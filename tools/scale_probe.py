@@ -123,6 +123,9 @@ PROBE_QUERIES = [
     "llm_pii_scrub",            # row-local regex chains, zero shuffle (r8)
     "u7_radius_search",         # scan+filter threshold search (r8)
     "u6_url_normalize",         # row-local URL canonicalization (r8)
+    "a50_survival_km",          # one custkey shuffle + tenure-domain window (r8)
+    "a51_bootstrap_ci",         # 32x fan-out collapsed map-side to 32 partials (r8)
+    "u7_int8_ann",              # broadcast queries x quantized corpus scan (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
