@@ -7106,3 +7106,53 @@ def a51_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("ms"), -2)["m"].alias("ci_hi"),
         )
     )
+
+
+@register(
+    "a52_decayed_counts",
+    "A ⊕ (exponential time-decay scoring)",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE),
+                       (SELECT max(CAST(ts AS DATE)) FROM events)) AS age_d,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(cnt) AS BIGINT) AS n_raw,
+           round(sum(cnt * pow(0.97, age_d)), 6) AS decayed,
+           round(sum(cnt * pow(0.97, age_d)) / sum(cnt), 6) AS freshness
+    FROM daily GROUP BY 1
+    """,
+    doc="Exponentially time-decayed event scores (half-life ~23 days at "
+    "decay 0.97/day) — the trending/recency weighting every feed-rank "
+    "and freshness monitor needs, without a streaming state store: "
+    "decayed(type) = sum over days(count_d * 0.97^age_d). Integer daily "
+    "counts first (one groupBy), THEN the decay fold over the bounded "
+    "day-domain — the float sum ranges over ~hundreds of day-cells, "
+    "never rows, so cross-engine pow/accumulation noise (~1e-11 abs) "
+    "sits five orders below the round-6 grid. freshness = decayed/raw "
+    "normalizes scale away for cross-type comparison. One shuffle; the "
+    "max-date scalar broadcasts.",
+)
+def a52_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    maxd = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "event_type",
+            F.datediff(F.col("max_d"), F.col("d")).alias("age_d"),
+            "cnt",
+        )
+    )
+    dec = F.sum(F.col("cnt") * F.pow(F.lit(0.97), F.col("age_d")))
+    return daily.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_raw"),
+        F.round(dec, 6).alias("decayed"),
+        F.round(dec / F.sum("cnt"), 6).alias("freshness"),
+    )

@@ -3319,3 +3319,65 @@ def u7_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_vec="embedding",
         k=10,
     )
+
+
+@register(
+    "llm_quantile_normalize",
+    "U6 ⊕ (cross-source score calibration)",
+    """
+    WITH per_v AS (
+      SELECT source, n_chars, count(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, n_chars,
+             sum(c) OVER (PARTITION BY source ORDER BY n_chars) - c AS cum_prev,
+             sum(c) OVER (PARTITION BY source) AS n_src
+      FROM per_v
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round(CAST(r.cum_prev AS DOUBLE) / (r.n_src - 1), 6) AS pct_in_source
+    FROM documents d
+    JOIN ranked r ON r.source = d.source AND r.n_chars = d.n_chars
+    """,
+    doc="Quantile normalization of a per-document score ACROSS sources "
+    "(here n_chars as the score): pct_in_source = percent_rank within "
+    "the document's source, ties sharing the min-rank — the calibration "
+    "step before mixing heterogeneously-scored corpora under one global "
+    "threshold (a web-crawl '0.8 quality' and a books '0.8' are not the "
+    "same animal; their within-source quantiles are). Scale shape: NOT "
+    "a data-sized per-source sort — counts per (source, value) first "
+    "(one shuffle), percent_rank derived on the bounded value DOMAIN "
+    "via the a46/KS running-sum trick, then joined back (the domain "
+    "frame broadcasts). Exact integers until one final division. At "
+    "100 TB the same plan holds; the approximate variant (fixed "
+    "quantile grid via a12/a39 sketches) trades the join for a "
+    "broadcast lookup.",
+)
+def llm_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    per_v = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    ranked = per_v.select(
+        "source",
+        "n_chars",
+        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+        F.sum("c").over(wall).alias("n_src"),
+    )
+    return docs.select("doc_id", "source", "n_chars").join(
+        F.broadcast(ranked), ["source", "n_chars"]
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.col("cum_prev").cast("double") / (F.col("n_src") - 1), 6).alias(
+            "pct_in_source"
+        ),
+    )

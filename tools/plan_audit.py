@@ -75,6 +75,7 @@ EXPECTED_NESTED_LOOP = {
     "a50_survival_km",   # 1-row horizon max + 1-row grand-total broadcast cross joins
     "a51_bootstrap_ci",  # 1-row full-sample mean broadcast cross join
     "u7_int8_ann",       # broadcast query crossJoin, the brute-force scoring shape (r8)
+    "a52_decayed_counts",  # 1-row max-date scalar broadcast cross join
 }
 
 
