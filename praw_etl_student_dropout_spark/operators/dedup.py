@@ -1700,3 +1700,111 @@ def shingle_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("src_id", "dst_id", F.round("containment", 6).alias("containment"))
     )
+
+
+def simhash_md5_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 60,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash on the ENGINE-PORTABLE md5 coin (the d3_minhash_md5
+    precedent applied to the signed-projection family): per distinct
+    word shingle, h = first 15 hex digits of md5(shingle) as a 60-bit
+    long; per-bit majority vote over shingles; sign vector packed into
+    one BIGINT. Every step (md5 → bit test → ±1 vote → sign → pack) is
+    integer-exact and ANSI-SQL-reproducible, so the signature — and any
+    hamming-radius pair list built on it — carries a FULL value-equality
+    oracle, where the xxhash64 form (:func:`simhash_signatures`, the
+    production default) is rows-only by nature.
+
+    Same single-pass array fold: no explode, no shuffle; the 60-counter
+    accumulator never leaves the row.
+    """
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    counters = F.aggregate(
+        word_shingles(F.col(text_col), shingle_n),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h(s), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    with_counters = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), counters.alias("cnt")
+    )
+    packed = sum(
+        [
+            F.when(
+                F.element_at("cnt", i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return with_counters.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_md5) <= max_hamming, found by
+    BANDED equi-join, verified exactly: split the 60-bit signature into
+    ``bands`` contiguous slices — any pair within hamming ``bands - 1``
+    must agree exactly on at least one slice (pigeonhole), so with the
+    default 4 bands the radius-3 search is LOSSLESS while the join stays
+    a hash join on (band, slice) keys, never an all-pairs scan. The
+    brute-force oracle over the same md5 signatures is therefore also a
+    losslessness proof of the banding (the d3b_fuzzy_blocked pattern).
+
+    Returns (id_a, id_b, hamming), id_a < id_b. Requires
+    ``max_hamming <= bands - 1`` for the pigeonhole guarantee.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding loses pairs: need max_hamming <= bands-1, got "
+            f"{max_hamming} > {bands - 1}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash_md5_signatures(df, text_col, id_col, bits, shingle_n)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("band", "bv")
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

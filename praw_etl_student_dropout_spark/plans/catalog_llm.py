@@ -3381,3 +3381,50 @@ def llm_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_in_source"
         ),
     )
+
+
+@register(
+    "d3_simhash_md5",
+    "D3 ⊕ (SimHash full-oracle twin)",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES.format(t='t')}) AS s FROM toks),
+    h AS (SELECT doc_id,
+                 CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) AS hv
+          FROM sh),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) bits
+      GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+      FROM votes GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc="SimHash near-dup pairs on the engine-portable md5 coin — the "
+    "d3_minhash_md5 move applied to the signed-projection family, "
+    "closing the last near-dup technique without a full oracle twin: "
+    "60-bit per-shingle md5 hash, per-bit majority vote, sign-packed "
+    "BIGINT signature, pairs at hamming<=3. Spark finds pairs via the "
+    "4-band pigeonhole equi-join (radius 3 over 4 slices is LOSSLESS, "
+    "and the join is hash-shaped, never all-pairs); the oracle "
+    "recomputes signatures from scratch and brute-forces every pair — "
+    "a driver grade is simultaneously a signature value-equality proof "
+    "AND a banding losslessness proof. xxhash64 SimHash "
+    "(d3_simhash_pairs) stays the production coin; recall/radius "
+    "behavior pinned in tests/test_zipf_dedup.py. "
+    "operators/dedup.py::simhash_md5_pairs.",
+)
+def d3_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_md5_pairs
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return simhash_md5_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)

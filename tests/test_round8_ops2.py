@@ -165,3 +165,49 @@ def test_pagerank_fixed_round_path_matches_tol_path(spark):
         r["id"]: r["rank"] for r in pagerank(edges, max_iter=8, tol=1e-300).collect()
     }
     assert fixed == checked
+
+
+def test_simhash_md5_banding_lossless_vs_brute_force(spark):
+    """The 4-band pigeonhole join finds EXACTLY the brute-force
+    hamming<=3 pair set on a synthetic corpus with planted near-dups,
+    and the guard refuses a radius the banding cannot cover."""
+    import itertools
+
+    import pytest as _pytest
+
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        simhash_md5_pairs,
+        simhash_md5_signatures,
+    )
+
+    # long docs: simhash closeness needs MANY shared distinct shingles —
+    # 200 distinct words give ~198 shingles, so one appended word moves
+    # only ~1% of the votes and the near-dup stays within a few bits
+    base = " ".join(f"w{i}token" for i in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, base.replace("w100token", "changed")),  # near-dup of 1
+            (4, " ".join(f"other{i}word for spark parquet" for i in range(80))),
+            (5, " ".join(f"un{i}related window function doc" for i in range(80))),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_md5_signatures(docs, "text", "doc_id").collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_md5_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert banded == brute
+    assert (1, 2) in banded  # the planted near-dup is actually found
+    with _pytest.raises(ValueError):
+        simhash_md5_pairs(docs, "text", "doc_id", max_hamming=4, bands=4)
