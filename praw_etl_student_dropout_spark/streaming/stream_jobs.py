@@ -1007,3 +1007,57 @@ def read_bloom_filter(
     for r in rows:
         words[r["word"]] = r["mask"]
     return words
+
+
+def decayed_counts_stream(
+    stream: DataFrame,
+    sink_table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    decay: float = 0.97,
+) -> None:
+    """ST ⊕ streaming twin of the a52_decayed_counts batch entry:
+    exponentially time-decayed per-type scores maintained without ever
+    re-scanning history. The engine's windowed aggregation holds ONE
+    integer count per (event_type, day) — the decay never enters the
+    state, so state size is the bounded (type x day) domain and nothing
+    rots as wall-clock time passes. Each emission re-anchors the fold at
+    the max EVENT date in state (never processing time) and recomputes
+    decayed/freshness over the domain-sized micro-batch output, then
+    overwrites the sink — which is exactly why streamed equals the batch
+    entry bit-for-bit on the same data (tests/test_streaming.py), the
+    same anchor-to-event-time trick the other foreachBatch twins use.
+    """
+    spark = stream.sparkSession
+    _remove_orphaned_table_location(spark, sink_table)
+
+    daily = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.to_date(F.col("w.start")).alias("d"), "event_type", "cnt")
+    )
+
+    def _fold_and_replace(batch_df: DataFrame, _batch_id: int) -> None:
+        maxd = batch_df.agg(F.max("d").alias("max_d"))
+        aged = batch_df.crossJoin(F.broadcast(maxd)).select(
+            "event_type",
+            F.datediff(F.col("max_d"), F.col("d")).alias("age_d"),
+            "cnt",
+        )
+        dec = F.sum(F.col("cnt") * F.pow(F.lit(decay), F.col("age_d")))
+        out = aged.groupBy("event_type").agg(
+            F.sum("cnt").cast("long").alias("n_raw"),
+            F.round(dec, 6).alias("decayed"),
+            F.round(dec / F.sum("cnt"), 6).alias("freshness"),
+        )
+        out.write.mode("overwrite").saveAsTable(sink_table)
+
+    (
+        daily.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_fold_and_replace)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1020,3 +1020,21 @@ def test_incremental_reference_stream_equals_batch(spark, tmp_path):
     _reference_merge_one_batch(last, 1, inc_wh)
     assert _as_set(query_star_incremental(spark, inc_wh)) == before
     raw.unpersist()
+
+
+def test_decayed_counts_stream_matches_batch(spark, events_dir, sf_dir, tmp_path):
+    """The streaming decayed-trending table equals the a52 batch entry
+    bit-for-bit: daily-count state + event-time-anchored decay fold."""
+    from praw_etl_student_dropout_spark.plans import catalog_all
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        decayed_counts_stream,
+    )
+
+    batch = catalog_all()["a52_decayed_counts"].builder(spark, sf_dir)
+    decayed_counts_stream(
+        read_event_stream(spark, events_dir),
+        "decayed_sink",
+        str(tmp_path / "ckpt_decayed"),
+    )
+    streamed = spark.table("decayed_sink")
+    assert _as_set(streamed.select(*batch.columns)) == _as_set(batch)

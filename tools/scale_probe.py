@@ -126,6 +126,10 @@ PROBE_QUERIES = [
     "a50_survival_km",          # one custkey shuffle + tenure-domain window (r8)
     "a51_bootstrap_ci",         # 32x fan-out collapsed map-side to 32 partials (r8)
     "u7_int8_ann",              # broadcast queries x quantized corpus scan (r8)
+    "a52_decayed_counts",       # daily-count groupBy + day-domain fold (r8)
+    "llm_quantile_normalize",   # (source,value)-domain ranks + join-back (r8)
+    "d3_simhash_md5",           # row-local 60-bit fold + 4-band equi-join (r8)
+    "u9_pagerank_nations",      # 12 fixed join+groupBy rounds on the pair graph (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
