@@ -1722,15 +1722,23 @@ def simhash_md5_signatures(
     Same single-pass array fold: no explode, no shuffle; the 60-counter
     accumulator never leaves the row.
     """
-    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    counters = F.aggregate(
+    # hash ONCE per shingle via transform, THEN fold bit votes over the
+    # hash array — referencing h(s) inside the 60-element vote array
+    # would recompute the md5 60x per shingle (the HOF common-
+    # subexpression trap, SURVEY §9a; measured 5.0 s -> sub-second at
+    # sf0.1). Bit extraction from the materialized hash is cheap.
+    hashes = F.transform(
         word_shingles(F.col(text_col), shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    counters = F.aggregate(
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, s: F.zip_with(
+        lambda acc, hv: F.zip_with(
             acc,
             F.array(
                 *[
-                    (F.shiftright(h(s), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    (F.shiftright(hv, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
                     for i in range(bits)
                 ]
             ),
