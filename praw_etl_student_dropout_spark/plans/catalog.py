@@ -7156,3 +7156,78 @@ def a52_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec, 6).alias("decayed"),
         F.round(dec / F.sum("cnt"), 6).alias("freshness"),
     )
+
+
+@register(
+    "a53_conversion_ztest",
+    "A ⊕ (two-proportion z-test)",
+    """
+    WITH cohorts AS (
+      SELECT user_id % 2 AS cohort,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n1,
+             CAST(sum(converted) FILTER (WHERE cohort = 0) AS BIGINT) AS x1,
+             CAST(count(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n2,
+             CAST(sum(converted) FILTER (WHERE cohort = 1) AS BIGINT) AS x2
+      FROM cohorts
+    )
+    SELECT n1, x1, n2, x2,
+           round(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2, 6) AS lift,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) /
+                 NULLIF(sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) *
+                      (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) *
+                      (1.0 / n1 + 1.0 / n2)), 0.0), 6) AS z
+    FROM agg
+    """,
+    doc="Two-proportion z-test on user conversion between deterministic "
+    "cohorts (user_id parity — in production the experiment-assignment "
+    "hash coin): completes the A/B statistics family beside Welch "
+    "(means), Mann–Whitney/KS (distributions), and chi-square "
+    "(independence). converted = user EVER purchased (per-user max, one "
+    "groupBy), so the unit of analysis is the USER, not the event — the "
+    "classic unit-mismatch pitfall (conversion = a purchase over 150 — "
+    "a partial rate at every SF; all-converted cohorts have zero pooled "
+    "variance, guarded by NULLIF). Everything is integer counts until "
+    "the closed-form pooled-variance z at the end (single expression, "
+    "round 6). One user-keyed shuffle + a 2-row fold.",
+)
+def a53_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    cohorts = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    agg = cohorts.agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("converted"))).cast("long").alias("x1"),
+        F.count(F.when(F.col("cohort") == 1, 1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("converted"))).cast("long").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    return agg.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1 - p2, 6).alias("lift"),
+        F.round(
+            (p1 - p2)
+            / F.nullif(
+                F.sqrt(
+                    pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z"),
+    )
