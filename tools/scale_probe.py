@@ -130,6 +130,7 @@ PROBE_QUERIES = [
     "llm_quantile_normalize",   # (source,value)-domain ranks + join-back (r8)
     "d3_simhash_md5",           # row-local 60-bit fold + 4-band equi-join (r8)
     "u9_pagerank_nations",      # 12 fixed join+groupBy rounds on the pair graph (r8)
+    "a53_conversion_ztest",     # user-keyed groupBy + 2-row fold (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
