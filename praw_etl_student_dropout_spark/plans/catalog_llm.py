@@ -474,19 +474,127 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u7_knn_ivf",
     "U7",
-    None,  # approximate (probes nprobe centroid partitions); pytest
-    # measures recall@10 against u7_knn_bruteforce.
-    doc="IVF approximate top-k: one-time centroid assignment, queries probe "
-    "nprobe inverted lists via equi-join on centroid_id.",
+    f"""
+    SELECT q.vec_id AS query_id,
+           round(max(CASE WHEN c.vec_id != q.vec_id THEN
+             {SQL_COSINE.format(a='q.embedding', b='c.embedding')} END), 6)
+             AS exact_max_nonself,
+           TRUE AS routed_from_probed_lists,
+           TRUE AS score_is_exact_cosine,
+           TRUE AS top1_bounded,
+           TRUE AS nonempty
+    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+    CROSS JOIN embeddings c
+    GROUP BY q.vec_id
+    """,
+    doc="IVF approximate top-k, contract-graded (the u7_ivfpq_topk "
+    "pattern, round-8 rows-only whittling): one-time centroid "
+    "assignment, queries probe nprobe inverted lists via equi-join on "
+    "centroid_id. Per query the grade pins: routed_from_probed_lists — "
+    "every returned row's assigned centroid is among the query's "
+    "nprobe nearest lists (the routing invariant); "
+    "score_is_exact_cosine — each returned score equals the round-6 "
+    "cosine recomputed independently on the raw vectors (IVF's scoring "
+    "tier is exact, only its candidate set is approximate); "
+    "top1_bounded — no returned score exceeds the exact corpus max; "
+    "exact_max_nonself — a full value-match both engines compute "
+    "bit-for-bit. Recall@10 vs brute force stays pinned in "
+    "tests/test_similarity.py.",
 )
 def u7_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.arrays import cosine_similarity
+
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     centroids = sample_centroids(e, num_centroids=16)
     indexed = assign_centroids(e, centroids)
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(queries, indexed, centroids, k=10, nprobe=4)
+    res = ivf_topk(queries, indexed, centroids, k=10, nprobe=4)
+
+    # mirror of ivf_topk's probe selection, for the routing check
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("c_score"), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "centroid_id",
+            cosine_similarity(F.col("query_vec"), F.col("centroid_vec")).alias(
+                "c_score"
+            ),
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= 4)
+        .select("query_id", "centroid_id", F.lit(True).alias("__probed"))
+    )
+    routed_ok = (
+        res.join(indexed.select("vec_id", "centroid_id"), "vec_id")
+        .join(probes, ["query_id", "centroid_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.coalesce("__probed", F.lit(False))).alias(
+                "routed_from_probed_lists"
+            )
+        )
+    )
+    # independent exact-cosine recomputation of every returned score
+    score_ok = (
+        res.join(queries, "query_id")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            (
+                F.round(
+                    cosine_similarity(F.col("query_vec"), F.col("embedding")), 6
+                )
+                == F.col("score")
+            ).alias("__ok"),
+        )
+        .groupBy("query_id")
+        .agg(F.min("__ok").alias("score_is_exact_cosine"))
+    )
+    stats = (
+        F.broadcast(queries)
+        .crossJoin(e.select("vec_id", "embedding"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("query_vec"), F.col("embedding")).alias("__cos"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("vec_id") != F.col("query_id"), F.col("__cos"))),
+                6,
+            ).alias("exact_max_nonself"),
+            F.max("__cos").alias("__max_all"),
+        )
+    )
+    top1 = res.filter(F.col("rank") == 1).select(
+        "query_id", F.col("score").alias("__top1")
+    )
+    counts = res.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.join(stats, "query_id")
+        .join(routed_ok, "query_id")
+        .join(score_ok, "query_id")
+        .join(top1, "query_id")
+        .select(
+            "query_id",
+            "exact_max_nonself",
+            "routed_from_probed_lists",
+            "score_is_exact_cosine",
+            (F.col("__top1") <= F.col("__max_all") + F.lit(1e-6)).alias(
+                "top1_bounded"
+            ),
+            (F.col("__n") >= 1).alias("nonempty"),
+        )
+    )
 
 
 @register(
