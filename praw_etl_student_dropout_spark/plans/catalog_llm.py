@@ -600,22 +600,125 @@ def u7_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u7_kmeans_ivf",
     "U7+iterative",
-    None,  # iterative fixpoint — not one SQL statement; pytest checks
-    # recall@10 of the refined index against u7_knn_bruteforce.
-    doc="IVF with Lloyd-refined centroids: 3 k-means iterations "
-    "(broadcast assign + posexplode/partial-agg mean update, lineage cut "
-    "per round via localCheckpoint), then the same nprobe query path.",
+    f"""
+    SELECT q.vec_id AS query_id,
+           round(max(CASE WHEN c.vec_id != q.vec_id THEN
+             {SQL_COSINE.format(a='q.embedding', b='c.embedding')} END), 6)
+             AS exact_max_nonself,
+           TRUE AS routed_from_probed_lists,
+           TRUE AS score_is_exact_cosine,
+           TRUE AS top1_bounded,
+           TRUE AS nonempty
+    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+    CROSS JOIN embeddings c
+    GROUP BY q.vec_id
+    """,
+    doc="IVF with Lloyd-refined centroids (3 k-means iterations: "
+    "broadcast assign + posexplode/partial-agg mean update, lineage cut "
+    "per round), then the same nprobe query path — contract-graded like "
+    "u7_knn_ivf (r8): the TRAINING is the iterative non-SQL part, but "
+    "routing containment, the independent exact-cosine recheck of every "
+    "returned score, the corpus-max bound, and the value-matched "
+    "exact_max_nonself are all provable regardless of where the "
+    "centroids came from — the probe mirror uses the SAME refined "
+    "centroid frame the index used. Recall@10 of the refined index "
+    "stays pinned in tests/test_similarity.py.",
 )
 def u7_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.arrays import cosine_similarity
     from ..operators.similarity import kmeans_refine
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    centroids = kmeans_refine(e, sample_centroids(e, num_centroids=16), iterations=3)
+    centroids = kmeans_refine(
+        e, sample_centroids(e, num_centroids=16), iterations=3
+    ).localCheckpoint(eager=True)  # one training run feeds index AND probe mirror
     indexed = assign_centroids(e, centroids)
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(queries, indexed, centroids, k=10, nprobe=4)
+    res = ivf_topk(queries, indexed, centroids, k=10, nprobe=4)
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("c_score"), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "centroid_id",
+            cosine_similarity(F.col("query_vec"), F.col("centroid_vec")).alias(
+                "c_score"
+            ),
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= 4)
+        .select("query_id", "centroid_id", F.lit(True).alias("__probed"))
+    )
+    routed_ok = (
+        res.join(indexed.select("vec_id", "centroid_id"), "vec_id")
+        .join(probes, ["query_id", "centroid_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.coalesce("__probed", F.lit(False))).alias(
+                "routed_from_probed_lists"
+            )
+        )
+    )
+    score_ok = (
+        res.join(queries, "query_id")
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "query_id",
+            (
+                F.round(
+                    cosine_similarity(F.col("query_vec"), F.col("embedding")), 6
+                )
+                == F.col("score")
+            ).alias("__ok"),
+        )
+        .groupBy("query_id")
+        .agg(F.min("__ok").alias("score_is_exact_cosine"))
+    )
+    stats = (
+        F.broadcast(queries)
+        .crossJoin(e.select("vec_id", "embedding"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("query_vec"), F.col("embedding")).alias("__cos"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("vec_id") != F.col("query_id"), F.col("__cos"))),
+                6,
+            ).alias("exact_max_nonself"),
+            F.max("__cos").alias("__max_all"),
+        )
+    )
+    top1 = res.filter(F.col("rank") == 1).select(
+        "query_id", F.col("score").alias("__top1")
+    )
+    counts = res.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.join(stats, "query_id")
+        .join(routed_ok, "query_id")
+        .join(score_ok, "query_id")
+        .join(top1, "query_id")
+        .select(
+            "query_id",
+            "exact_max_nonself",
+            "routed_from_probed_lists",
+            "score_is_exact_cosine",
+            (F.col("__top1") <= F.col("__max_all") + F.lit(1e-6)).alias(
+                "top1_bounded"
+            ),
+            (F.col("__n") >= 1).alias("nonempty"),
+        )
+    )
 
 
 @register(
