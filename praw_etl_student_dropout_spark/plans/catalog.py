@@ -7231,3 +7231,88 @@ def a53_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+@register(
+    "t11_skyline_pareto",
+    "T ⊕ (skyline / Pareto frontier)",
+    """
+    WITH cells AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             max(p_size) AS max_size_at_price,
+             count(*) AS n_at_price
+      FROM part GROUP BY 1
+    ),
+    sized AS (
+      SELECT p.price_cents, p.size, count(*) AS n_parts,
+             c.max_size_at_price
+      FROM (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                   p_size AS size
+            FROM part) p
+      JOIN cells c USING (price_cents)
+      GROUP BY 1, 2, 4
+    ),
+    running AS (
+      SELECT price_cents, max_size_at_price,
+             max(max_size_at_price) OVER (
+               ORDER BY price_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_cheaper
+      FROM cells
+    )
+    SELECT s.price_cents, CAST(s.size AS BIGINT) AS size,
+           CAST(s.n_parts AS BIGINT) AS n_parts
+    FROM sized s JOIN running r USING (price_cents)
+    WHERE s.size = r.max_size_at_price
+      AND (r.best_cheaper IS NULL OR s.size > r.best_cheaper)
+    """,
+    doc="Skyline (Pareto frontier) over parts: minimize retail price, "
+    "maximize size — the multi-objective selection operator (in corpus "
+    "terms: the quality-vs-cost frontier a data-mixing budget walks). A "
+    "point survives iff no other part is cheaper-or-equal AND "
+    "bigger-or-equal with one strict. NOT the O(n²) NOT-EXISTS "
+    "formulation the oracle uses: collapse to distinct price cells "
+    "(domain-sized), keep each price's max size, then one running-max "
+    "over the PRICE DOMAIN with an exclusive [unbounded, -1] frame — a "
+    "cell survives iff it is its price's max and strictly beats every "
+    "cheaper price's best. Exact integers (price cents, size); one "
+    "groupBy + one domain window; ~n log n where brute force is n².",
+)
+def t11_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")["part"]
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    cells = part.groupBy(cents.alias("price_cents")).agg(
+        F.max("p_size").alias("max_size_at_price")
+    )
+    sized = (
+        part.groupBy(cents.alias("price_cents"), F.col("p_size").alias("size"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .join(cells, "price_cents")
+    )
+    # the exclusive running max runs over CELLS (one row per price) — on
+    # the multi-size frame the [unbounded, -1] frame's treatment of
+    # same-price peers would be tie-order-dependent, hence nondeterministic
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    running = cells.select(
+        "price_cents",
+        "max_size_at_price",
+        F.max("max_size_at_price").over(w).alias("best_cheaper"),
+    )
+    return (
+        sized.drop("max_size_at_price")
+        .join(F.broadcast(running), "price_cents")
+        .filter(
+            (F.col("size") == F.col("max_size_at_price"))
+            & (
+                F.col("best_cheaper").isNull()
+                | (F.col("size") > F.col("best_cheaper"))
+            )
+        )
+        .select(
+            "price_cents",
+            F.col("size").cast("long").alias("size"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+        )
+    )

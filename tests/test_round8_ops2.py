@@ -211,3 +211,44 @@ def test_simhash_md5_banding_lossless_vs_brute_force(spark):
     assert (1, 2) in banded  # the planted near-dup is actually found
     with _pytest.raises(ValueError):
         simhash_md5_pairs(docs, "text", "doc_id", max_hamming=4, bands=4)
+
+
+def test_skyline_matches_brute_force_dominance(spark, tmp_path):
+    """t11's domain-window skyline equals the O(n^2) NOT-EXISTS dominance
+    definition on a hand frame with ties in both dimensions (the case the
+    first cut got wrong: an exclusive frame over duplicate prices was
+    tie-order-dependent)."""
+    rows = [
+        # (partkey, price, size) — prices with multiple sizes, duplicate cells
+        (1, 10.00, 5), (2, 10.00, 9), (3, 10.00, 9),   # 9 is max at 1000c
+        (4, 12.00, 9),                                   # dominated (same size, pricier)
+        (5, 12.00, 11),                                  # survives
+        (6, 15.00, 11),                                  # dominated by 5
+        (7, 15.00, 20), (8, 9.00, 4),                    # 7 survives; 8 survives (cheapest... no: 8 cheaper than all, size 4 — survives)
+        (9, 9.00, 2),                                    # dominated by 8
+    ]
+    spark.createDataFrame(
+        [(k, f"n{k}", "b", "t", s, p) for k, p, s in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    got = {
+        (r["price_cents"], r["size"], r["n_parts"])
+        for r in catalog_all()["t11_skyline_pareto"].builder(spark, str(tmp_path)).collect()
+    }
+    # brute force over distinct (price, size) cells
+    import collections
+    cellcount = collections.Counter((int(round(p * 100)), s) for _, p, s in rows)
+    cells = list(cellcount)
+    sky = {
+        (p, s, cellcount[(p, s)])
+        for (p, s) in cells
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s)) for (p2, s2) in cells
+        )
+    }
+    assert got == sky
+    assert (900, 4, 1) in got and (1000, 9, 2) in got

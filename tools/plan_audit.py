@@ -122,6 +122,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # KM risk-table cumsum runs over the tenure-MONTH domain frame
     # (bounded by the calendar, not the row count).
     "a50_survival_km",
+    # skyline running max runs over the distinct-PRICE domain frame
+    # (one row per price cell, the a46/KS domain-frame exception).
+    "t11_skyline_pareto",
 }
 
 
