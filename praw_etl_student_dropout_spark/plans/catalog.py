@@ -7316,3 +7316,89 @@ def t11_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_parts").cast("long").alias("n_parts"),
         )
     )
+
+
+@register(
+    "a54_funnel_gated",
+    "A ⊕ (ordered funnel with conversion windows)",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_24h,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase_24h,
+           round(CAST((SELECT count(*) FROM s2) AS DOUBLE) /
+                 NULLIF((SELECT count(*) FROM s1), 0), 6) AS conv_click,
+           round(CAST((SELECT count(*) FROM s3) AS DOUBLE) /
+                 NULLIF((SELECT count(*) FROM s2), 0), 6) AS conv_purchase
+    """,
+    doc="Ordered funnel with per-step conversion WINDOWS (view → click "
+    "within 24h → purchase within 24h of the click), the product-"
+    "analytics staple a14's unbounded funnel can't express: each step "
+    "RE-ANCHORS at the previous step's first qualifying timestamp, so a "
+    "click three weeks later does not convert. Three user-keyed "
+    "conditional-min aggregations chained by equi-joins — co-partitioned "
+    "on user_id, the filters push to the scan, every stage shrinks "
+    "(funnel monotonicity). Exact integer counts; the two conversion "
+    "rates are single guarded divisions.",
+)
+def a54_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"].select("user_id", "event_type", "ts")
+    gap = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_click_24h"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_24h"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_view",
+            "n_click_24h",
+            "n_purchase_24h",
+            F.round(
+                F.col("n_click_24h").cast("double")
+                / F.nullif(F.col("n_view"), F.lit(0)),
+                6,
+            ).alias("conv_click"),
+            F.round(
+                F.col("n_purchase_24h").cast("double")
+                / F.nullif(F.col("n_click_24h"), F.lit(0)),
+                6,
+            ).alias("conv_purchase"),
+        )
+    )

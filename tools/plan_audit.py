@@ -76,6 +76,7 @@ EXPECTED_NESTED_LOOP = {
     "a51_bootstrap_ci",  # 1-row full-sample mean broadcast cross join
     "u7_int8_ann",       # broadcast query crossJoin, the brute-force scoring shape (r8)
     "a52_decayed_counts",  # 1-row max-date scalar broadcast cross join
+    "a54_funnel_gated",    # three 1-row stage-count frames cross-joined
 }
 
 
