@@ -131,6 +131,8 @@ PROBE_QUERIES = [
     "d3_simhash_md5",           # row-local 60-bit fold + 4-band equi-join (r8)
     "u9_pagerank_nations",      # 12 fixed join+groupBy rounds on the pair graph (r8)
     "a53_conversion_ztest",     # user-keyed groupBy + 2-row fold (r8)
+    "t11_skyline_pareto",       # price-cell groupBy + domain running max (r8)
+    "a54_funnel_gated",         # three shrinking user-keyed stages (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
