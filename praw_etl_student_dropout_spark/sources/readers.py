@@ -270,3 +270,42 @@ def read_binary_files(
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """S ⊕ — JSON-lines ingestion that SPLITS clean rows from malformed
+    ones instead of silently nulling (PERMISSIVE default) or silently
+    dropping (DROPMALFORMED): returns ``(clean, quarantine)`` where
+    quarantine holds the raw unparseable line for replay/debugging — the
+    dead-letter pattern every 100 TB ingest needs, because at that scale
+    "some records are garbage" is a certainty, not an edge case.
+
+    Mechanics: PERMISSIVE read with ``columnNameOfCorruptRecord`` added
+    to the schema; a row is quarantined iff the corrupt column is
+    non-null. Spark requires caching or a re-read for the corrupt-column
+    filter to be stable (the parser populates it lazily); we re-select
+    through one materialization boundary so both frames come from the
+    same parse. Schema is REQUIRED: inference would re-scan and could
+    reclassify rows between runs.
+    """
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()  # one parse feeds both splits (Spark requires it for
+        # corrupt-record filters: SPARK-21610's referencing rule)
+    )
+    clean = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return clean, quarantine

@@ -252,3 +252,35 @@ def test_skyline_matches_brute_force_dominance(spark, tmp_path):
     }
     assert got == sky
     assert (900, 4, 1) in got and (1000, 9, 2) in got
+
+
+def test_json_quarantine_splits_clean_from_malformed(spark, tmp_path):
+    """Dead-letter ingestion: clean rows parse, malformed raw lines land
+    in the quarantine frame verbatim, nothing is silently dropped."""
+    from pyspark.sql import types as T
+
+    from praw_etl_student_dropout_spark.sources.readers import (
+        read_json_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    lines = [
+        '{"id": 1, "name": "ok"}',
+        "this is not json at all",
+        '{"id": 2, "name": "also ok"}',
+        '{"id": "NOT_A_NUMBER", "name": "type clash"}',
+        '{"id": 3, "name": "fine"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    clean, quarantine = read_json_with_quarantine(spark, str(p), schema)
+    got_clean = {(r["id"], r["name"]) for r in clean.collect()}
+    got_bad = {r["raw_record"] for r in quarantine.collect()}
+    assert got_clean == {(1, "ok"), (2, "also ok"), (3, "fine")}
+    assert got_bad == {lines[1], lines[3]}
+    assert clean.count() + quarantine.count() == len(lines)
