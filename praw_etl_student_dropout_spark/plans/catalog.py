@@ -7402,3 +7402,80 @@ def a54_funnel_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_purchase"),
         )
     )
+
+
+@register(
+    "a55_seasonal_decompose",
+    "A ⊕ (classical seasonal decomposition)",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, cents,
+             date_diff('day', DATE '1970-01-01', d) % 7 AS dow,
+             round(CAST(sum(cents) OVER w AS DOUBLE) /
+                   (100.0 * count(*) OVER w), 6) AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+      SELECT dow, round(avg(cents / 100.0 - trend), 6) AS seasonal
+      FROM tr GROUP BY 1
+    )
+    SELECT CAST(tr.d AS TIMESTAMP) AS day, tr.cents, tr.trend,
+           seas.seasonal,
+           round(tr.cents / 100.0 - tr.trend - seas.seasonal, 6)
+             AS remainder
+    FROM tr JOIN seas USING (dow)
+    """,
+    doc="Classical (moving-average) seasonal decomposition of daily "
+    "revenue: trend = centered 7-OBSERVED-DAY average (row frame over "
+    "the day domain — edge days average their available neighbors), "
+    "seasonal = per-weekday mean residual, remainder = series − trend − "
+    "seasonal. Weekday comes from epoch-day % 7, NOT the engines' "
+    "dayofweek() (Spark is 1-based-Sunday, DuckDB 0-based — the §9a "
+    "date family edge). Float discipline: exact integer cents per day, "
+    "trend rounded before the residual pass, seasonal averaged over the "
+    "~day-count/7 residuals (noise ~1e-12 vs the round-6 grid). All "
+    "windows are day-DOMAIN frames; one groupBy shuffle + a 7-row "
+    "broadcast join.",
+)
+def a55_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "cents",
+        (F.datediff(F.col("d"), F.lit("1970-01-01")) % 7).alias("dow"),
+        F.round(
+            F.sum("cents").over(w).cast("double")
+            / (100.0 * F.count(F.lit(1)).over(w)),
+            6,
+        ).alias("trend"),
+    )
+    seas = tr.groupBy("dow").agg(
+        F.round(F.avg(F.col("cents") / 100.0 - F.col("trend")), 6).alias("seasonal")
+    )
+    return (
+        tr.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "cents",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("cents") / 100.0 - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+    )

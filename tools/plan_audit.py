@@ -126,6 +126,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # skyline running max runs over the distinct-PRICE domain frame
     # (one row per price cell, the a46/KS domain-frame exception).
     "t11_skyline_pareto",
+    # seasonal decomposition's centered MA runs over the day-domain
+    # frame (one row per observed day, calendar-bounded).
+    "a55_seasonal_decompose",
 }
 
 
