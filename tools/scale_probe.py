@@ -133,6 +133,7 @@ PROBE_QUERIES = [
     "a53_conversion_ztest",     # user-keyed groupBy + 2-row fold (r8)
     "t11_skyline_pareto",       # price-cell groupBy + domain running max (r8)
     "a54_funnel_gated",         # three shrinking user-keyed stages (r8)
+    "a55_seasonal_decompose",   # daily groupBy + day-domain MA frames (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
