@@ -1488,3 +1488,53 @@ def u6_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_sentences",
         n_syllables.alias("n_syllables"), fre.alias("fre"),
     )
+
+
+@register(
+    "u6_kwic_snippets",
+    "U6 ⊕ (keyword-in-context snippets)",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, t, list_position(t, 'scan') AS pos, len(t) AS n
+      FROM toks
+      WHERE list_position(t, 'scan') > 0
+    )
+    SELECT doc_id,
+           CAST(pos AS BIGINT) AS pos,
+           array_to_string(
+             t[greatest(1, pos - 3):least(n, pos + 3)], ' ') AS snippet
+    FROM hits
+    """,
+    doc="Keyword-in-context (KWIC) snippet extraction: for every "
+    "document containing the term, the FIRST occurrence position and a "
+    "±3-token context window — the search-result-preview / corpus-QA "
+    "op (inspect how a term is used without shipping whole documents). "
+    "Row-local: tokenize once, one array_position, one slice — zero "
+    "shuffles, trivially parallel at any scale; the snippet column is "
+    "bounded (7 tokens) no matter how large the documents are, which "
+    "is the point: the op ships context windows, not documents.",
+)
+def u6_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    t = tokens(F.col("text"))
+    with_pos = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.array_position(t, "scan").alias("pos"),
+        F.size(t).alias("n"),
+    ).filter(F.col("pos") > 0)
+    start = F.greatest(F.lit(1), F.col("pos") - 3)
+    end = F.least(F.col("n"), F.col("pos") + 3)
+    return with_pos.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.slice(F.col("t"), start, end - start + 1), " "
+        ).alias("snippet"),
+    )
