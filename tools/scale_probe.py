@@ -134,6 +134,7 @@ PROBE_QUERIES = [
     "t11_skyline_pareto",       # price-cell groupBy + domain running max (r8)
     "a54_funnel_gated",         # three shrinking user-keyed stages (r8)
     "a55_seasonal_decompose",   # daily groupBy + day-domain MA frames (r8)
+    "u6_kwic_snippets",         # row-local tokenize+slice, zero exchanges (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
