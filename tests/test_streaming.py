@@ -1038,3 +1038,22 @@ def test_decayed_counts_stream_matches_batch(spark, events_dir, sf_dir, tmp_path
     )
     streamed = spark.table("decayed_sink")
     assert _as_set(streamed.select(*batch.columns)) == _as_set(batch)
+
+
+def test_decayed_counts_stream_replay_is_idempotent(spark, events_dir, sf_dir, tmp_path):
+    """Re-running the availableNow stream over the same checkpoint (no new
+    data) leaves the sink table exactly as it was — the overwrite emission
+    converges instead of double-counting."""
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        decayed_counts_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_decayed_replay")
+    decayed_counts_stream(
+        read_event_stream(spark, events_dir), "decayed_sink_replay", ckpt
+    )
+    first = _as_set(spark.table("decayed_sink_replay"))
+    decayed_counts_stream(
+        read_event_stream(spark, events_dir), "decayed_sink_replay", ckpt
+    )
+    assert _as_set(spark.table("decayed_sink_replay")) == first
