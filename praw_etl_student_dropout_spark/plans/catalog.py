@@ -7479,3 +7479,95 @@ def a55_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("remainder"),
         )
     )
+
+
+@register(
+    "a56_mann_kendall",
+    "A ⊕ (Mann–Kendall trend test)",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT count(*) AS t FROM daily GROUP BY cents)
+      WHERE t > 1
+    )
+    SELECT s, n,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+             AS var18_doubled,
+           round((s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                        / 18.0), 6) AS z
+    FROM pairs, nn, ties
+    """,
+    doc="Mann–Kendall monotonic-trend test on daily revenue — the "
+    "non-parametric 'is this series drifting' test beside a48's ACF "
+    "(seasonality) and a46's KS (distribution change): S = Σ over day "
+    "pairs sign(x_j − x_i), variance with the exact tie correction, "
+    "continuity-corrected z. The pair join runs on the DAY domain "
+    "(calendar-bounded — ~2.4k days ⇒ ~3M comparisons regardless of "
+    "row count), after one groupBy collapses the fact table; everything "
+    "integer until one final sqrt/division. var18_doubled carries the "
+    "exact integer 18·Var(S) so the hard hash check covers the tie "
+    "correction, not just the rounded z.",
+)
+def a56_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var18 = F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    cc = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s",
+            "n",
+            var18.cast("long").alias("var18_doubled"),
+            F.round(
+                (F.col("s") - cc) / F.sqrt(var18.cast("double") / 18.0), 6
+            ).alias("z"),
+        )
+    )

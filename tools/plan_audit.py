@@ -77,6 +77,8 @@ EXPECTED_NESTED_LOOP = {
     "u7_int8_ann",       # broadcast query crossJoin, the brute-force scoring shape (r8)
     "a52_decayed_counts",  # 1-row max-date scalar broadcast cross join
     "a54_funnel_gated",    # three 1-row stage-count frames cross-joined
+    "a56_mann_kendall",    # day-DOMAIN theta pair join (calendar-bounded)
+                           # + two 1-row stat frames cross-joined
 }
 
 
