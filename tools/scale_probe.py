@@ -135,6 +135,7 @@ PROBE_QUERIES = [
     "a54_funnel_gated",         # three shrinking user-keyed stages (r8)
     "a55_seasonal_decompose",   # daily groupBy + day-domain MA frames (r8)
     "u6_kwic_snippets",         # row-local tokenize+slice, zero exchanges (r8)
+    "a56_mann_kendall",         # day-domain pair join + 1-row stats (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
