@@ -7571,3 +7571,64 @@ def a56_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@register(
+    "a57_backtest_mape",
+    "A ⊕ (forecast backtest: seasonal-naive MAPE/WAPE)",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.d, a.cents AS actual, p.cents AS pred
+      FROM daily a JOIN daily p ON p.d = a.d - INTERVAL 7 DAY
+    )
+    SELECT CAST(year(d) * 100 + month(d) AS BIGINT) AS ym,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(actual - pred) / CAST(actual AS DOUBLE)), 6)
+             AS mape,
+           round(CAST(sum(abs(actual - pred)) AS DOUBLE) / sum(actual), 6)
+             AS wape
+    FROM scored GROUP BY 1
+    """,
+    doc="Rolling forecast backtest: the seasonal-naive predictor (same "
+    "weekday last week, via an exact CALENDAR join on d−7, not a row "
+    "lag — row frames silently misalign across gaps) scored per month "
+    "with MAPE and the more robust WAPE (Σ|e|/Σactual — immune to "
+    "near-zero-denominator days). The evaluation half every forecasting "
+    "pipeline needs before trusting a model; seasonal-naive IS the "
+    "baseline any real model must beat. Integer cents throughout; the "
+    "error folds run over the day domain (~30 rows/month), so the two "
+    "rounded divisions sit far above cross-engine float noise. One "
+    "groupBy shuffle + a day-domain self-join.",
+)
+def a57_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a, p = daily.alias("a"), daily.alias("p")
+    scored = a.join(
+        p, F.col("p.d") == F.date_sub(F.col("a.d"), 7)
+    ).select(
+        F.col("a.d").alias("d"),
+        F.col("a.cents").alias("actual"),
+        F.col("p.cents").alias("pred"),
+    )
+    err = F.abs(F.col("actual") - F.col("pred"))
+    return (
+        scored.groupBy(
+            (F.year("d") * 100 + F.month("d")).cast("long").alias("ym")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(err / F.col("actual").cast("double")), 6).alias("mape"),
+            F.round(F.sum(err).cast("double") / F.sum("actual"), 6).alias("wape"),
+        )
+    )

@@ -136,6 +136,7 @@ PROBE_QUERIES = [
     "a55_seasonal_decompose",   # daily groupBy + day-domain MA frames (r8)
     "u6_kwic_snippets",         # row-local tokenize+slice, zero exchanges (r8)
     "a56_mann_kendall",         # day-domain pair join + 1-row stats (r8)
+    "a57_backtest_mape",        # daily groupBy + calendar self-join (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
