@@ -486,36 +486,88 @@ def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a11_approx_distinct",
     "A11",
-    None,  # HLL sketches differ across engines — rows-only check; pytest
-    # bounds the estimate against the exact count instead.
-    doc="HyperLogLog++ distinct estimate — the 100 TB distinct-count.",
+    """
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_3rsd
+    FROM orders
+    """,
+    doc="HyperLogLog++ distinct estimate — the 100 TB distinct-count — "
+    "contract-graded (the a17/ivfpq pattern, r8 rows-only whittling): "
+    "the sketch estimate itself is engine-specific and stays internal; "
+    "the grade value-matches the EXACT distinct count both engines "
+    "compute and pins the accuracy contract |est−exact|/exact ≤ 3·rsd "
+    "(rsd=0.01 ⇒ 3%). The estimate-vs-exact bound also stays pytest-"
+    "pinned. Production path unchanged: approx_count_distinct's "
+    "fixed-size per-partition sketch state instead of a giant exact "
+    "shuffle (operators/aggregations.py::approx_distinct).",
 )
 def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return approx_distinct(_t(spark, sf_dir, "orders")["orders"], "o_custkey")
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    both = orders.agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("est"),
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct"),
+    )
+    return both.select(
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double")
+            <= 0.03
+        ).alias("within_3rsd"),
+    )
 
 
 @register(
     "a11b_hll_sketch_union",
     "A11",
-    None,  # sketch bytes are engine-specific — rows-only check; pytest
-    # bounds per-type and unioned estimates against exact counts.
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+    """,
     doc="Mergeable HLL sketches (Datasketches): one sketch of user_id per "
     "event_type, estimates read per group, then hll_union_agg folds the "
-    "group sketches into a corpus-wide distinct estimate WITHOUT "
-    "rescanning events — the precompute-partials/merge-later pattern "
-    "that makes incremental distinct-counts at 100 TB a metadata-sized "
-    "merge instead of a full scan.",
+    "group sketches into a corpus-wide estimate WITHOUT rescanning "
+    "events — the precompute-partials/merge-later pattern that makes "
+    "incremental distinct-counts at 100 TB a metadata-sized merge. "
+    "Contract-graded (r8): sketch bytes/estimates are engine-specific "
+    "and stay internal; the grade value-matches the EXACT per-type and "
+    "corpus distinct counts and pins |est−exact|/exact ≤ 5% (3σ at the "
+    "default lgK=12) for every row INCLUDING the union row — so a "
+    "driver grade proves the merge path's accuracy, not just the "
+    "per-group sketches'.",
 )
 def a11b_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
-    sketches = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    per_type = sketches.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
     )
-    overall = sketches.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-    ).select(F.lit("ALL").alias("event_type"), "approx_users")
-    return per_type.unionByName(overall)
+    per_type = sketches.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est"), "exact_users"
+    )
+    overall = (
+        sketches.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+            )
+        )
+        .select(F.lit("ALL").alias("event_type"), "est", "exact_users")
+    )
+    return per_type.unionByName(overall).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users").cast("double")
+            <= 0.05
+        ).alias("within_bound"),
+    )
 
 
 # =====================================================================

@@ -79,6 +79,7 @@ EXPECTED_NESTED_LOOP = {
     "a54_funnel_gated",    # three 1-row stage-count frames cross-joined
     "a56_mann_kendall",    # day-DOMAIN theta pair join (calendar-bounded)
                            # + two 1-row stat frames cross-joined
+    "a11b_hll_sketch_union",  # 1-row exact-corpus-count broadcast cross join
 }
 
 
