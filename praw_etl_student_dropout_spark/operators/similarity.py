@@ -915,3 +915,77 @@ def int8_topk(
             "rank",
         )
     )
+
+
+def ivf_int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF + SQ8 — the standard production ANN layout (FAISS 'IVF,SQ8'):
+    centroid routing bounds WHICH rows a query touches, int8 scalar
+    quantization bounds the BYTES and the inner-loop cost per touched
+    row. Routing runs on the raw vectors (tiny |Q|x|C| scoring);
+    scoring inside the probed lists is the quantized cosine
+    int_dot / sqrt(qnorm2_q * qnorm2_c) — all-integer inputs, so the
+    scores this index serves are bit-stable across engines even though
+    the candidate set is index-specific. Returns
+    (query_id, corpus_id, int_dot, qcos, rank).
+    """
+    from pyspark.sql import Window
+
+    c_idx = assign_centroids(corpus, centroids)
+    cq = int8_quantize(c_idx, corpus_vec, out_q="__cq", out_norm2="__cn2")
+    qq = int8_quantize(queries, query_vec, out_q="__qq", out_norm2="__qn2")
+
+    wq = Window.partitionBy(query_id).orderBy(
+        F.desc("c_score"), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(qq)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            query_id,
+            "__qq",
+            "__qn2",
+            "centroid_id",
+            cosine_similarity(F.col(query_vec), F.col("centroid_vec")).alias(
+                "c_score"
+            ),
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id, "__qq", "__qn2", "centroid_id")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cq.join(probes, "centroid_id")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .withColumn("int_dot", int_dot)
+        .withColumn(
+            "qcos",
+            F.col("int_dot").cast("double")
+            / F.sqrt((F.col("__qn2") * F.col("__cn2")).cast("double")),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("qcos").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id, corpus_id, "int_dot", F.round("qcos", 6).alias("qcos"), "rank"
+        )
+    )

@@ -3639,3 +3639,168 @@ def d3_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")["documents"]
     return simhash_md5_pairs(docs, "text", "doc_id", max_hamming=3, bands=4)
+
+
+@register(
+    "u7_ivf_int8_topk",
+    "U7 ⊕ (IVF + SQ8 composed layout)",
+    """
+    WITH z AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                 list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+               ) AS BIGINT)) AS qv
+      FROM embeddings
+      WHERE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0
+    ),
+    zn AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS n2
+      FROM z
+    )
+    SELECT q.vec_id AS query_id,
+           round(max(CASE WHEN c.vec_id != q.vec_id THEN
+             CAST(CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(q.n2 * c.n2 AS DOUBLE)) END), 6)
+             AS exact_max_qcos_nonself,
+           TRUE AS routed_from_probed_lists,
+           TRUE AS rerank_is_exact_qcos,
+           TRUE AS top1_bounded,
+           TRUE AS nonempty
+    FROM (SELECT * FROM zn WHERE vec_id < 4) q
+    CROSS JOIN zn c
+    GROUP BY q.vec_id
+    """,
+    doc="IVF + SQ8, the standard production ANN pairing (FAISS "
+    "'IVF,SQ8'): centroid routing bounds WHICH rows a query touches, "
+    "int8 quantization bounds the bytes and inner-loop cost per touched "
+    "row (4x smaller lists than raw floats). Contract-graded like "
+    "u7_knn_ivf, but with a STRONGER value anchor than the float "
+    "family can carry: exact_max_qcos_nonself is the brute-force "
+    "QUANTIZED-cosine max — deterministic because quantization is a "
+    "pure integer function, so both engines compute it bit-for-bit. "
+    "Plus: routing containment, an independent integer-dot recheck of "
+    "every returned score, and the corpus-max bound. "
+    "operators/similarity.py::ivf_int8_topk.",
+)
+def u7_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.arrays import cosine_similarity
+    from ..operators.similarity import int8_quantize, ivf_int8_topk
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    centroids = sample_centroids(e, num_centroids=16)
+    queries = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = ivf_int8_topk(
+        queries,
+        e,
+        centroids,
+        query_id="query_id",
+        corpus_id="vec_id",
+        query_vec="query_vec",
+        corpus_vec="embedding",
+        k=10,
+        nprobe=4,
+    )
+
+    # probe mirror (same centroids frame) for the routing check
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("c_score"), F.asc("centroid_id")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "centroid_id",
+            cosine_similarity(F.col("query_vec"), F.col("centroid_vec")).alias(
+                "c_score"
+            ),
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= 4)
+        .select("query_id", "centroid_id", F.lit(True).alias("__probed"))
+    )
+    indexed = assign_centroids(e, centroids)
+    routed_ok = (
+        res.join(indexed.select("vec_id", "centroid_id"), "vec_id")
+        .join(probes, ["query_id", "centroid_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.coalesce("__probed", F.lit(False))).alias(
+                "routed_from_probed_lists"
+            )
+        )
+    )
+    # independent quantized-cosine recheck + brute-force quantized max
+    cz = int8_quantize(e, "embedding", out_q="__cq", out_norm2="__cn2").select(
+        "vec_id", "__cq", "__cn2"
+    )
+    qz = int8_quantize(queries, "query_vec", out_q="__qq", out_norm2="__qn2").select(
+        "query_id", "__qq", "__qn2"
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    all_scored = (
+        cz.crossJoin(F.broadcast(qz))
+        .withColumn("__dot", int_dot)
+        .withColumn(
+            "__qcos",
+            F.col("__dot").cast("double")
+            / F.sqrt((F.col("__qn2") * F.col("__cn2")).cast("double")),
+        )
+    )
+    score_ok = (
+        res.join(
+            all_scored.select("query_id", "vec_id", "__dot", "__qcos"),
+            ["query_id", "vec_id"],
+        )
+        .select(
+            "query_id",
+            (
+                (F.col("__dot") == F.col("int_dot"))
+                & (F.round("__qcos", 6) == F.col("qcos"))
+            ).alias("__ok"),
+        )
+        .groupBy("query_id")
+        .agg(F.min("__ok").alias("rerank_is_exact_qcos"))
+    )
+    stats = (
+        all_scored.groupBy("query_id")
+        .agg(
+            F.round(
+                F.max(
+                    F.when(F.col("vec_id") != F.col("query_id"), F.col("__qcos"))
+                ),
+                6,
+            ).alias("exact_max_qcos_nonself"),
+            F.max("__qcos").alias("__max_all"),
+        )
+    )
+    top1 = res.filter(F.col("rank") == 1).select(
+        "query_id", F.col("qcos").alias("__top1")
+    )
+    counts = res.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.join(stats, "query_id")
+        .join(routed_ok, "query_id")
+        .join(score_ok, "query_id")
+        .join(top1, "query_id")
+        .select(
+            "query_id",
+            "exact_max_qcos_nonself",
+            "routed_from_probed_lists",
+            "rerank_is_exact_qcos",
+            (F.col("__top1") <= F.col("__max_all") + F.lit(1e-6)).alias(
+                "top1_bounded"
+            ),
+            (F.col("__n") >= 1).alias("nonempty"),
+        )
+    )

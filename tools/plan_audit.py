@@ -75,6 +75,7 @@ EXPECTED_NESTED_LOOP = {
     "a50_survival_km",   # 1-row horizon max + 1-row grand-total broadcast cross joins
     "a51_bootstrap_ci",  # 1-row full-sample mean broadcast cross join
     "u7_int8_ann",       # broadcast query crossJoin, the brute-force scoring shape (r8)
+    "u7_ivf_int8_topk",  # broadcast quantized-query crossJoin in the value-anchor mirror (r8)
     "a52_decayed_counts",  # 1-row max-date scalar broadcast cross join
     "a54_funnel_gated",    # three 1-row stage-count frames cross-joined
     "a56_mann_kendall",    # day-DOMAIN theta pair join (calendar-bounded)
@@ -102,6 +103,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "u7_knn_ivf",
     "u7_kmeans_ivf",
     "u7_ivfpq_topk",
+    "u7_ivf_int8_topk",
     # bm25_topk assigns rank with row_number over the POST-limit(k)
     # frame (≤ k rows by construction); the hybrid entry fuses two
     # such bounded frames (r6).

@@ -137,6 +137,7 @@ PROBE_QUERIES = [
     "u6_kwic_snippets",         # row-local tokenize+slice, zero exchanges (r8)
     "a56_mann_kendall",         # day-domain pair join + 1-row stats (r8)
     "a57_backtest_mape",        # daily groupBy + calendar self-join (r8)
+    "u7_ivf_int8_topk",         # routed quantized-list scoring + contract mirror (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
