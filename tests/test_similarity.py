@@ -421,3 +421,35 @@ def test_mmr_rank1_is_top_relevance_and_groups_isolated(spark):
         grp = {r["mmr_rank"]: r["vec_id"] for r in out if r["query_id"] == q}
         assert grp[1] == 10 * q  # highest relevance wins rank 1
         assert all(v // 10 == q for v in grp.values())  # no cross-query leak
+
+
+def test_ivf_int8_recall_tracks_raw_ivf(spark, sf_dir):
+    """IVF+SQ8 recall@10 vs exact raw-cosine brute force: quantization
+    costs little on 64-dim vectors, so the composed index must stay
+    within reach of the raw-float IVF at the same nprobe."""
+    from praw_etl_student_dropout_spark.operators.similarity import ivf_int8_topk
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(queries, e, k=10).collect()
+    centroids = sample_centroids(e, num_centroids=16)
+    approx = ivf_int8_topk(
+        queries, e, centroids, k=10, nprobe=8
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_r = sum(recalls) / len(recalls)
+    assert mean_r >= 0.5, f"mean IVF+SQ8 recall@10 {mean_r:.2f}"
+    # quantized scores are integers + IEEE-exact ops: rank ties impossible
+    # to differ across runs — determinism probe
+    again = ivf_int8_topk(queries, e, centroids, k=10, nprobe=8).collect()
+    assert {tuple(r) for r in approx} == {tuple(r) for r in again}
