@@ -7684,3 +7684,60 @@ def a57_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(err).cast("double") / F.sum("actual"), 6).alias("wape"),
         )
     )
+
+
+@register(
+    "w16_pattern_vshape",
+    "W ⊕ (sequence pattern matching: MATCH_RECOGNIZE-lite)",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, cents,
+             lag(cents, 2) OVER w AS m2, lag(cents, 1) OVER w AS m1,
+             lead(cents, 1) OVER w AS p1, lead(cents, 2) OVER w AS p2
+      FROM daily WINDOW w AS (ORDER BY d)
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day, cents, m2, m1, p1, p2
+    FROM lagged
+    WHERE m2 > m1 AND m1 > cents AND cents < p1 AND p1 < p2
+    """,
+    doc="Sequence-pattern detection — the MATCH_RECOGNIZE emulation "
+    "(ANSI row-pattern matching exists in Oracle/Flink/Snowflake; Spark "
+    "lacks it, so patterns compile to lag/lead windows): find V-shaped "
+    "troughs in daily revenue (two strictly-falling days into a strict "
+    "local minimum, two strictly-rising out) — the dip-detection shape "
+    "behind drawdown alerts and buy-the-dip analytics. Fixed-width "
+    "patterns need exactly pattern_len lag/lead columns over ONE "
+    "day-domain window; variable-length patterns (A+ B+) would chain "
+    "the w2_sessionize run-grouping trick instead. Exact integers; "
+    "zero float anywhere.",
+)
+def w16_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "cents",
+        F.lag("cents", 2).over(w).alias("m2"),
+        F.lag("cents", 1).over(w).alias("m1"),
+        F.lead("cents", 1).over(w).alias("p1"),
+        F.lead("cents", 2).over(w).alias("p2"),
+    )
+    return lagged.filter(
+        (F.col("m2") > F.col("m1"))
+        & (F.col("m1") > F.col("cents"))
+        & (F.col("cents") < F.col("p1"))
+        & (F.col("p1") < F.col("p2"))
+    ).select(F.col("d").cast("timestamp").alias("day"), "cents", "m2", "m1", "p1", "p2")

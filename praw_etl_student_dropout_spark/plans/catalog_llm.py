@@ -3804,3 +3804,90 @@ def u7_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__n") >= 1).alias("nonempty"),
         )
     )
+
+
+@register(
+    "llm_preference_pairs",
+    "U6 ⊕ (preference-pair construction)",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {SQL_TOKEN_COUNT.format(col='text')} AS n_toks
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_toks,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_toks DESC, doc_id ASC) AS r_top,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_toks ASC, doc_id ASC) AS r_bot,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM scored
+    )
+    SELECT a.source,
+           a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           CAST(a.n_toks AS BIGINT) AS chosen_score,
+           CAST(b.n_toks AS BIGINT) AS rejected_score,
+           CAST(a.r_top AS BIGINT) AS pair_rank
+    FROM ranked a
+    JOIN ranked b ON a.source = b.source AND a.r_top = b.r_bot
+    WHERE a.r_top <= 5 AND a.r_top * 2 <= a.n_src
+      AND a.n_toks > b.n_toks
+    """,
+    doc="Preference-pair construction for reward-model / DPO training "
+    "data: per source, pair the k-th HIGHEST-scored document with the "
+    "k-th LOWEST (here score = token count as the stand-in quality "
+    "signal) — extreme-pairing maximizes the score margin per pair, "
+    "equal-rank pairing keeps pairs disjoint, total-order tiebreaks "
+    "(score, doc_id) make the pairing a pure function of the data, and "
+    "the margin guard (chosen > rejected) drops degenerate pairs on "
+    "tiny sources. Two rank windows per source partition + one "
+    "rank-keyed self-join; at corpus scale the rank windows become the "
+    "llm_quantile_normalize domain trick if sources are mega-partition "
+    "sized.",
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_toks")
+    )
+    w_top = Window.partitionBy("source").orderBy(
+        F.desc("n_toks"), F.asc("doc_id")
+    )
+    w_bot = Window.partitionBy("source").orderBy(
+        F.asc("n_toks"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.r_top") == F.col("b.r_bot")),
+        )
+        .filter(
+            (F.col("a.r_top") <= 5)
+            & (F.col("a.r_top") * 2 <= F.col("a.n_src"))
+            & (F.col("a.n_toks") > F.col("b.n_toks"))
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("chosen_id"),
+            F.col("b.doc_id").alias("rejected_id"),
+            F.col("a.n_toks").cast("long").alias("chosen_score"),
+            F.col("b.n_toks").cast("long").alias("rejected_score"),
+            F.col("a.r_top").cast("long").alias("pair_rank"),
+        )
+    )

@@ -134,6 +134,8 @@ EXPECTED_GLOBAL_WINDOW = {
     # seasonal decomposition's centered MA runs over the day-domain
     # frame (one row per observed day, calendar-bounded).
     "a55_seasonal_decompose",
+    # pattern lags run over the same day-domain frame.
+    "w16_pattern_vshape",
 }
 
 
