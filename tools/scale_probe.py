@@ -138,6 +138,8 @@ PROBE_QUERIES = [
     "a56_mann_kendall",         # day-domain pair join + 1-row stats (r8)
     "a57_backtest_mape",        # daily groupBy + calendar self-join (r8)
     "u7_ivf_int8_topk",         # routed quantized-list scoring + contract mirror (r8)
+    "w16_pattern_vshape",       # day-domain lag/lead pattern window (r8)
+    "llm_preference_pairs",     # two source-partition rank windows + rank join (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
