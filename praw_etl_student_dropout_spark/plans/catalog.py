@@ -7741,3 +7741,52 @@ def w16_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cents") < F.col("p1"))
         & (F.col("p1") < F.col("p2"))
     ).select(F.col("d").cast("timestamp").alias("day"), "cents", "m2", "m1", "p1", "p2")
+
+
+@register(
+    "d4c_bag_setops",
+    "D4 ⊕ (multiset EXCEPT ALL / INTERSECT ALL)",
+    """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'),
+    ex AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b),
+    ix AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+    SELECT p,
+           CAST(coalesce(e.ne, 0) AS BIGINT) AS n_except_all,
+           CAST(coalesce(i.ni, 0) AS BIGINT) AS n_intersect_all
+    FROM (SELECT DISTINCT p FROM a) d
+    LEFT JOIN (SELECT p, count(*) AS ne FROM ex GROUP BY 1) e USING (p)
+    LEFT JOIN (SELECT p, count(*) AS ni FROM ix GROUP BY 1) i USING (p)
+    """,
+    doc="Multiset (bag) set algebra — EXCEPT ALL keeps max(cnt_a − "
+    "cnt_b, 0) copies and INTERSECT ALL keeps min(cnt_a, cnt_b), where "
+    "the D4 DISTINCT forms collapse to membership: the difference "
+    "matters whenever rows are observations, not identities (log diffs, "
+    "replay gap detection, inventory reconciliation). Spark ships both "
+    "as exceptAll/intersectAll — compiled to count-difference "
+    "aggregations, NOT row-pairing joins — and the entry emits the "
+    "per-key multiplicities so the grade checks the exact bag "
+    "arithmetic. Two grouped counts + a key-domain join; one shuffle "
+    "each side.",
+)
+def d4c_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    ex = a.exceptAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("ne"))
+    ix = a.intersectAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("ni"))
+    return (
+        a.select("p")
+        .distinct()
+        .join(ex, "p", "left")
+        .join(ix, "p", "left")
+        .select(
+            "p",
+            F.coalesce("ne", F.lit(0)).cast("long").alias("n_except_all"),
+            F.coalesce("ni", F.lit(0)).cast("long").alias("n_intersect_all"),
+        )
+    )
