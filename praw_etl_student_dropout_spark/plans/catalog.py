@@ -7790,3 +7790,62 @@ def d4c_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ni", F.lit(0)).cast("long").alias("n_intersect_all"),
         )
     )
+
+
+@register(
+    "t12_diversified_topk",
+    "T ⊕ (diversified top-k)",
+    """
+    WITH capped AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+             ) AS r_in_src
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(r_in_src AS BIGINT) AS r_in_src,
+           CAST(row_number() OVER (
+             ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS final_rank
+    FROM capped
+    WHERE r_in_src <= 2
+    QUALIFY final_rank <= 10
+    """,
+    doc="Diversified top-k — the search/retrieval constraint plain "
+    "top-k can't express: the 10 best documents with AT MOST 2 per "
+    "source, so one dominant source can't monopolize the result page "
+    "(result diversification / fairness caps / per-tenant quotas are "
+    "all this shape). Two ranking passes: per-source cap first "
+    "(WindowGroupLimit prunes to 2 rows per source map-side BEFORE any "
+    "global work), then global top-10 over the tiny survivor set — the "
+    "global window sees #sources x cap rows, never the corpus. "
+    "Total-order tiebreaks; exact integers.",
+)
+def t12_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w_src = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    capped = (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w_src).alias("r_in_src"),
+        )
+        .filter(F.col("r_in_src") <= 2)
+    )
+    w_all = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        capped.withColumn("final_rank", F.row_number().over(w_all))
+        .filter(F.col("final_rank") <= 10)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("r_in_src").cast("long").alias("r_in_src"),
+            F.col("final_rank").cast("long").alias("final_rank"),
+        )
+    )

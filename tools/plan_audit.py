@@ -136,6 +136,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "a55_seasonal_decompose",
     # pattern lags run over the same day-domain frame.
     "w16_pattern_vshape",
+    # diversified top-k's global rank runs over the POST-cap survivor
+    # frame (<= #sources x cap rows by construction, the bm25 shape).
+    "t12_diversified_topk",
 }
 
 
