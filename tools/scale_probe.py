@@ -141,6 +141,7 @@ PROBE_QUERIES = [
     "w16_pattern_vshape",       # day-domain lag/lead pattern window (r8)
     "llm_preference_pairs",     # two source-partition rank windows + rank join (r8)
     "d4c_bag_setops",           # two grouped counts + key-domain join (r8)
+    "t12_diversified_topk",     # per-source cap + survivor-frame rank (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
