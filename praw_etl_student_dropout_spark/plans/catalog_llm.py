@@ -3891,3 +3891,59 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.r_top").cast("long").alias("pair_rank"),
         )
     )
+
+
+@register(
+    "u6_shingle_novelty",
+    "U6 ⊕ (inter-source novelty rate)",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS.format(col='text')} AS t
+                  FROM documents),
+    sh AS (
+      SELECT DISTINCT source, unnest({SQL_SHINGLES.format(t='t')}) AS s
+      FROM toks
+    ),
+    spread AS (
+      SELECT s, count(DISTINCT source) AS n_src FROM sh GROUP BY 1
+    )
+    SELECT sh.source,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE spread.n_src = 1) AS BIGINT)
+             AS n_unique,
+           round(CAST(count(*) FILTER (WHERE spread.n_src = 1) AS DOUBLE)
+                 / count(*), 6) AS novelty_rate
+    FROM sh JOIN spread USING (s)
+    GROUP BY 1
+    """,
+    doc="Inter-source novelty: per source, the fraction of its DISTINCT "
+    "word shingles that appear in NO other source — the redundancy "
+    "diagnostic that tells a corpus mixer which sources actually add "
+    "content versus re-serve what another source already contributes "
+    "(low novelty ⇒ a candidate for downweighting before the dedup "
+    "pass even runs). One shingle-keyed shuffle to count source spread "
+    "+ one source-keyed fold; counts are exact integers, one rounded "
+    "division. The shingle domain, not the document count, sizes the "
+    "shuffle — the same reason the d3 family scales.",
+)
+def u6_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _spread, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    sh = (
+        _spread(docs.select("doc_id", "source", "text"), "doc_id")
+        .select("source", F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+        .distinct()
+    )
+    spread = sh.groupBy("s").agg(F.countDistinct("source").alias("n_src"))
+    uniq = F.count(F.when(F.col("n_src") == 1, 1))
+    return (
+        sh.join(spread, "s")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            F.round(uniq.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )

@@ -142,6 +142,7 @@ PROBE_QUERIES = [
     "llm_preference_pairs",     # two source-partition rank windows + rank join (r8)
     "d4c_bag_setops",           # two grouped counts + key-domain join (r8)
     "t12_diversified_topk",     # per-source cap + survivor-frame rank (r8)
+    "u6_shingle_novelty",       # shingle-domain spread counts + source fold (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
