@@ -7849,3 +7849,79 @@ def t12_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("final_rank").cast("long").alias("final_rank"),
         )
     )
+
+
+@register(
+    "w17_rolling_corr",
+    "W ⊕ (rolling correlation of two series)",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    framed AS (
+      SELECT d, x, y,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy) /
+                 sqrt(CAST((n * sxx - sx * sx) AS DOUBLE) *
+                      CAST((n * syy - sy * sy) AS DOUBLE)), 6) AS corr28
+    FROM framed
+    WHERE n = 28
+      AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    doc="Rolling 28-observed-day Pearson correlation between the click "
+    "and purchase daily-count series — the co-movement monitor behind "
+    "metric-coupling alerts ('did purchases stop following clicks'). "
+    "The w14 discipline at two variables: every frame statistic (n, "
+    "Σx, Σy, Σxy, Σx², Σy²) is an exact INTEGER running sum over the "
+    "day-domain frame; the only floats are one closed-form expression "
+    "from those integers (engine-native corr() is Welford-streamed and "
+    "NOT cross-engine bit-stable — SURVEY §9a). Degenerate frames "
+    "(zero variance) are excluded explicitly rather than emitting "
+    "engine-dependent NaN/NULL.",
+)
+def w17_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-27, 0)
+    framed = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        framed.filter((F.col("n") == 28) & (vx > 0) & (vy > 0))
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(
+                cov / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+            ).alias("corr28"),
+        )
+    )

@@ -139,6 +139,8 @@ EXPECTED_GLOBAL_WINDOW = {
     # diversified top-k's global rank runs over the POST-cap survivor
     # frame (<= #sources x cap rows by construction, the bm25 shape).
     "t12_diversified_topk",
+    # rolling-corr frame sums run over the day-domain frame.
+    "w17_rolling_corr",
 }
 
 

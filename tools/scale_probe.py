@@ -143,6 +143,7 @@ PROBE_QUERIES = [
     "d4c_bag_setops",           # two grouped counts + key-domain join (r8)
     "t12_diversified_topk",     # per-source cap + survivor-frame rank (r8)
     "u6_shingle_novelty",       # shingle-domain spread counts + source fold (r8)
+    "w17_rolling_corr",         # integer frame sums over the day domain (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
