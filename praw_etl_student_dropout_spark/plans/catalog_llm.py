@@ -3947,3 +3947,108 @@ def u6_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "u9_clustering_coeff",
+    "U ⊕ (graph analytics: local clustering coefficient)",
+    """
+    WITH pairs AS (
+      SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
+             greatest(s.s_nationkey, c.c_nationkey) AS eb,
+             count(*) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ptot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
+    e0 AS (
+      SELECT ea, eb FROM pairs, ptot WHERE vol * n_pairs > total
+    ),
+    sym AS (
+      SELECT ea AS v, eb AS u FROM e0
+      UNION ALL SELECT eb, ea FROM e0
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    tri AS (
+      SELECT w.v, CAST(count(*) AS BIGINT) AS t
+      FROM (
+        SELECT a.v, a.u AS x, b.u AS y
+        FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+      ) w
+      JOIN e0 ON e0.ea = w.x AND e0.eb = w.y
+      GROUP BY 1
+    )
+    SELECT deg.v AS id, deg.d AS degree,
+           CAST(coalesce(tri.t, 0) AS BIGINT) AS n_wedges_closed,
+           round(CAST(coalesce(tri.t, 0) AS DOUBLE) * 2
+                 / (deg.d * (deg.d - 1)), 6) AS clustering_coeff
+    FROM deg LEFT JOIN tri ON tri.v = deg.v
+    WHERE deg.d >= 2
+    """,
+    doc="Local clustering coefficient per node over the undirected "
+    "nation trade graph, SPARSIFIED to above-average-volume pairs by "
+    "the integer test vol*n_pairs > total (the u9_pagerank_nations "
+    "move: the raw pair graph is complete at every SF, where every "
+    "coefficient is trivially 1.0) — closed wedges / possible "
+    "wedges, the 'how clique-like is this node's neighborhood' metric "
+    "that complements global triangle counting (u9_triangle_count uses "
+    "the same canonical-edge derivation): wedges at v enumerate as the "
+    "neighbor self-join (u < w), closure checks against the canonical "
+    "edge list — three equi-joins, no adjacency matrix, no driver "
+    "state. Exact integer wedge counts; one rounded division.",
+)
+def u9_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("ea"),
+            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
+        )
+        .agg(F.count(F.lit(1)).alias("vol"))
+    )
+    ptot = pairs.agg(
+        F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    e0 = (
+        pairs.crossJoin(F.broadcast(ptot))
+        .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
+        .select("ea", "eb")
+    )
+    sym = e0.select(F.col("ea").alias("v"), F.col("eb").alias("u")).unionByName(
+        e0.select(F.col("eb").alias("v"), F.col("ea").alias("u"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = sym.alias("a"), sym.alias("b")
+    wedges = a.join(
+        b, (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u"))
+    ).select(F.col("a.v").alias("v"), F.col("a.u").alias("x"), F.col("b.u").alias("y"))
+    tri = (
+        wedges.join(
+            e0, (F.col("ea") == F.col("x")) & (F.col("eb") == F.col("y"))
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tri, "v", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("v").cast("long").alias("id"),
+            F.col("d").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_wedges_closed"),
+            F.round(
+                F.coalesce("t", F.lit(0)).cast("double") * 2
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -81,6 +81,9 @@ EXPECTED_NESTED_LOOP = {
     "a56_mann_kendall",    # day-DOMAIN theta pair join (calendar-bounded)
                            # + two 1-row stat frames cross-joined
     "a11b_hll_sketch_union",  # 1-row exact-corpus-count broadcast cross join
+    "u9_clustering_coeff",  # 1-row sparsify-threshold broadcast cross join
+                            # + the wedge theta self-join (u < w) on the
+                            # canonical edge list (node-domain sized)
 }
 
 

@@ -144,6 +144,7 @@ PROBE_QUERIES = [
     "t12_diversified_topk",     # per-source cap + survivor-frame rank (r8)
     "u6_shingle_novelty",       # shingle-domain spread counts + source fold (r8)
     "w17_rolling_corr",         # integer frame sums over the day domain (r8)
+    "u9_clustering_coeff",      # wedge self-join on the node-domain edge list (r8)
     # d3_semdedup is NOT probed here: its catalog entry fixes k=16, and
     # Σ|cluster|² at fixed k grows quadratically BY CONSTRUCTION — the
     # scale contract is k ∝ n (constant n/k); that experiment lives in
