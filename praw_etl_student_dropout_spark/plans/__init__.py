@@ -97,56 +97,83 @@ def catalog_all():
 #:       j5_asof_join, j6_range_join, a14_event_funnel, q8_market_share,
 #:       u6_gopher_rules. All ten re-verified this round with
 #:       check_oracle at 2 SFs + foreign-cwd harness before shipping.
+#:   r9 (rotation #6): the r8 VERDICT's top item was explicit — "next
+#:       rotation's 50 picked from the never-graded set" (103 of 270
+#:       entries had ever seen a driver grade; 161 oracle-backed entries
+#:       never had). ALL 50 slots therefore turn over this round to
+#:       never-driver-graded entries, still spanning every §2 family:
+#:       TPC-H (7), joins incl. DPP/SCD2/interval/band (4), windows (6),
+#:       aggregates+stats (8), scalar-function families (2), transforms/
+#:       top-k (3), dedup+LLM pipeline (6), ANN/similarity contract
+#:       grades (3), text analysis (3), graph (2), streaming batch-twins
+#:       (2), ETL maintenance (2), sampling + multimodal (2). The 50
+#:       outgoing slots were all green in r8 (most green r1-r8) and every
+#:       outgoing family keeps representatives in the incoming set. All
+#:       50 incoming re-verified this round: check_oracle at sf0.001 +
+#:       sf0.01 and the foreign-cwd driver harness, before shipping.
 GRADED_PREFIX = [
-    "flagship_star_pivot",
-    "p1_project_clean",
-    "q8_market_share",
-    "p7_case_bucket",
-    "j11_salted_skew_join",
-    "f9_json_extract",
-    "d3_minhash_md5",
-    "f10_array_dot",
-    "t8_resample_interp",
-    "a14_event_funnel",
-    "a4_q1_pricing_summary",
-    "a6_insight_summary",
-    "a7_mode",
-    "w13_rolling_median",
-    "st4_session_window",
-    "j1_star_join_agg",
-    "j2_surrogate_key_swap",
-    "j3_anti_join",
-    "j4_left_join",
-    "w14_rolling_zscore",
-    "w1_topk_per_group",
-    "j5_asof_join",
-    "w3_running_sum",
-    "t3_global_topk",
-    "d2_dedup_by_key",
-    "j6_range_join",
-    "p4_keyword_filter",
-    "p6_p8_cast_fill",
-    "f4_f6_epoch_datefmt",
-    "u5_grouped_udaf",
-    "u6_gopher_rules",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "w2_sessionize",
-    "u2_sentiment_pandas_udf",
-    "sql_interface_star",
-    "q17_small_qty_share",
-    "q18_large_orders",
-    "sub_above_nation_avg",
-    "sq4_lateral_topk",
-    # LLM-data-pipeline surface (VERDICT r03 next-round #1):
-    "llm_curation_funnel",
-    "d3_exact_dedup",
-    "llm_corpus_build",
-    "u8_decontaminate",
-    "u6_text_stats",
-    "u6_lang_id",
-    "u6_quality_score",
-    "u7_knn_bruteforce",
-    "u10_tfidf_topterms",
-    "multimodal_features",
+    # TPC-H analytics family
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q11_important_parts",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q19_disjunctive_filter",
+    # Join family: dynamic partition pruning, SCD2 point-in-time,
+    # interval overlap, ε-band
+    "j7_dpp_busiest_year",
+    "j8_pit_scd2_lookup",
+    "j12_interval_overlap",
+    "j15_band_join",
+    # Window family
+    "w4_time_range_frame",
+    "w6_locf_imputation",
+    "w11_activity_streaks",
+    "w12_user_paths",
+    "w16_pattern_vshape",
+    "w17_rolling_corr",
+    # Aggregate + statistics family
+    "a12_approx_percentiles",
+    "a15_cohort_retention",
+    "a23_price_histogram",
+    "a30_rfm_segments",
+    "a44_gini_customer_value",
+    "a46_ks_two_sample",
+    "a52_decayed_counts",
+    "a56_mann_kendall",
+    # Scalar-function families
+    "f13_string_functions",
+    "f14_safe_casts",
+    # Transforms / top-k
+    "t5_unpivot",
+    "t7_ohlc_bars",
+    "t11_skyline_pareto",
+    # Dedup + LLM-pipeline surface
+    "d3_simhash_md5",
+    "d3_containment_pairs",
+    "d3_ngram_jaccard_capped",
+    "llm_pii_scrub",
+    "llm_k_anonymity",
+    "u8_decontaminate_capped",
+    # ANN / similarity (contract grades from the r8 conversions)
+    "u7_ivfpq_topk",
+    "u7_hybrid_rrf",
+    "u7_int8_ann",
+    # Text analysis
+    "u6_readability",
+    "u6_url_normalize",
+    "u11_bigram_logprob",
+    # Graph (r8 full-oracle conversions)
+    "u9_pagerank_nations",
+    "u9_clustering_coeff",
+    # Streaming batch-twins
+    "st3_sliding_window",
+    "st7_trending_topk",
+    # ETL maintenance
+    "etl_star_schema",
+    "etl_zorder_key",
+    # Sampling + multimodal
+    "sample_hash_split",
+    "multimodal_meta",
 ]
