@@ -131,6 +131,7 @@ def discover_fractions(
     strata_col: str,
     default: float,
     overrides: dict | None = None,
+    max_strata: int = 10_000,
 ) -> dict:
     """Build a fractions map by ENUMERATING the strata — a full
     distinct scan of ``strata_col`` collected to the driver.
@@ -142,8 +143,27 @@ def discover_fractions(
     no enumeration at all. Appropriate when the stratum domain is known
     to be tiny (languages, quality buckets) and genuinely unknown ahead
     of time. ``overrides`` pins specific strata; everything else gets
-    ``default``."""
-    strata = [r[0] for r in df.select(strata_col).distinct().collect()]
+    ``default``.
+
+    ``max_strata`` (VERDICT r8 #4) bounds the driver-side collect
+    STRUCTURALLY: the scan fetches at most ``max_strata + 1`` distinct
+    values (``limit`` before ``collect``, so driver memory is capped
+    even when the guard trips) and raises ``ValueError`` when the
+    stratum domain exceeds the cap — a high-cardinality column passed
+    by mistake (user_id, doc_id) fails loudly instead of OOMing the
+    driver. Callers with a genuinely larger-but-still-bounded domain
+    can raise the cap explicitly; that's a documented decision, not an
+    accident."""
+    rows = df.select(strata_col).distinct().limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"discover_fractions: column {strata_col!r} has more than "
+            f"{max_strata} distinct values — it does not look like a "
+            "stratum column. Pass an explicit fractions dict, use the "
+            "Column-rate form of stratified_sample_hash, or raise "
+            "max_strata explicitly if the domain really is that large."
+        )
+    strata = [r[0] for r in rows]
     out = {s: float(default) for s in strata}
     for k, v in (overrides or {}).items():
         out[k] = float(v)

@@ -1,0 +1,69 @@
+"""Round-9 regression tests for VERDICT r8 item #4: the two driver-side
+collects that had no structural bound now cap driver memory via
+``limit(cap + 1)`` BEFORE collecting and fail loudly past the cap.
+
+1. sampling.discover_fractions: a high-cardinality column passed as the
+   stratum column raises instead of OOMing the driver; the limit is
+   applied before the collect so even the failing path fetches at most
+   max_strata + 1 rows.
+2. stream_jobs.streaming_cms: a foreign/oversized parquet at
+   sketch_path (anything beyond the depth*width cell contract) refuses
+   the merge instead of collecting unbounded rows and overwriting the
+   path with garbage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_discover_fractions_caps_strata(spark):
+    from praw_etl_student_dropout_spark.operators.sampling import (
+        discover_fractions,
+    )
+
+    df = spark.range(30).select(F.col("id").alias("stratum"))
+    with pytest.raises(ValueError, match="more than 10 distinct"):
+        discover_fractions(df, "stratum", default=0.5, max_strata=10)
+
+    # Domains within the cap keep working, overrides included.
+    ok = discover_fractions(
+        df, "stratum", default=0.5, overrides={3: 1.0}, max_strata=50
+    )
+    assert len(ok) == 30
+    assert ok[3] == 1.0
+    assert ok[4] == 0.5
+
+
+def test_streaming_cms_refuses_foreign_sketch(spark, sf_dir, tmp_path):
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import (
+        read_event_stream,
+        streaming_cms,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    src = tmp_path / "incoming"
+    events.limit(50).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    # Plant a parquet at sketch_path that BREAKS the depth*width=8 cell
+    # contract (20 rows with the sketch's schema — e.g. a sketch built
+    # with different parameters, or an unrelated table).
+    sketch_path = tmp_path / "sketch"
+    spark.range(20).select(
+        (F.col("id") % 4).cast("int").alias("sketch_row"),
+        F.col("id").cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(sketch_path))
+
+    stream = read_event_stream(spark, str(src), schema=events.schema)
+    with pytest.raises(Exception, match="depth\\*width=8 contract"):
+        streaming_cms(
+            stream,
+            "user_id",
+            str(sketch_path),
+            str(tmp_path / "ckpt"),
+            depth=2,
+            width=4,
+        )
