@@ -2,11 +2,16 @@
 §2.9 U7 ⊕ — the LLM-data-pipeline mandate).
 
 Exact variants (fingerprint dedup, n-gram Jaccard, brute-force cosine)
-carry DuckDB oracles. The approximate variants (MinHash-LSH, SimHash,
-hyperplane-LSH buckets, IVF probing) are non-SQL-expressible — the driver
-records rows-only; pytest invariants bound them against the exact
-versions (containment / recall), see tests/test_dedup.py and
-tests/test_similarity.py.
+carry DuckDB oracles, and so do the approximate variants wherever the
+coin can be made engine-portable: MinHash (d3_minhash_md5, plus the
+capped form d3_minhash_pairs_capped), SimHash (d3_simhash_md5), and
+hyperplane SRP-LSH (d3_embedding_dup_lsh) all run on md5-derived coins
+whose signatures, band keys, candidate joins, and exact verification
+DuckDB reproduces value-for-value. Only the xxhash64 production coins
+(d3_minhash_pairs, d3_simhash_pairs), the iterative k-means fixpoint
+(d3_semdedup), and BPE training (u6_bpe_train) stay rows-only; pytest
+invariants bound those against the exact versions (containment /
+recall), see tests/test_dedup.py and tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -166,10 +171,15 @@ def d3_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_md5_sql(num_hashes: int, bands: int, threshold: float) -> str:
+def _minhash_md5_sql(
+    num_hashes: int, bands: int, threshold: float, cap: int | None = None
+) -> str:
     """DuckDB twin of dedup.minhash_md5_pairs — the SAME md5 permutation
     hashes, min-fold, band keys, candidate join, and exact-Jaccard
-    verify, so the full LSH pipeline value-checks cross-engine."""
+    verify, so the full LSH pipeline value-checks cross-engine. ``cap``
+    mirrors max_bucket_size: (band, band_key) buckets above the cap are
+    dropped WHOLE before the candidate join — a deterministic function
+    of the signatures, so the capped pipeline value-checks too."""
     r = num_hashes // bands
     h_exprs = ",\n             ".join(
         f"min(CAST(concat('0x', substring(md5(concat('{i}:', s)), 1, 15)) "
@@ -184,6 +194,18 @@ def _minhash_md5_sql(num_hashes: int, bands: int, threshold: float) -> str:
     )
     toks = SQL_TOKS.format(col="text")
     sh = SQL_SHINGLES.format(t="t")
+    if cap is not None:
+        kept_cte = (
+            "kept AS (SELECT bands.* FROM bands\n"
+            "             JOIN (SELECT band, band_key, count(*) AS bsz\n"
+            "                   FROM bands GROUP BY band, band_key) sz\n"
+            "             USING (band, band_key)\n"
+            f"             WHERE sz.bsz <= {cap}),\n    "
+        )
+        cand_src = "kept"
+    else:
+        kept_cte = ""
+        cand_src = "bands"
     return f"""
     WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
     sh AS (SELECT doc_id, {sh} AS shingles FROM toks),
@@ -192,8 +214,8 @@ def _minhash_md5_sql(num_hashes: int, bands: int, threshold: float) -> str:
              {h_exprs}
             FROM inv GROUP BY doc_id),
     bands AS ({band_rows}),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
+    {kept_cte}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM {cand_src} a JOIN {cand_src} b
              ON a.band = b.band AND a.band_key = b.band_key
                 AND a.doc_id < b.doc_id),
     scored AS (
@@ -285,27 +307,31 @@ def d3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d3_minhash_pairs_capped",
-    "D3",
-    None,  # same non-SQL-reproducible signatures as d3_minhash_pairs;
-    # pytest proves the cap sheds only over-full buckets and the report
-    # shares the join's banding by construction.
-    doc="Production-shaped capped MinHash dedup: per-(band,band_sig) "
-    "bucket cap bounds the candidate self-join's fan-out on degenerate "
-    "corpora, with the dropped mass REPORTED via the same banded index "
-    "the join used (minhash_dedup_pairs_with_report) — truncation is "
-    "never silent and the report can't disagree with the join's "
-    "parameterization. Returns the verified pairs; the companion report "
-    "is exercised in tests/test_dedup.py.",
+    "D3 ⊕ (capped MinHash LSH, md5 coin — FULL oracle)",
+    _minhash_md5_sql(num_hashes=16, bands=8, threshold=0.2, cap=2),
+    doc="Capped MinHash dedup with a COMPLETE value-equality oracle "
+    "(round-8 VERDICT #5, the d3_minhash_md5 move extended to the cap "
+    "mechanism): (band, band_key) buckets above max_bucket_size are "
+    "dropped WHOLE before the candidate join — a pure function of the "
+    "deterministic md5-coin signatures, so DuckDB reproduces the "
+    "signatures, the bucket census, the drop set, the surviving "
+    "candidate pairs, and the exact-Jaccard verification. A driver "
+    "grade is therefore a value proof that the fan-out guard sheds "
+    "exactly the over-full buckets and nothing else. cap=2 is sized to "
+    "TRIP on the fixture corpus's boilerplate clusters (the oracle "
+    "agreeing on fewer pairs than the uncapped twin is the point); "
+    "production uses minhash_dedup_pairs_with_report (xxhash64 coin, "
+    "cap=200, dropped-mass report) with the same whole-bucket-drop "
+    "semantics, pytest-pinned in tests/test_dedup.py.",
 )
 def d3_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_dedup_pairs_with_report
+    from ..operators.dedup import minhash_md5_pairs
 
     docs = _t(spark, sf_dir, "documents")["documents"]
-    pairs, _report = minhash_dedup_pairs_with_report(
-        docs, "text", "doc_id", max_bucket_size=200,
-        threshold=0.2, num_hashes=32, bands=16,
+    return minhash_md5_pairs(
+        docs, "text", "doc_id", threshold=0.2, num_hashes=16, bands=8,
+        max_bucket_size=2,
     )
-    return pairs
 
 
 @register(
@@ -356,20 +382,78 @@ def d3_embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_md5_sql(num_planes: int, bands: int, dim: int, threshold: float) -> str:
+    """DuckDB twin of dedup.embedding_dup_md5_pairs — the SAME md5
+    Rademacher coins, left-fold double dot products (identical IEEE op
+    order → identical signs), r-bit band signatures, candidate join,
+    and exact-cosine verify, so the full SRP-LSH pipeline value-checks
+    cross-engine."""
+    r_bits = num_planes // bands
+
+    def coin(p: int) -> str:
+        return (
+            "CASE WHEN CAST(concat('0x', substring(md5(concat("
+            f"'srp:{p}:', CAST(d AS VARCHAR))), 1, 1)) AS INT) % 2 = 1 "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+
+    dot_exprs = ",\n             ".join(
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(0, {dim}), "
+        f"d -> CAST(embedding[d + 1] AS DOUBLE) * ({coin(p)}))), "
+        f"(acc, x) -> acc + x) AS d{p}"
+        for p in range(num_planes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ("
+        + " + ".join(
+            f"CASE WHEN d{b * r_bits + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(r_bits)
+        )
+        + ") AS band_sig FROM sig"
+        for b in range(bands)
+    )
+    cos = SQL_COSINE.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH sig AS (SELECT vec_id,
+             {dot_exprs}
+            FROM embeddings),
+    bands AS ({band_rows}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round({cos}, 6) AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
 @register(
     "d3_embedding_dup_lsh",
-    "D3+U7",
-    None,  # approximate bucketing — pytest checks pairs ⊆ exact + recall
-    doc="Embedding near-dup via BANDED random-hyperplane LSH (the scale "
-    "path: equi-join per (band, band_sig), exact-cosine verify within "
-    "bucket collisions only — MinHash-LSH shape over sign bits). r=2-bit "
-    "bands keep per-band match probability high at this low 0.35 "
-    "threshold (recall ≈0.98); at a 0.95-dup threshold the defaults "
-    "r=8, b=8 apply.",
+    "D3+U7 ⊕ (banded SRP-LSH on the md5 coin — FULL oracle)",
+    _srp_md5_sql(num_planes=16, bands=8, dim=64, threshold=0.35),
+    doc="Embedding near-dup via BANDED signed-random-projection LSH "
+    "(equi-join per (band, band_sig), exact-cosine verify within bucket "
+    "collisions only — the MinHash-LSH shape over sign bits), converted "
+    "to a COMPLETE value-equality oracle (round-8 VERDICT #5): plane "
+    "components are Rademacher ±1 coins from md5('srp:<p>:<d>') "
+    "(Achlioptas 2003 — ±1 entries carry the Gaussian guarantees), and "
+    "per-plane dot products LEFT-FOLD doubles so both engines execute "
+    "the identical IEEE op sequence — identical signs, signatures, "
+    "candidates, cosines. r=2-bit bands keep per-band match probability "
+    "high at this low 0.35 threshold (recall ≈0.98); at a 0.95-dup "
+    "threshold use r=8, b=8. Production keeps embedding_dup_pairs "
+    "(Gaussian numpy planes — no per-row md5 cost), recall-pinned in "
+    "tests/test_dedup.py; same banded scale shape, never all-pairs.",
 )
 def d3_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_dup_md5_pairs
+
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return embedding_dup_pairs(
+    return embedding_dup_md5_pairs(
         e, "embedding", "vec_id", threshold=0.35, num_planes=16, bands=8, dim=64
     )
 
