@@ -115,6 +115,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_values: list[str],
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts within the same ``on`` key.
@@ -127,6 +128,15 @@ def asof_join(
     NULL (per-column carries would mix rows there, unlike a true ASOF
     join). One shuffle on ``on`` — same cost as a sort-merge join, no
     nested-loop blowup.
+
+    ``tolerance_seconds`` (pandas merge_asof semantics): a match older
+    than ``left_ts - tolerance`` is treated as NO match — every carried
+    value nulls out, the left row survives. Staleness is judged on
+    whole epoch seconds (floor), matching the j6 range-join convention,
+    so the bound is engine-portable. The matched right timestamp rides
+    in the carried struct either way, which is also what makes the
+    check per-ROW-correct: the tolerance compares against the actual
+    matched row, never a per-column carry.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
@@ -139,6 +149,7 @@ def asof_join(
     )
     struct_type = T.StructType(
         [T.StructField(v, rt.schema[v].dataType) for v in right_values]
+        + [T.StructField("__rts", rt.schema[right_ts].dataType)]
     )
     lt_aligned = lt.select(
         *[F.col(c) for c in left.columns],
@@ -150,7 +161,10 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on else F.col(on) for c in left.columns],
         "__ts",
         "__side",
-        F.struct(*[F.col(v).alias(v) for v in right_values]).alias("__r"),
+        F.struct(
+            *[F.col(v).alias(v) for v in right_values],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__r"),
     )
     unioned = lt_aligned.unionByName(rt_aligned)
     w = W.partitionBy(on).orderBy("__ts", "__side").rowsBetween(W.unboundedPreceding, 0)
@@ -158,11 +172,27 @@ def asof_join(
         *unioned.columns,
         F.last("__r", ignorenulls=True).over(w).alias("__r_match"),
     )
+    match = F.col("__r_match")
+    if tolerance_seconds is not None:
+        # Whole-second floor for timestamps (j6's epoch convention);
+        # numeric ts columns are already in caller units.
+        if isinstance(
+            rt.schema[right_ts].dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            def _secs(c):
+                return F.unix_timestamp(c)
+        else:
+            def _secs(c):
+                return c.cast("long")
+        fresh = (
+            _secs(F.col("__ts")) - _secs(match.getField("__rts"))
+        ) <= F.lit(int(tolerance_seconds))
+        match = F.when(fresh, match)
     return (
         carried.filter(F.col("__side") == 1)
         .select(
             *unioned.columns,
-            *[F.col("__r_match").getField(v).alias(v) for v in right_values],
+            *[match.getField(v).alias(v) for v in right_values],
         )
         .drop("__ts", "__side", "__r")
     )

@@ -7925,3 +7925,293 @@ def w17_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr28"),
         )
     )
+
+
+# =====================================================================
+# Round 9: inequality decomposition, tail index, CUSUM changepoints
+# =====================================================================
+
+
+@register(
+    "a58_theil_index",
+    "A ⊕ (inequality statistic: Theil T with between/within decomposition)",
+    """
+    WITH cust AS (
+      SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+      SELECT n.n_name, cust.cents
+      FROM cust
+      JOIN customer c ON c.c_custkey = cust.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+      SELECT n_name, count(*) AS n_g,
+             sum(cents) AS s1_g,
+             sum((cents / 100.0) * ln(cents / 100.0)) AS s2_g
+      FROM tagged GROUP BY n_name
+    ),
+    tot AS (SELECT sum(n_g) AS n, sum(s1_g) AS s1, sum(s2_g) AS s2 FROM g)
+    SELECT g.n_name AS scope, CAST(g.n_g AS BIGINT) AS n_cust,
+           round(g.s1_g * 1.0 / tot.s1, 6) AS spend_share,
+           round(g.s2_g / (g.s1_g / 100.0)
+                 - ln((g.s1_g / 100.0) / g.n_g), 6) AS theil,
+           CAST(NULL AS DOUBLE) AS theil_between
+    FROM g, tot
+    UNION ALL
+    SELECT '_ALL', CAST(tot.n AS BIGINT), CAST(1.0 AS DOUBLE),
+           round(tot.s2 / (tot.s1 / 100.0) - ln((tot.s1 / 100.0) / tot.n), 6),
+           round((SELECT sum((g.s1_g * 1.0 / tot.s1)
+                             * ln((g.s1_g * 1.0 / tot.s1) * tot.n / g.n_g))
+                  FROM g), 6)
+    FROM tot
+    """,
+    doc="Theil T inequality index over customer lifetime spend with the "
+    "between/within-nation decomposition (the additive property Gini "
+    "lacks — a44's complement): per-nation rows carry the WITHIN-group "
+    "index, the _ALL row carries the total and the BETWEEN-nation term, "
+    "and T_total = T_between + Σ share_g·T_g by construction. Numeric "
+    "discipline per the a16/a44 house pattern: spend reduces to exact "
+    "integer cents (order-free sums), T folds into power sums "
+    "T = Σx·ln x / Σx − ln(Σx/n) so the only cross-engine float "
+    "exposure is one Σx·ln x whose sum-order noise (~1e-13 relative) "
+    "divides away under the exact Σx before the final round(6). Scale "
+    "shape: one custkey shuffle + a ~25-row nation rollup; the _ALL row "
+    "derives from the 25 per-nation sums, never a second data pass.",
+)
+def a58_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "customer", "nation")
+    cust = t["orders"].groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tagged = (
+        cust.join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("n_name", "cents")
+    )
+    dollars = F.col("cents") / F.lit(100.0)
+    g = tagged.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("cents").cast("long").alias("s1_g"),
+        F.sum(dollars * F.log(dollars)).alias("s2_g"),
+    )
+    tot0 = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s1_g").cast("long").alias("s1"),
+        F.sum("s2_g").alias("s2"),
+    )
+    share = F.col("s1_g") * F.lit(1.0) / F.col("s1")
+    between = (
+        g.crossJoin(F.broadcast(tot0.select("n", "s1")))
+        .agg(
+            F.round(
+                F.sum(share * F.log(share * F.col("n") / F.col("n_g"))), 6
+            ).alias("theil_between")
+        )
+    )
+    tot = tot0.crossJoin(F.broadcast(between))
+    per_nation = g.crossJoin(
+        F.broadcast(tot0.select(F.col("s1").alias("_s1")))
+    ).select(
+        F.col("n_name").alias("scope"),
+        F.col("n_g").alias("n_cust"),
+        F.round(F.col("s1_g") * F.lit(1.0) / F.col("_s1"), 6).alias("spend_share"),
+        F.round(
+            F.col("s2_g") / (F.col("s1_g") / F.lit(100.0))
+            - F.log((F.col("s1_g") / F.lit(100.0)) / F.col("n_g")),
+            6,
+        ).alias("theil"),
+        F.lit(None).cast("double").alias("theil_between"),
+    )
+    all_row = tot.select(
+        F.lit("_ALL").alias("scope"),
+        F.col("n").alias("n_cust"),
+        F.lit(1.0).alias("spend_share"),
+        F.round(
+            F.col("s2") / (F.col("s1") / F.lit(100.0))
+            - F.log((F.col("s1") / F.lit(100.0)) / F.col("n")),
+            6,
+        ).alias("theil"),
+        F.col("theil_between"),
+    )
+    return per_nation.unionByName(all_row)
+
+
+@register(
+    "a59_hill_tail_index",
+    "A ⊕ (heavy-tail diagnostic: Hill estimator)",
+    """
+    WITH cust AS (
+      SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    topk AS (
+      SELECT cents FROM cust ORDER BY cents DESC, o_custkey LIMIT 101
+    ),
+    m AS (SELECT min(cents) AS xk1 FROM topk)
+    SELECT 100 AS k,
+           round(m.xk1 / 100.0, 2) AS xk1_dollars,
+           round(sum(ln(topk.cents * 1.0 / m.xk1)) / 100, 6) AS hill_h,
+           round(100 / sum(ln(topk.cents * 1.0 / m.xk1)), 6) AS alpha
+    FROM topk, m GROUP BY m.xk1
+    """,
+    doc="Hill estimator of the upper-tail exponent of customer lifetime "
+    "spend: H = (1/k)·Σ ln(x_(i)/x_(k+1)) over the k=100 largest order "
+    "statistics, α = 1/H — the standard power-law/Pareto tail "
+    "diagnostic (Hill 1975), the quantitative companion to a47's "
+    "Benford screen and the check an LLM-corpus curator runs on "
+    "document-length and domain-frequency tails before choosing "
+    "sampling caps. The (k+1)-th order statistic is min() over the "
+    "LIMIT k+1 set, whose rows contribute ln(1)=0, so one aggregate "
+    "serves both. Scale shape: the only data-sized op is the custkey "
+    "rollup; the ordered LIMIT plans as TakeOrderedAndProject "
+    "(per-partition top-k, never a global sort), then a 101-row "
+    "aggregate. Exact integer cents; ln args are ratios of exact ints; "
+    "only the 101-term log sum is float, rounded at 6.",
+)
+def a59_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    topk = cust.orderBy(F.desc("cents"), F.asc("o_custkey")).limit(101).select("cents")
+    m = topk.agg(F.min("cents").alias("xk1"))
+    lr = F.log(F.col("cents") * F.lit(1.0) / F.col("xk1"))
+    return (
+        topk.crossJoin(F.broadcast(m))
+        .groupBy("xk1")
+        .agg(
+            F.lit(100).alias("k"),
+            F.round(F.col("xk1") / F.lit(100.0), 2).alias("xk1_dollars"),
+            F.round(F.sum(lr) / F.lit(100), 6).alias("hill_h"),
+            F.round(F.lit(100) / F.sum(lr), 6).alias("alpha"),
+        )
+        .select("k", "xk1_dollars", "hill_h", "alpha")
+    )
+
+
+@register(
+    "w18_cusum_changepoint",
+    "W ⊕ (sequential changepoint detection: one-sided CUSUM)",
+    """
+    WITH daily AS (
+      SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS d,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT r_name, count(*) AS n,
+             sum(cents / 100.0) AS s1,
+             sum((cents / 100.0) * (cents / 100.0)) AS s2
+      FROM daily GROUP BY r_name
+    ),
+    z AS (
+      SELECT daily.r_name, daily.d,
+             ((daily.cents / 100.0) - stats.s1 / stats.n)
+             / sqrt((stats.s2 - stats.s1 * stats.s1 / stats.n)
+                    / (stats.n - 1)) AS zt
+      FROM daily JOIN stats USING (r_name)
+    ),
+    p AS (
+      SELECT r_name, d,
+             sum(zt - 0.5) OVER (PARTITION BY r_name ORDER BY d) AS pt
+      FROM z
+    ),
+    s AS (
+      SELECT r_name, d, pt,
+             least(min(pt) OVER (PARTITION BY r_name ORDER BY d),
+                   CAST(0.0 AS DOUBLE)) AS mn
+      FROM p
+    )
+    SELECT r_name, CAST(d AS TIMESTAMP) AS day, round(pt - mn, 4) AS cusum
+    FROM s WHERE pt - mn > 4.0
+    """,
+    doc="One-sided CUSUM changepoint detection (Page 1954) on daily "
+    "revenue per region: standardize each day against the region's own "
+    "mean/std (a16-style power sums), then the CUSUM recursion "
+    "S_t = max(0, S_{t-1} + z_t - slack) rewritten in its closed "
+    "prefix-sum form S_t = P_t - min(0, min_{j<=t} P_j) — two running "
+    "day-domain windows instead of an inherently sequential loop, the "
+    "same trick that keeps w3/w10 distributed. Flags days where the "
+    "upward drift statistic exceeds h=4. Scale shape: one custkey-join "
+    "shuffle into a (region, day) rollup, then windows over the "
+    "5-region × day domain — partition count is the region domain, "
+    "rows per partition the calendar, independent of order volume. "
+    "Float discipline: power sums in dollars (cents² would overflow "
+    "int64 at sf>=0.1), whose sum-order noise (~1e-10 relative after "
+    "the variance cancellation) stays 3 orders below the round(4) "
+    "output grain and the h=4 decision margin.",
+)
+def w18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    daily = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    t["region"], F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey", "r_name")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("r_name", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    dollars = F.col("cents") / F.lit(100.0)
+    stats = daily.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dollars).alias("s1"),
+        F.sum(dollars * dollars).alias("s2"),
+    )
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    z = daily.join(F.broadcast(stats), "r_name").select(
+        "r_name",
+        "d",
+        ((dollars - F.col("s1") / F.col("n")) / sigma).alias("zt"),
+    )
+    wrun = (
+        Window.partitionBy("r_name")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = z.select(
+        "r_name", "d", F.sum(F.col("zt") - F.lit(0.5)).over(wrun).alias("pt")
+    )
+    s = p.select(
+        "r_name",
+        "d",
+        "pt",
+        F.least(F.min("pt").over(wrun), F.lit(0.0)).alias("mn"),
+    )
+    return (
+        s.filter(F.col("pt") - F.col("mn") > 4.0)
+        .select(
+            "r_name",
+            F.col("d").cast("timestamp").alias("day"),
+            F.round(F.col("pt") - F.col("mn"), 4).alias("cusum"),
+        )
+    )

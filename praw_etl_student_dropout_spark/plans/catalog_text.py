@@ -398,6 +398,66 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j16_asof_tolerance",
+    "J4⊕ (as-of join with max-staleness tolerance)",
+    """
+    SELECT p.event_id, p.user_id, p.value,
+           CASE WHEN CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600
+                THEN c.click_value END AS click_value,
+           CASE WHEN CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600
+                THEN CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(c.ts)) AS BIGINT) END AS staleness_s
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value AS click_value FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join with a max-staleness tolerance (pandas merge_asof "
+    "tolerance semantics; Flink temporal joins and kdb+ wj carry the "
+    "same knob): the latest click at-or-before each purchase counts "
+    "ONLY if it is at most 1 hour old — older matches null out while "
+    "the purchase row survives, and the reported staleness comes from "
+    "the matched row itself (the carried struct includes the right "
+    "timestamp, so per-column carries can never mix rows). Same "
+    "union+window plan and single user_id shuffle as j5; the tolerance "
+    "is a post-carry filter, not a join-shape change.",
+)
+def j16_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_value", "click_ts"],
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        "click_value",
+        (F.unix_timestamp("ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("staleness_s"),
+    )
+
+
+@register(
     "j6_range_join",
     "J4⊕",
     """
@@ -1537,4 +1597,92 @@ def u6_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.slice(F.col("t"), start, end - start + 1), " "
         ).alias("snippet"),
+    )
+
+
+@register(
+    "u6_zipf_fit",
+    "U6 ⊕ (corpus health: Zipf rank-frequency fit)",
+    f"""
+    WITH freq AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest({SQL_TOKS.format(col='text')}) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rnk
+      FROM freq ORDER BY c DESC, tok LIMIT 200
+    ),
+    pts AS (
+      SELECT ln(rnk * 1.0) AS lx, ln(c * 1.0) AS ly FROM top
+    ),
+    sums AS (
+      SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+           round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n, 6)
+             AS intercept,
+           round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r_squared
+    FROM sums
+    """,
+    doc="Zipf's-law fit over the corpus token rank-frequency curve: "
+    "log-log OLS slope/intercept/R² on the top-200 ranks — the "
+    "corpus-health screen that flags template/boilerplate-dominated or "
+    "synthetic corpora (natural text slopes ≈ -1; flat heads or cliffs "
+    "betray generation artifacts), complementing u12_corpus_health and "
+    "llm_corpus_drift. Regression via explicit power sums (the a16 "
+    "rule: native regr_* aggregates have engine-specific update "
+    "orders). Ranks are made deterministic by the (count DESC, token) "
+    "tiebreak. Scale shape: token counts are ONE shuffle on token; the "
+    "top-200 plans as TakeOrderedAndProject; the regression is a "
+    "200-row aggregate. ln args are exact ints; only the 200-term "
+    "power sums are float, rounded at 6 after the slope algebra.",
+)
+def u6_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = freq.orderBy(F.desc("c"), F.asc("tok")).limit(200)
+    from pyspark.sql import Window
+
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+        .alias("rnk"),
+        "c",
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk") * F.lit(1.0)).alias("lx"),
+        F.log(F.col("c") * F.lit(1.0)).alias("ly"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return sums.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(cov / vx, 6).alias("zipf_slope"),
+        F.round(
+            F.col("sy") / F.col("n") - cov / vx * F.col("sx") / F.col("n"), 6
+        ).alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r_squared"),
     )

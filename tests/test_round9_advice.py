@@ -67,3 +67,41 @@ def test_streaming_cms_refuses_foreign_sketch(spark, sf_dir, tmp_path):
             depth=2,
             width=4,
         )
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """merge_asof-style tolerance: matches older than the bound null out
+    (the whole carried row, from the SAME matched row), left rows
+    survive; within-bound matches are untouched; the no-tolerance path
+    is unchanged."""
+    from praw_etl_student_dropout_spark.operators.joins import asof_join
+
+    versions = spark.createDataFrame(
+        [(1, 10, "v1"), (1, 100, "v2"), (2, 50, "w1")],
+        ["key", "vts", "version"],
+    )
+    probes = spark.createDataFrame(
+        [(1, 15), (1, 400), (2, 55), (2, 40)], ["key", "pts"]
+    )
+    got = {
+        (r.key, r.pts): r.version
+        for r in asof_join(
+            probes, versions, "key", "pts", "vts", ["version"],
+            tolerance_seconds=30,
+        ).collect()
+    }
+    assert got == {
+        (1, 15): "v1",    # 5s stale, within 30
+        (1, 400): None,   # v2 matched but 300s stale -> nulled
+        (2, 55): "w1",    # 5s stale
+        (2, 40): None,    # no match at all
+    }
+
+    # without tolerance the stale match still carries
+    got_all = {
+        (r.key, r.pts): r.version
+        for r in asof_join(
+            probes, versions, "key", "pts", "vts", ["version"]
+        ).collect()
+    }
+    assert got_all[(1, 400)] == "v2"

@@ -84,6 +84,10 @@ EXPECTED_NESTED_LOOP = {
     "u9_clustering_coeff",  # 1-row sparsify-threshold broadcast cross join
                             # + the wedge theta self-join (u < w) on the
                             # canonical edge list (node-domain sized)
+    "a58_theil_index",   # 1-row global totals + 1-row between-term
+                         # broadcast cross joins (25-row nation frame in)
+    "a59_hill_tail_index",  # 1-row min-of-top-k scalar broadcast cross
+                            # join over the 101-row TakeOrdered frame
 }
 
 
@@ -144,6 +148,9 @@ EXPECTED_GLOBAL_WINDOW = {
     "t12_diversified_topk",
     # rolling-corr frame sums run over the day-domain frame.
     "w17_rolling_corr",
+    # zipf fit ranks with row_number over the POST-limit(200) frame
+    # (<= 200 rows by construction, the bm25 shape).
+    "u6_zipf_fit",
 }
 
 
