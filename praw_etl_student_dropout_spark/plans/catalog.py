@@ -8215,3 +8215,195 @@ def w18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pt") - F.col("mn"), 4).alias("cusum"),
         )
     )
+
+
+@register(
+    "w19_max_drawdown",
+    "W ⊕ (running-peak analytics: maximum drawdown)",
+    """
+    WITH daily AS (
+      SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS d,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    cum0 AS (
+      SELECT r_name, d,
+             sum(cents - 2000000) OVER (PARTITION BY r_name ORDER BY d)
+               AS cum_dev
+      FROM daily
+    ),
+    cum AS (
+      SELECT r_name, d, cum_dev,
+             max(cum_dev) OVER (PARTITION BY r_name ORDER BY d) AS peak
+      FROM cum0
+    ),
+    dd AS (
+      SELECT r_name, d, peak - cum_dev AS drawdown,
+             row_number() OVER (PARTITION BY r_name
+                                ORDER BY peak - cum_dev DESC, d) AS rn
+      FROM cum
+    )
+    SELECT r_name, CAST(d AS TIMESTAMP) AS trough_day,
+           CAST(drawdown AS BIGINT) AS max_drawdown_cents
+    FROM dd WHERE rn = 1
+    """,
+    doc="Maximum drawdown of each region's cumulative revenue DEVIATION "
+    "series (daily cents minus a 20k-dollar reference, so the series "
+    "actually declines — a raw revenue cumsum is monotone and every "
+    "drawdown is 0): drawdown_t = running_peak - cum_t, answer = its "
+    "max with the earliest trough day as tiebreak. The finance-standard "
+    "worst-peak-to-trough statistic (complement of w18's CUSUM: same "
+    "prefix machinery, opposite tail). ENTIRELY integer arithmetic — "
+    "exact cents, running sum, running max, subtraction — zero float "
+    "exposure anywhere, the strongest determinism class in the "
+    "catalog. Scale shape: one custkey-join shuffle into the "
+    "(region, day) rollup, then two stacked running windows plus one "
+    "ranking window over the region×calendar domain.",
+)
+def w19_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    daily = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    t["region"], F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey", "r_name")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("r_name", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wrun = (
+        Window.partitionBy("r_name")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "r_name",
+        "d",
+        F.sum(F.col("cents") - F.lit(2_000_000)).over(wrun).alias("cum_dev"),
+    ).select(
+        "r_name", "d", "cum_dev", F.max("cum_dev").over(wrun).alias("peak")
+    )
+    dd = cum.select(
+        "r_name",
+        "d",
+        (F.col("peak") - F.col("cum_dev")).alias("drawdown"),
+    )
+    wrank = Window.partitionBy("r_name").orderBy(F.desc("drawdown"), F.asc("d"))
+    return (
+        dd.select("r_name", "d", "drawdown", F.row_number().over(wrank).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "r_name",
+            F.col("d").cast("timestamp").alias("trough_day"),
+            F.col("drawdown").cast("long").alias("max_drawdown_cents"),
+        )
+    )
+
+
+@register(
+    "a60_cohort_ltv",
+    "A ⊕ (cohort lifetime-value curve)",
+    """
+    WITH first_order AS (
+      SELECT o_custkey,
+             min(CAST(date_part('year', o_orderdate) AS BIGINT) * 12
+                 + CAST(date_part('month', o_orderdate) AS BIGINT) - 1)
+               AS cohort_ym
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_ym, count(*) AS n_cohort
+      FROM first_order GROUP BY cohort_ym
+    ),
+    monthly AS (
+      SELECT f.cohort_ym,
+             CAST(date_part('year', o.o_orderdate) AS BIGINT) * 12
+             + CAST(date_part('month', o.o_orderdate) AS BIGINT) - 1
+             - f.cohort_ym AS month_idx,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    curve AS (
+      SELECT cohort_ym, month_idx,
+             sum(cents) OVER (PARTITION BY cohort_ym ORDER BY month_idx)
+               AS cum_cents
+      FROM monthly
+    )
+    SELECT CAST(floor(curve.cohort_ym / 12.0) AS BIGINT) AS cohort_year,
+           CAST(curve.cohort_ym % 12 + 1 AS BIGINT) AS cohort_month,
+           CAST(curve.month_idx AS BIGINT) AS month_idx,
+           CAST(sized.n_cohort AS BIGINT) AS n_cohort,
+           CAST(curve.cum_cents AS BIGINT) AS cum_cents,
+           CAST(curve.cum_cents // sized.n_cohort AS BIGINT)
+             AS ltv_cents_per_cust
+    FROM curve JOIN sized USING (cohort_ym)
+    """,
+    doc="Cohort lifetime-value curve: customers grouped by first-order "
+    "month, cumulative spend per cohort member tracked by months-since-"
+    "acquisition — the LTV triangle behind payback-period and CAC "
+    "decisions, the cumulative-spend complement of a15's retention "
+    "triangle. Month arithmetic is pure integers (year*12+month-1 "
+    "encoding, no date intervals), spend is exact cents, the per-customer "
+    "LTV reports in integer cents via exact integral division — like "
+    "w19, zero float anywhere. Scale "
+    "shape: custkey rollup for first orders, custkey-join back (both "
+    "shuffles on the same key — AQE co-locates), then a running window "
+    "over the cohort×month-index domain (calendar-bounded partitions).",
+)
+def a60_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    first_order = orders.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    sized = first_order.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    monthly = (
+        orders.join(first_order, "o_custkey")
+        .groupBy("cohort_ym", (ym - F.col("cohort_ym")).alias("month_idx"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wrun = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = monthly.select(
+        "cohort_ym",
+        "month_idx",
+        F.sum("cents").over(wrun).cast("long").alias("cum_cents"),
+    )
+    return curve.join(F.broadcast(sized), "cohort_ym").select(
+        F.floor(F.col("cohort_ym") / 12).cast("long").alias("cohort_year"),
+        (F.col("cohort_ym") % 12 + 1).cast("long").alias("cohort_month"),
+        F.col("month_idx").cast("long").alias("month_idx"),
+        "n_cohort",
+        "cum_cents",
+        F.expr("cum_cents div n_cohort").cast("long").alias(
+            "ltv_cents_per_cust"
+        ),
+    )

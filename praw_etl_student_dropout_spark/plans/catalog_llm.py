@@ -4136,3 +4136,112 @@ def u9_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "u9_link_prediction",
+    "U ⊕ (graph analytics: Adamic-Adar link prediction)",
+    """
+    WITH pairs AS (
+      SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
+             greatest(s.s_nationkey, c.c_nationkey) AS eb,
+             count(*) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ptot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
+    e0 AS (
+      SELECT ea, eb FROM pairs, ptot WHERE vol * n_pairs > total
+    ),
+    sym AS (
+      SELECT ea AS v, eb AS u FROM e0
+      UNION ALL SELECT eb, ea FROM e0
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    wedge AS (
+      SELECT a.v AS c, a.u AS x, b.u AS y
+      FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+    ),
+    cand AS (
+      SELECT w.x, w.y, w.c FROM wedge w
+      LEFT JOIN e0 ON e0.ea = w.x AND e0.eb = w.y
+      WHERE e0.ea IS NULL
+    )
+    SELECT CAST(cand.x AS BIGINT) AS id_a, CAST(cand.y AS BIGINT) AS id_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(sum(1.0 / ln(deg.d)), 6) AS aa_score
+    FROM cand JOIN deg ON deg.v = cand.c
+    GROUP BY cand.x, cand.y
+    """,
+    doc="Adamic-Adar link prediction over the sparsified nation trade "
+    "graph (same canonical-edge derivation as u9_clustering_coeff / "
+    "u9_triangle_count): for each NON-adjacent pair, score common "
+    "neighbors weighted by 1/ln(degree) — rare hubs certify a likely "
+    "future edge, ubiquitous ones don't (Adamic & Adar 2003; the "
+    "LinkedIn people-you-may-know family). Wedge centers have degree "
+    ">= 2 by construction, so ln(d) > 0 without a guard. Scale shape: "
+    "the wedge self-join and the adjacency anti-join are node-domain "
+    "sized (the clustering-coeff adjudication); counts are exact ints "
+    "and the only float is the 1/ln(d) sum, rounded at 6.",
+)
+def u9_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cache_registry import track
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("ea"),
+            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
+        )
+        .agg(F.count(F.lit(1)).alias("vol"))
+    )
+    ptot = pairs.agg(
+        F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    # The 4-table fact join feeding the edge list is read by FIVE plan
+    # branches (sym x2, wedge x2, the anti probe, deg) — persist the
+    # ~node-domain-sized edge list once (tracked; see cache_registry
+    # module doc for the ownership contract).
+    e0 = track(
+        pairs.crossJoin(F.broadcast(ptot))
+        .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
+        .select("ea", "eb")
+    )
+    sym = e0.select(F.col("ea").alias("v"), F.col("eb").alias("u")).unionByName(
+        e0.select(F.col("eb").alias("v"), F.col("ea").alias("u"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = sym.alias("a"), sym.alias("b")
+    wedge = a.join(
+        b, (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u"))
+    ).select(
+        F.col("a.v").alias("c"), F.col("a.u").alias("x"), F.col("b.u").alias("y")
+    )
+    cand = wedge.join(
+        e0,
+        (F.col("ea") == F.col("x")) & (F.col("eb") == F.col("y")),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(deg), F.col("v") == F.col("c"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
+        )
+        .select(
+            F.col("x").cast("long").alias("id_a"),
+            F.col("y").cast("long").alias("id_b"),
+            "n_common",
+            "aa_score",
+        )
+    )

@@ -1686,3 +1686,56 @@ def u6_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(cov * cov / (vx * vy), 6).alias("r_squared"),
     )
+
+
+@register(
+    "llm_tokenizer_fertility",
+    "U6 ⊕ (tokenizer fertility by source)",
+    f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '{{bpe}}')) AS BIGINT) AS n_bpe,
+             CAST({{tc}} AS BIGINT) AS n_ws
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+           CAST(sum(n_ws) AS BIGINT) AS total_words,
+           round(sum(n_bpe) * 1.0 / sum(n_ws), 6) AS fertility,
+           CAST(count(*) FILTER (WHERE n_bpe * 2 > n_ws * 3) AS BIGINT)
+             AS n_high_fertility
+    FROM per_doc WHERE n_ws > 0
+    GROUP BY source
+    """.format(bpe=BPE_PATTERN, tc=SQL_TOKEN_COUNT.format(col="text")),
+    doc="Tokenizer fertility per source: BPE-ish subword tokens per "
+    "whitespace word — the metric tokenizer papers report per language "
+    "(fertility >> 1 flags scripts/domains the vocabulary serves badly, "
+    "i.e. where token budgets explode and effective context shrinks). "
+    "Corpus-level fertility is a ratio of exact integer totals; the "
+    "high-fertility doc count uses the integer cross-multiplication "
+    "n_bpe*2 > n_ws*3 (fertility > 1.5) so not even the per-doc flag "
+    "touches floats. One grouped pass; counts are row-local.",
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe"),
+        token_count(F.col("text")).cast("long").alias("n_ws"),
+    ).filter(F.col("n_ws") > 0)
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("total_bpe"),
+        F.sum("n_ws").cast("long").alias("total_words"),
+        F.round(F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 6).alias("fertility"),
+        F.sum(
+            F.when(F.col("n_bpe") * 2 > F.col("n_ws") * 3, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high_fertility"),
+    )

@@ -88,6 +88,9 @@ EXPECTED_NESTED_LOOP = {
                          # broadcast cross joins (25-row nation frame in)
     "a59_hill_tail_index",  # 1-row min-of-top-k scalar broadcast cross
                             # join over the 101-row TakeOrdered frame
+    "u9_link_prediction",  # 1-row sparsify-threshold broadcast cross
+                           # join + node-domain wedge shapes (the
+                           # u9_clustering_coeff adjudication)
 }
 
 
