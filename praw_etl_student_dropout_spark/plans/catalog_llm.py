@@ -387,7 +387,9 @@ def _srp_md5_sql(num_planes: int, bands: int, dim: int, threshold: float) -> str
     Rademacher coins, left-fold double dot products (identical IEEE op
     order → identical signs), r-bit band signatures, candidate join,
     and exact-cosine verify, so the full SRP-LSH pipeline value-checks
-    cross-engine."""
+    cross-engine. The sig/bands CTEs are MATERIALIZED (the pagerank
+    unrolled-CTE precedent): the 8 band branches would otherwise each
+    re-inline the num_planes*dim md5 coin computation."""
     r_bits = num_planes // bands
 
     def coin(p: int) -> str:
@@ -415,11 +417,11 @@ def _srp_md5_sql(num_planes: int, bands: int, dim: int, threshold: float) -> str
     )
     cos = SQL_COSINE.format(a="ea.embedding", b="eb.embedding")
     return f"""
-    WITH sig AS (SELECT vec_id,
+    WITH sig AS MATERIALIZED (SELECT vec_id,
              {dot_exprs}
             FROM embeddings),
-    bands AS ({band_rows}),
-    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    bands AS MATERIALIZED ({band_rows}),
+    cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM bands a JOIN bands b
              ON a.band = b.band AND a.band_sig = b.band_sig
                 AND a.vec_id < b.vec_id)
@@ -4244,4 +4246,111 @@ def u9_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             "aa_score",
         )
+    )
+
+
+@register(
+    "u9_degree_assortativity",
+    "U ⊕ (graph analytics: degree assortativity)",
+    """
+    WITH pairs AS (
+      SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
+             greatest(s.s_nationkey, c.c_nationkey) AS eb,
+             count(*) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ptot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
+    e0 AS (
+      SELECT ea, eb FROM pairs, ptot WHERE vol * n_pairs > total
+    ),
+    sym AS (
+      SELECT ea AS v, eb AS u FROM e0
+      UNION ALL SELECT eb, ea FROM e0
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    ends AS (
+      SELECT dv.d AS x, du.d AS y
+      FROM sym
+      JOIN deg dv ON dv.v = sym.v
+      JOIN deg du ON du.v = sym.u
+    ),
+    sums AS (
+      SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM ends
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           round((m * sxy - sx * sy) * 1.0
+                 / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)),
+                 6) AS assortativity
+    FROM sums
+    """,
+    doc="Degree assortativity (Newman 2002) of the sparsified nation "
+    "trade graph: Pearson correlation of endpoint degrees over the "
+    "DIRECTED edge multiset (both orientations, the standard undirected "
+    "convention) — positive means hubs trade with hubs, negative the "
+    "hub-and-spoke shape; completes the graph family beside "
+    "triangles/clustering/pagerank/link-prediction, all sharing one "
+    "canonical-edge derivation. Degrees and every power sum are exact "
+    "integers; the single float expression (one closed-form Pearson on "
+    "six exact operands) is deterministic IEEE on both engines, rounded "
+    "at 6. Scale shape: edge-domain joins only.",
+)
+def u9_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("ea"),
+            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
+        )
+        .agg(F.count(F.lit(1)).alias("vol"))
+    )
+    ptot = pairs.agg(
+        F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    e0 = (
+        pairs.crossJoin(F.broadcast(ptot))
+        .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
+        .select("ea", "eb")
+    )
+    sym = e0.select(F.col("ea").alias("v"), F.col("eb").alias("u")).unionByName(
+        e0.select(F.col("eb").alias("v"), F.col("ea").alias("u"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ends = (
+        sym.join(
+            F.broadcast(deg.select(F.col("v").alias("_v"), F.col("d").alias("x"))),
+            F.col("_v") == F.col("v"),
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("_u"), F.col("d").alias("y"))),
+            F.col("_u") == F.col("u"),
+        )
+        .select("x", "y")
+    )
+    sums = ends.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return sums.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(num * 1.0 / den, 6).alias("assortativity"),
     )

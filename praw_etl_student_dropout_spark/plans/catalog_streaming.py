@@ -259,3 +259,62 @@ def st8_rate_limit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("event_id", "user_id", "window_start", "rn")
     )
+
+
+@register(
+    "st11_cusum_batch",
+    "ST ⊕ (streaming changepoint monitor, batch twin)",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n,
+             sum(cents / 100.0) AS s1,
+             sum((cents / 100.0) * (cents / 100.0)) AS s2
+      FROM daily GROUP BY event_type
+    ),
+    z AS (
+      SELECT daily.event_type, daily.d,
+             ((daily.cents / 100.0) - stats.s1 / stats.n)
+             / sqrt((stats.s2 - stats.s1 * stats.s1 / stats.n)
+                    / (stats.n - 1)) AS zt
+      FROM daily JOIN stats USING (event_type)
+    ),
+    p AS (
+      SELECT event_type, d,
+             sum(zt - 0.25) OVER (PARTITION BY event_type ORDER BY d) AS pt
+      FROM z
+    ),
+    s AS (
+      SELECT event_type, d, pt,
+             least(min(pt) OVER (PARTITION BY event_type ORDER BY d),
+                   CAST(0.0 AS DOUBLE)) AS mn
+      FROM p
+    )
+    SELECT event_type, CAST(d AS TIMESTAMP) AS day,
+           round(pt - mn, 4) AS cusum
+    FROM s WHERE pt - mn > 3.0
+    """,
+    doc="Batch twin of streaming.stream_jobs.cusum_stream (the ST3/ST4/"
+    "ST10 grading pattern: the oracle harness is batch SQL, the true "
+    "readStream pipeline is pytest-pinned streamed==batch): w18's "
+    "one-sided CUSUM drift alarm on per-event-type daily spend from the "
+    "EVENTS stream fixture. Same closed-form rewrite — prefix sum minus "
+    "running prefix min over the (type × day) domain — and the same "
+    "integer-cents-first float discipline. Slack 0.25 / threshold 3 are "
+    "tuned to the events fixture's flatter daily series (the orders "
+    "series w18 monitors has stronger drift).",
+)
+def st11_cusum_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.batch_windows import cusum_fold
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    return cusum_fold(daily, key="event_type", slack=0.25, threshold=3.0)

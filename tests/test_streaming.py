@@ -1057,3 +1057,20 @@ def test_decayed_counts_stream_replay_is_idempotent(spark, events_dir, sf_dir, t
         read_event_stream(spark, events_dir), "decayed_sink_replay", ckpt
     )
     assert _as_set(spark.table("decayed_sink_replay")) == first
+
+
+def test_cusum_stream_matches_batch_twin(spark, events_dir, sf_dir, tmp_path):
+    """The streaming CUSUM drift table equals the st11_cusum_batch entry
+    bit-for-bit: integer daily-cents state, fold recomputed per emission
+    via the SAME batch_windows.cusum_fold the graded entry calls."""
+    from praw_etl_student_dropout_spark.plans import catalog_all
+    from praw_etl_student_dropout_spark.streaming.stream_jobs import cusum_stream
+
+    batch = catalog_all()["st11_cusum_batch"].builder(spark, sf_dir)
+    cusum_stream(
+        read_event_stream(spark, events_dir),
+        "cusum_sink",
+        str(tmp_path / "ckpt_cusum"),
+    )
+    streamed = spark.table("cusum_sink")
+    assert _as_set(streamed.select(*batch.columns)) == _as_set(batch)

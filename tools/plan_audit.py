@@ -91,6 +91,8 @@ EXPECTED_NESTED_LOOP = {
     "u9_link_prediction",  # 1-row sparsify-threshold broadcast cross
                            # join + node-domain wedge shapes (the
                            # u9_clustering_coeff adjudication)
+    "u9_degree_assortativity",  # same 1-row sparsify-threshold
+                                # broadcast cross join, edge-domain joins
 }
 
 
