@@ -870,6 +870,7 @@ def embedding_dup_pairs(
     bands: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding cosine near-dup via BANDED random-hyperplane LSH.
 
@@ -942,6 +943,17 @@ def embedding_dup_pairs(
     banded = with_dots.select(
         F.col(id_col), F.posexplode(band_sigs).alias("band", "band_sig")
     ).persist()
+    if max_bucket_size is not None:
+        # Same whole-bucket drop as embedding_dup_md5_pairs: bounds the
+        # per-(band, band_sig) self-join fan-out, which goes quadratic
+        # on unstructured corpora when 2^r buckets per band is small.
+        hot = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
@@ -978,6 +990,7 @@ def embedding_dup_md5_pairs(
     num_planes: int = 16,
     bands: int = 8,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup via banded SRP-LSH on the ENGINE-PORTABLE md5
     coin — the :func:`minhash_md5_pairs` move applied to the hyperplane
@@ -1045,6 +1058,22 @@ def embedding_dup_md5_pairs(
     banded = df.select(
         F.col(id_col), F.posexplode(band_sigs).alias("band", "band_sig")
     )
+    if max_bucket_size is not None:
+        # Whole-bucket drop, the minhash_md5_pairs cap: r-bit signatures
+        # give only 2^r buckets per band, so on UNSTRUCTURED (random)
+        # corpora bucket occupancy grows ~n/2^r and the candidate
+        # self-join grows QUADRATICALLY in corpus size — the cap bounds
+        # it structurally and, being a pure function of the
+        # deterministic signatures, keeps the full cross-engine value
+        # oracle. On dup-structured corpora genuine near-dup clusters
+        # are small and survive; uniform mass is what sheds.
+        hot = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .select("band", "band_sig")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(

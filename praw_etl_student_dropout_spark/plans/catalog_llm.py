@@ -382,7 +382,10 @@ def d3_embedding_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_md5_sql(num_planes: int, bands: int, dim: int, threshold: float) -> str:
+def _srp_md5_sql(
+    num_planes: int, bands: int, dim: int, threshold: float,
+    cap: int | None = None,
+) -> str:
     """DuckDB twin of dedup.embedding_dup_md5_pairs — the SAME md5
     Rademacher coins, left-fold double dot products (identical IEEE op
     order → identical signs), r-bit band signatures, candidate join,
@@ -416,13 +419,26 @@ def _srp_md5_sql(num_planes: int, bands: int, dim: int, threshold: float) -> str
         for b in range(bands)
     )
     cos = SQL_COSINE.format(a="ea.embedding", b="eb.embedding")
+    if cap is not None:
+        kept_cte = (
+            "kept AS MATERIALIZED (SELECT bands.* FROM bands\n"
+            "             JOIN (SELECT band, band_sig, count(*) AS bsz\n"
+            "                   FROM bands GROUP BY band, band_sig) sz\n"
+            "             USING (band, band_sig)\n"
+            f"             WHERE sz.bsz <= {cap}),\n    "
+        )
+        cand_src = "kept"
+    else:
+        kept_cte = ""
+        cand_src = "bands"
     return f"""
     WITH sig AS MATERIALIZED (SELECT vec_id,
              {dot_exprs}
             FROM embeddings),
     bands AS MATERIALIZED ({band_rows}),
-    cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-             FROM bands a JOIN bands b
+    {kept_cte}cand AS MATERIALIZED (
+             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM {cand_src} a JOIN {cand_src} b
              ON a.band = b.band AND a.band_sig = b.band_sig
                 AND a.vec_id < b.vec_id)
     SELECT id_a, id_b, round({cos}, 6) AS cosine
@@ -436,7 +452,7 @@ def _srp_md5_sql(num_planes: int, bands: int, dim: int, threshold: float) -> str
 @register(
     "d3_embedding_dup_lsh",
     "D3+U7 ⊕ (banded SRP-LSH on the md5 coin — FULL oracle)",
-    _srp_md5_sql(num_planes=16, bands=8, dim=64, threshold=0.35),
+    _srp_md5_sql(num_planes=16, bands=8, dim=64, threshold=0.35, cap=600),
     doc="Embedding near-dup via BANDED signed-random-projection LSH "
     "(equi-join per (band, band_sig), exact-cosine verify within bucket "
     "collisions only — the MinHash-LSH shape over sign bits), converted "
@@ -447,7 +463,14 @@ def _srp_md5_sql(num_planes: int, bands: int, dim: int, threshold: float) -> str
     "the identical IEEE op sequence — identical signs, signatures, "
     "candidates, cosines. r=2-bit bands keep per-band match probability "
     "high at this low 0.35 threshold (recall ≈0.98); at a 0.95-dup "
-    "threshold use r=8, b=8. Production keeps embedding_dup_pairs "
+    "threshold use r=8, b=8. max_bucket_size=600 is the scale guard "
+    "(round-9: the 32× growth probe caught the uncapped 2-bit banding "
+    "going quadratic on the RANDOM fixture — 4 buckets/band × 64k rows "
+    "≈ 4·10⁹ candidates): whole buckets above the cap drop before the "
+    "self-join, deterministically, so the guard itself value-grades "
+    "(the d3_minhash_pairs_capped move); fixture buckets at the graded "
+    "SFs stay under it, so recall there is unchanged. Production keeps "
+    "embedding_dup_pairs "
     "(Gaussian numpy planes — no per-row md5 cost), recall-pinned in "
     "tests/test_dedup.py; same banded scale shape, never all-pairs.",
 )
@@ -456,7 +479,8 @@ def d3_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     return embedding_dup_md5_pairs(
-        e, "embedding", "vec_id", threshold=0.35, num_planes=16, bands=8, dim=64
+        e, "embedding", "vec_id", threshold=0.35, num_planes=16, bands=8,
+        dim=64, max_bucket_size=600,
     )
 
 

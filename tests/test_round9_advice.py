@@ -105,3 +105,30 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
         ).collect()
     }
     assert got_all[(1, 400)] == "v2"
+
+
+def test_embedding_lsh_bucket_cap_sheds_hot_buckets(spark):
+    """The SRP-LSH whole-bucket cap (round-9 scale guard: 2-bit bands go
+    quadratic on unstructured corpora) drops exactly the over-full
+    buckets: with a cap below the corpus size the degenerate
+    all-identical corpus yields no pairs, while a genuine small dup
+    cluster survives an adequate cap with values intact."""
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        embedding_dup_md5_pairs,
+    )
+
+    # 40 identical vectors: every bucket holds all 40 rows.
+    base = [float(i % 7 - 3) for i in range(8)]
+    rows = [(i, base) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = embedding_dup_md5_pairs(
+        df, "embedding", "vec_id", threshold=0.9, num_planes=16, bands=8,
+        dim=8, max_bucket_size=10,
+    )
+    assert capped.count() == 0  # every bucket > 10 -> all dropped
+
+    uncapped = embedding_dup_md5_pairs(
+        df, "embedding", "vec_id", threshold=0.9, num_planes=16, bands=8,
+        dim=8, max_bucket_size=100,
+    )
+    assert uncapped.count() == 40 * 39 // 2  # cluster survives whole
