@@ -8425,3 +8425,102 @@ def a60_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_cents_per_cust"
         ),
     )
+
+
+@register(
+    "a61_cramers_v",
+    "A ⊕ (categorical association: chi-square + Cramér's V)",
+    """
+    WITH cells AS (
+      SELECT o.o_orderpriority AS pri, r.r_name AS reg,
+             CAST(count(*) AS BIGINT) AS n_ij
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT cells.*,
+             sum(n_ij) OVER (PARTITION BY pri) AS row_tot,
+             sum(n_ij) OVER (PARTITION BY reg) AS col_tot,
+             sum(n_ij) OVER () AS n
+      FROM cells
+    ),
+    dims AS (
+      SELECT count(DISTINCT pri) AS r, count(DISTINCT reg) AS c FROM cells
+    ),
+    chi AS (
+      SELECT max(n) AS n,
+             sum((n_ij - row_tot * col_tot * 1.0 / n)
+                 * (n_ij - row_tot * col_tot * 1.0 / n)
+                 / (row_tot * col_tot * 1.0 / n)) AS chi2
+      FROM margins
+    )
+    SELECT CAST(chi.n AS BIGINT) AS n,
+           CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+           round(chi.chi2, 6) AS chi2,
+           round(sqrt(chi.chi2 / (chi.n * least(dims.r - 1, dims.c - 1))), 6)
+             AS cramers_v
+    FROM chi, dims
+    """,
+    doc="Effect-size companion to a28's chi-square test: Cramér's V "
+    "normalizes χ² by n·min(r−1, c−1) into a 0-1 association strength "
+    "between order priority and customer region — the statistic that "
+    "stays comparable across table sizes where raw χ² inflates with n "
+    "(at 100 TB everything is 'significant'; V says whether it "
+    "matters). Contingency cells are exact integer counts; margins via "
+    "windows over the tiny (5×5) cell frame; one closed-form float "
+    "fold. Scale shape: one custkey-join shuffle into the cell rollup; "
+    "everything after is cell-domain sized.",
+)
+def a61_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    cells = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    t["region"], F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey", "r_name")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"), F.col("r_name").alias("reg")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    m = cells.select(
+        "pri",
+        "reg",
+        "n_ij",
+        F.sum("n_ij").over(Window.partitionBy("pri")).alias("row_tot"),
+        F.sum("n_ij").over(Window.partitionBy("reg")).alias("col_tot"),
+        F.sum("n_ij").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") * F.lit(1.0) / F.col("n")
+    chi = m.agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("n_ij") - e) * (F.col("n_ij") - e) / e).alias("chi2"),
+    )
+    dims = cells.agg(
+        F.countDistinct("pri").alias("r"), F.countDistinct("reg").alias("c")
+    )
+    return chi.crossJoin(F.broadcast(dims)).select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -1739,3 +1739,136 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_high_fertility"),
     )
+
+
+@register(
+    "llm_perplexity_buckets",
+    "U11 ⊕ (CCNet-style perplexity bucketing)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ),
+    freq2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    freq1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+      FROM freq2 GROUP BY w1
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             round(sum(ln(f2.c2 * 1.0 / f1.c1)) / count(*), 6) AS lp
+      FROM bg b
+      JOIN freq2 f2 USING (bg)
+      JOIN freq1 f1 ON f1.w1 = split_part(b.bg, ' ', 1)
+      GROUP BY b.doc_id
+    ),
+    s AS (
+      SELECT scored.doc_id, d.source, scored.lp
+      FROM scored JOIN documents d USING (doc_id)
+    ),
+    samp AS (
+      SELECT * FROM s
+      WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) % 10 < 3
+    ),
+    ranked AS (
+      SELECT source, doc_id, lp,
+             row_number() OVER (PARTITION BY source ORDER BY lp, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM samp
+    ),
+    thr AS (
+      SELECT source,
+             max(CASE WHEN rn = CAST(ceil(ns / 3.0) AS BIGINT)
+                      THEN lp END) AS t1,
+             max(CASE WHEN rn = CAST(ceil(2 * ns / 3.0) AS BIGINT)
+                      THEN lp END) AS t2
+      FROM ranked GROUP BY source
+    )
+    SELECT s.source,
+           CASE WHEN thr.t1 IS NULL THEN 'unsampled'
+                WHEN s.lp <= thr.t1 THEN 'tail'
+                WHEN s.lp <= thr.t2 THEN 'middle'
+                ELSE 'head' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(round(s.lp * 1000000) AS BIGINT))
+                // count(*) AS BIGINT) AS mean_lp_micro
+    FROM s LEFT JOIN thr ON thr.source = s.source
+    GROUP BY 1, 2
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+    "every document with the corpus's own bigram LM (u11's rung), "
+    "estimate per-source head/middle/tail TERCILE THRESHOLDS on a "
+    "deterministic md5 30% hash sample, then bucket the full corpus "
+    "against those constants — the production shape where thresholds "
+    "come from a bounded sample, never a full-corpus sort (the sample "
+    "is the only thing ranked; at 100 TB you'd cap its absolute size "
+    "too — documented contract, same family as discover_fractions). "
+    "Everything is a pure function of the data: md5 sample coin, "
+    "(lp, doc_id) total-order ranks, round-6 logprobs from exact "
+    "count ratios. Exercises model-score → threshold → route, the "
+    "quality-filter pattern behind CCNet/Gopher corpus curation. "
+    "Bucket means report in exact integer micro-logprob units (integral "
+    "division of micro-scaled round-6 scores — a float avg ties at the "
+    "6th decimal across engines).",
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    scored = u11_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("mean_bigram_logprob").alias("lp")
+    )
+    s = scored.join(docs.select("doc_id", "source"), "doc_id")
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    samp = s.filter(coin < 3)
+    w = Window.partitionBy("source").orderBy("lp", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = samp.select(
+        "source",
+        "lp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("ns"),
+    )
+    thr = ranked.groupBy("source").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("ns") / 3.0).cast("long"), F.col("lp")
+            )
+        ).alias("t1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(2 * F.col("ns") / 3.0).cast("long"),
+                F.col("lp"),
+            )
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("t1").isNull(), F.lit("unsampled"))
+        .when(F.col("lp") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("lp") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        s.join(F.broadcast(thr), "source", "left")
+        .select("source", bucket.alias("bucket"), "lp")
+        .select(
+            "source",
+            "bucket",
+            F.round(F.col("lp") * 1000000).cast("long").alias("lp6"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(lp6) div count(*)").cast("long").alias("mean_lp_micro"),
+        )
+    )

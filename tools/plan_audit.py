@@ -93,6 +93,7 @@ EXPECTED_NESTED_LOOP = {
                            # u9_clustering_coeff adjudication)
     "u9_degree_assortativity",  # same 1-row sparsify-threshold
                                 # broadcast cross join, edge-domain joins
+    "a61_cramers_v",  # 1-row chi2 frame × 1-row dims frame cross join
 }
 
 
@@ -156,6 +157,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # zipf fit ranks with row_number over the POST-limit(200) frame
     # (<= 200 rows by construction, the bm25 shape).
     "u6_zipf_fit",
+    # Cramér's V margins window over the (priority × region) cell frame
+    # (≤ 25 rows, the a28 contingency shape).
+    "a61_cramers_v",
 }
 
 
