@@ -8524,3 +8524,81 @@ def a61_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "a62_pinball_backtest",
+    "A ⊕ (quantile-forecast evaluation: pinball loss)",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    fc AS (
+      SELECT d, cents,
+             quantile_cont(cents, 0.9) OVER (
+               ORDER BY d ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS q90,
+             count(*) OVER (
+               ORDER BY d ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS n_hist
+      FROM daily
+    ),
+    scored AS (
+      SELECT CAST(date_part('year', d) * 100 + date_part('month', d) AS BIGINT)
+               AS ym,
+             CASE WHEN cents >= q90 THEN 0.9 * (cents - q90)
+                  ELSE 0.1 * (q90 - cents) END AS loss,
+             CASE WHEN cents > q90 THEN 1 ELSE 0 END AS exceed
+      FROM fc WHERE n_hist = 28
+    )
+    SELECT ym, CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(loss) / count(*), 2) AS pinball90_cents,
+           CAST(sum(exceed) AS BIGINT) AS n_exceed
+    FROM scored GROUP BY ym
+    """,
+    doc="Pinball (quantile) loss backtest at q=0.9: forecast each day's "
+    "revenue P90 as the EXACT trailing-28-day quantile (linear "
+    "interpolation, the w13/a12 cross-engine percentile definition; "
+    "frame excludes the current day so the forecast is honest), score "
+    "with the asymmetric pinball loss, and report per month beside the "
+    "exceedance count (a well-calibrated P90 exceeds ~10% of days) — "
+    "the quantile-forecast companion to a57's point-forecast MAPE, the "
+    "loss that makes quantile forecasts comparable and the standard "
+    "scoring rule in demand/energy forecasting. Integer cents in, one "
+    "interpolated quantile and one closed-form loss out; the day-domain "
+    "frame is calendar-bounded (w13's holistic-frame contract: 28 "
+    "values per row, never data-sized state).",
+)
+def a62_pinball_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d").rowsBetween(-28, -1)
+    fc = daily.select(
+        "d",
+        "cents",
+        F.expr("percentile(cents, 0.9)").over(w).alias("q90"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    ).filter(F.col("n_hist") == 28)
+    loss = F.when(
+        F.col("cents") >= F.col("q90"), 0.9 * (F.col("cents") - F.col("q90"))
+    ).otherwise(0.1 * (F.col("q90") - F.col("cents")))
+    exceed = F.when(F.col("cents") > F.col("q90"), 1).otherwise(0)
+    return (
+        fc.select(
+            (F.year("d") * 100 + F.month("d")).cast("long").alias("ym"),
+            loss.alias("loss"),
+            exceed.alias("exceed"),
+        )
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.sum("loss") / F.count(F.lit(1)), 2).alias("pinball90_cents"),
+            F.sum("exceed").cast("long").alias("n_exceed"),
+        )
+    )

@@ -1872,3 +1872,71 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(lp6) div count(*)").cast("long").alias("mean_lp_micro"),
         )
     )
+
+
+@register(
+    "u6_code_detect",
+    "U6 ⊕ (code-vs-prose routing)",
+    r"""
+    WITH per_doc AS (
+      SELECT source, doc_id,
+             length(text) AS n_chars,
+             length(text)
+               - length(regexp_replace(text, '[{}();=<>\[\]|&_]', '', 'g'))
+               AS n_codechars,
+             len(regexp_extract_all(lower(text),
+                 '\b(def|class|return|import|function|var|const|void|int|'
+                 || 'public|static|struct|lambda|elif|endif)\b')) AS kw_hits
+      FROM documents WHERE length(text) > 0
+    ),
+    flagged AS (
+      SELECT source,
+             CASE WHEN n_codechars * 50 > n_chars
+                       OR (kw_hits >= 2 AND n_codechars * 200 > n_chars)
+                  THEN 1 ELSE 0 END AS is_code
+      FROM per_doc
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_code) AS BIGINT) AS n_code,
+           round(sum(is_code) * 1.0 / count(*), 6) AS code_share
+    FROM flagged GROUP BY source
+    """,
+    doc="Code-vs-prose routing per source — the corpus-composition "
+    "screen LLM pipelines run before choosing tokenizers and mixture "
+    "weights (code wants different dedup, different quality rules, and "
+    "its own budget line): structural-character density ({};()=<> etc., "
+    "computed by length difference after character-class strip) plus a "
+    "15-keyword hit count, combined through INTEGER cross-"
+    "multiplications (density > 2% ⇒ code, or ≥2 keywords with density "
+    "> 0.5%) so the per-doc decision never touches a float; only the "
+    "final per-source share divides. Row-local scan, one grouped "
+    "rollup — the u6_lang_id scale shape.",
+)
+def u6_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    kw = (
+        r"\b(def|class|return|import|function|var|const|void|int|"
+        r"public|static|struct|lambda|elif|endif)\b"
+    )
+    n_chars = F.length("text")
+    n_codechars = n_chars - F.length(
+        F.regexp_replace("text", r"[{}();=<>\[\]|&_]", "")
+    )
+    kw_hits = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(kw), 0))
+    is_code = F.when(
+        (n_codechars * 50 > n_chars)
+        | ((kw_hits >= 2) & (n_codechars * 200 > n_chars)),
+        1,
+    ).otherwise(0)
+    return (
+        docs.filter(n_chars > 0)
+        .select("source", is_code.alias("is_code"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code"),
+            F.round(F.sum("is_code") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "code_share"
+            ),
+        )
+    )

@@ -160,6 +160,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # Cramér's V margins window over the (priority × region) cell frame
     # (≤ 25 rows, the a28 contingency shape).
     "a61_cramers_v",
+    # pinball backtest's trailing-quantile frame runs over the day
+    # domain (calendar-bounded, the a55/w16/w17 exception).
+    "a62_pinball_backtest",
 }
 
 
