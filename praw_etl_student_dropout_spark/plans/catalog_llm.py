@@ -4378,3 +4378,130 @@ def u9_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m") / 2).cast("long").alias("n_edges"),
         F.round(num * 1.0 / den, 6).alias("assortativity"),
     )
+
+
+@register(
+    "a63_srm_check",
+    "A ⊕ (experiment hygiene: sample-ratio-mismatch test)",
+    """
+    WITH b AS (
+      SELECT CASE
+               WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 10 < 8 THEN 'train'
+               WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split
+      FROM documents
+    ),
+    obs AS (SELECT split, count(*) AS n FROM b GROUP BY split),
+    tot AS (SELECT sum(n) AS nt FROM obs),
+    e AS (
+      SELECT obs.split, obs.n,
+             tot.nt * CASE obs.split WHEN 'train' THEN 0.8
+                                     WHEN 'val' THEN 0.1
+                                     ELSE 0.1 END AS expected
+      FROM obs, tot
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_total,
+           round(sum((n - expected) * (n - expected) / expected), 6) AS chi2,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           CAST(CASE WHEN sum((n - expected) * (n - expected) / expected)
+                          > 13.816 THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+    FROM e
+    """,
+    doc="Sample-ratio-mismatch check on the hash split — the #1 "
+    "experiment-hygiene gate (Fabijan et al. 2019: most corrupted A/B "
+    "results trace to assignment drift, and an SRM chi-square catches "
+    "it before any metric is read): observed train/val/test counts "
+    "from sample_hash_split's md5 coin vs the declared 80/10/10, "
+    "chi-square against expectations, alarm at the p<0.001 critical "
+    "value (13.816 at dof=2 — a CONSTANT, so no erf/CDF cross-engine "
+    "exposure). Counts are exact integers; one closed-form float. One "
+    "scan + a 3-row fold.",
+)
+def a63_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    obs = docs.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("nt"))
+    expected = F.col("nt") * (
+        F.when(F.col("split") == "train", 0.8)
+        .when(F.col("split") == "val", 0.1)
+        .otherwise(0.1)
+    )
+    e = obs.crossJoin(F.broadcast(tot)).select(
+        "split", "n", expected.alias("expected")
+    )
+    chi2 = F.sum(
+        (F.col("n") - F.col("expected"))
+        * (F.col("n") - F.col("expected"))
+        / F.col("expected")
+    )
+    return e.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.round(chi2, 6).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.when(chi2 > 13.816, 1).otherwise(0).cast("long").alias("srm_alarm"),
+    )
+
+
+@register(
+    "sample_class_balance",
+    "D5-sampling ⊕ (deterministic class-balanced downsample)",
+    """
+    WITH sized AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    k AS (SELECT min(n) AS k FROM sized),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(k.k) AS BIGINT) AS target_k
+    FROM ranked, k WHERE rn <= k.k
+    GROUP BY source
+    """,
+    doc="Class-balanced downsampling: every source reduced to the "
+    "SMALLEST source's count, membership decided by md5(doc_id) rank "
+    "within source — a pure function of the data (rerun-stable, "
+    "layout-independent; the sample_hash_split coin applied to the "
+    "undersampling problem class imbalance poses for classifier "
+    "training sets). The per-source rank window partitions on source; "
+    "at 100 TB you'd rank only sources above the target k and take "
+    "the md5-threshold shortcut (keep iff hash < k/n quantile — "
+    "documented contract, avoids the full sort) — the exact-rank form "
+    "here is what gives the oracle bit-equality. Returns the per-source "
+    "census; the kept-rows form is the same query minus the rollup.",
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    sized = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    k = sized.agg(F.min("n").alias("k"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("k").cast("long").alias("target_k"),
+        )
+    )

@@ -94,6 +94,9 @@ EXPECTED_NESTED_LOOP = {
     "u9_degree_assortativity",  # same 1-row sparsify-threshold
                                 # broadcast cross join, edge-domain joins
     "a61_cramers_v",  # 1-row chi2 frame × 1-row dims frame cross join
+    "a63_srm_check",  # 1-row split-total scalar broadcast cross join
+    "sample_class_balance",  # 1-row min-class-size scalar broadcast
+                             # cross join (the a52 max-date shape)
 }
 
 
