@@ -4505,3 +4505,152 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").cast("long").alias("target_k"),
         )
     )
+
+
+@register(
+    "u7_matryoshka_rerank",
+    "U7 ⊕ (truncated-dimension cascade retrieval)",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    stage1 AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {SQL_COSINE.format(a='q.embedding[1:16]', b='c.embedding[1:16]')} DESC,
+                        c.vec_id ASC) AS r1
+      FROM q CROSS JOIN embeddings c
+    ),
+    survivors AS (SELECT query_id, vec_id FROM stage1 WHERE r1 <= 50)
+    SELECT query_id, vec_id, round(score, 6) AS score, rank FROM (
+      SELECT s.query_id, s.vec_id,
+             {SQL_COSINE.format(a='q.embedding', b='c.embedding')} AS score,
+             CAST(row_number() OVER (
+               PARTITION BY s.query_id
+               ORDER BY {SQL_COSINE.format(a='q.embedding', b='c.embedding')} DESC,
+                        s.vec_id ASC) AS INTEGER) AS rank
+      FROM survivors s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.vec_id
+    ) WHERE rank <= 10
+    """,
+    doc="Matryoshka/truncated-dimension cascade (Kusupati et al. 2022; "
+    "the modern production retrieval stack): stage 1 scores the corpus "
+    "on the FIRST 16 of 64 dims (4× less arithmetic and — at 100 TB, "
+    "the real win — 4× fewer bytes scanned when the prefix is stored "
+    "as its own column), keeps top-50 per query; stage 2 re-ranks only "
+    "survivors with the full-dimension exact cosine. Both stages are "
+    "exact deterministic arithmetic with total-order tiebreaks, so "
+    "unlike IVF/PQ this cascade carries a FULL value oracle — no "
+    "contract grade needed. Same scale shape as u7_knn_bruteforce's "
+    "broadcast-query scoring, with the expensive arithmetic confined "
+    "to 50 rows per query.",
+)
+def u7_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.arrays import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id"), F.col("embedding").alias("cv"))
+    s1_score = cosine_similarity(F.slice("qv", 1, 16), F.slice("cv", 1, 16))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("s1"), F.asc("vec_id")
+    )
+    survivors = (
+        q.crossJoin(c)
+        .select("query_id", "vec_id", "qv", "cv", s1_score.alias("s1"))
+        .select("query_id", "vec_id", "qv", "cv", F.row_number().over(w1).alias("r1"))
+        .filter(F.col("r1") <= 50)
+    )
+    score = cosine_similarity(F.col("qv"), F.col("cv"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        survivors.select("query_id", "vec_id", score.alias("score"))
+        .select(
+            "query_id",
+            "vec_id",
+            "score",
+            F.row_number().over(w2).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+@register(
+    "llm_span_corruption",
+    "U6 ⊕ (T5-style deterministic span corruption)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_TOKS.format(col='text')} AS t FROM documents
+      WHERE trim(text) <> ''
+    ),
+    corrupted AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             list_transform(range(1, len(t) + 1),
+               i -> CASE WHEN CAST(concat('0x', substring(md5(concat(
+                          CAST(doc_id AS VARCHAR), ':',
+                          CAST((i - 1) // 3 AS VARCHAR))), 1, 2)) AS INT) < 38
+                         THEN '<mask>' ELSE t[i] END) AS ct
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(list_filter(ct, x -> x = '<mask>')) AS BIGINT) AS n_masked,
+           array_to_string(ct, ' ') AS corrupted
+    FROM corrupted
+    """,
+    doc="T5-style span corruption as a PURE FUNCTION of the data "
+    "(Raffel et al. 2020): 3-token blocks mask with probability 38/256 "
+    "≈ 14.8% under an md5(doc_id:block) coin — whole blocks, not iid "
+    "tokens, which is what makes it SPAN corruption — so any engine, "
+    "any partitioning, any rerun corrupts every document identically "
+    "(the determinism that makes pretraining data reproducible and "
+    "this entry fully value-gradeable; an RNG mask would be rows-only). "
+    "Row-local array transform, zero exchanges; original tokens never "
+    "leave the row.",
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    toked = docs.filter(F.trim("text") != "").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    def coin(i):
+        blk = ((i - 1) / 3).cast("int").cast("string")
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(":"), blk)
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("int")
+            < 38
+        )
+
+    ct = F.transform(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: F.when(coin(i), F.lit("<mask>")).otherwise(
+            F.element_at("t", i)
+        ),
+    )
+    out = toked.select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens"), ct.alias("ct")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.filter("ct", lambda x: x == "<mask>")).cast("long").alias(
+            "n_masked"
+        ),
+        F.array_join("ct", " ").alias("corrupted"),
+    )

@@ -97,6 +97,8 @@ EXPECTED_NESTED_LOOP = {
     "a63_srm_check",  # 1-row split-total scalar broadcast cross join
     "sample_class_balance",  # 1-row min-class-size scalar broadcast
                              # cross join (the a52 max-date shape)
+    "u7_matryoshka_rerank",  # broadcast query crossJoin, the
+                             # brute-force stage-1 scoring shape
 }
 
 
