@@ -8242,11 +8242,17 @@ def w18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region r ON r.r_regionkey = n.n_regionkey
       GROUP BY 1, 2
     ),
+    ref AS (
+      SELECT r_name, d, cents,
+             sum(cents) OVER (PARTITION BY r_name)
+               // count(*) OVER (PARTITION BY r_name) AS ref_cents
+      FROM daily
+    ),
     cum0 AS (
       SELECT r_name, d,
-             sum(cents - 2000000) OVER (PARTITION BY r_name ORDER BY d)
+             sum(cents - ref_cents) OVER (PARTITION BY r_name ORDER BY d)
                AS cum_dev
-      FROM daily
+      FROM ref
     ),
     cum AS (
       SELECT r_name, d, cum_dev,
@@ -8264,17 +8270,22 @@ def w18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dd WHERE rn = 1
     """,
     doc="Maximum drawdown of each region's cumulative revenue DEVIATION "
-    "series (daily cents minus a 20k-dollar reference, so the series "
-    "actually declines — a raw revenue cumsum is monotone and every "
-    "drawdown is 0): drawdown_t = running_peak - cum_t, answer = its "
-    "max with the earliest trough day as tiebreak. The finance-standard "
-    "worst-peak-to-trough statistic (complement of w18's CUSUM: same "
-    "prefix machinery, opposite tail). ENTIRELY integer arithmetic — "
-    "exact cents, running sum, running max, subtraction — zero float "
-    "exposure anywhere, the strongest determinism class in the "
-    "catalog. Scale shape: one custkey-join shuffle into the "
-    "(region, day) rollup, then two stacked running windows plus one "
-    "ranking window over the region×calendar domain.",
+    "series (daily cents minus the region's own mean daily cents, "
+    "floored to an integer — a raw revenue cumsum is monotone and "
+    "every drawdown is 0; round-10 ADVICE replaced the fixture-scale "
+    "2,000,000-cent constant with this data-derived reference so the "
+    "statistic keeps meaning at ANY scale factor): drawdown_t = "
+    "running_peak - cum_t, answer = its max with the earliest trough "
+    "day as tiebreak. The finance-standard worst-peak-to-trough "
+    "statistic (complement of w18's CUSUM: same prefix machinery, "
+    "opposite tail). ENTIRELY integer arithmetic — exact cents, "
+    "integer-div mean (Spark `div` == DuckDB `//` on positive longs), "
+    "running sum, running max, subtraction — zero float exposure "
+    "anywhere, the strongest determinism class in the catalog. Scale "
+    "shape: one custkey-join shuffle into the (region, day) rollup, "
+    "one whole-partition window for the reference, then two stacked "
+    "running windows plus one ranking window over the region×calendar "
+    "domain.",
 )
 def w19_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -8306,10 +8317,20 @@ def w19_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = daily.select(
+    wall = Window.partitionBy("r_name")
+    ref = daily.select(
         "r_name",
         "d",
-        F.sum(F.col("cents") - F.lit(2_000_000)).over(wrun).alias("cum_dev"),
+        "cents",
+        F.expr("sum(cents) over (partition by r_name)").alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_nd"),
+    ).select(
+        "r_name", "d", "cents", F.expr("_tot div _nd").alias("ref_cents")
+    )
+    cum = ref.select(
+        "r_name",
+        "d",
+        F.sum(F.col("cents") - F.col("ref_cents")).over(wrun).alias("cum_dev"),
     ).select(
         "r_name", "d", "cum_dev", F.max("cum_dev").over(wrun).alias("peak")
     )

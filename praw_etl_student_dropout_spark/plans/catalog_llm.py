@@ -7,10 +7,15 @@ coin can be made engine-portable: MinHash (d3_minhash_md5, plus the
 capped form d3_minhash_pairs_capped), SimHash (d3_simhash_md5), and
 hyperplane SRP-LSH (d3_embedding_dup_lsh) all run on md5-derived coins
 whose signatures, band keys, candidate joins, and exact verification
-DuckDB reproduces value-for-value. Only the xxhash64 production coins
-(d3_minhash_pairs, d3_simhash_pairs), the iterative k-means fixpoint
-(d3_semdedup), and BPE training (u6_bpe_train) stay rows-only; pytest
-invariants bound those against the exact versions (containment /
+DuckDB reproduces value-for-value. The xxhash64 production coins keep
+their catalog slots as CONTRACT grades (round-10): d3_minhash_pairs
+drives minhash_dedup_pairs_with_report end-to-end and value-matches
+the exact pair counts plus subset/value/cap-report contracts;
+d3_simhash_pairs value-matches the identical-text dup-pair count its
+hamming-0 completeness guarantees. Only the iterative k-means fixpoint
+(d3_semdedup) and BPE training (u6_bpe_train) stay rows-only — both
+TERMINAL (engine-specific training/fixpoint state, no portable coin);
+pytest invariants bound those against the exact versions (containment /
 recall), see tests/test_dedup.py and tests/test_similarity.py.
 """
 
@@ -23,7 +28,6 @@ from ..operators.dedup import (
     contamination_pairs,
     embedding_dup_pairs,
     exact_dedup,
-    minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_dup_pairs,
 )
@@ -292,17 +296,103 @@ def u8_decontaminate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d3_minhash_pairs",
-    "D3",
-    None,  # xxhash64 signatures aren't SQL-reproducible; pytest bounds
-    # LSH recall against d3_ngram_jaccard's exact pairs, and the md5-coin
-    # twin d3_minhash_md5 gives the SAME pipeline a full value-equality
-    # oracle (recall parity between coins pinned on the Zipf corpus).
-    doc="MinHash+LSH near-dup candidates, exact-Jaccard verified "
-    "(shingle→minhash→band→bucket-join).",
+    "D3 ⊕ (production capped MinHash + report, contract-graded)",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {{SQL_TOKS}} AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, {{SQL_SHINGLES}} AS shingles FROM toks),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    shared AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+      FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      GROUP BY l.doc_id, r.doc_id
+    ),
+    exact AS (
+      SELECT shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.2
+    )
+    SELECT count(*) AS n_exact_pairs,
+           count(*) FILTER (WHERE jaccard >= 0.5) AS n_exact_pairs_05,
+           TRUE AS pairs_subset_of_exact,
+           TRUE AS jaccard_matches_exact,
+           TRUE AS cap_report_consistent
+    FROM exact
+    """.replace("{SQL_TOKS}", SQL_TOKS.format(col="text")).replace(
+        "{SQL_SHINGLES}", SQL_SHINGLES.format(t="t")
+    ),
+    doc="PRODUCTION capped MinHash dedup — minhash_dedup_pairs_with_report "
+    "(xxhash64 coin, cap=200, dropped-mass report), the entry point real "
+    "capped runs use — contract-graded (round-10 VERDICT #4 + ADVICE: the "
+    "rows-only original retired, the production cap+report path stays "
+    "harness-exercised end-to-end). The xxhash64 signatures aren't "
+    "SQL-reproducible, so the grade pins the operator's CONTRACTS "
+    "against the exact n-gram-Jaccard truth DuckDB computes in full: "
+    "pairs_subset_of_exact — every reported pair is in the exact "
+    "threshold-0.2 pair set (LSH+verify admits no false positives); "
+    "jaccard_matches_exact — each reported jaccard equals the exact "
+    "operator's independently recomputed value (both integer-ratio "
+    "doubles, bit-equal at round-6); cap_report_consistent — every "
+    "reported hot bucket exceeds the cap and its pairs_skipped equals "
+    "B·(B-1)/2; plus two full value-matches both engines compute "
+    "bit-for-bit: the exact pair count at the verify threshold and at "
+    "0.5. Recall stays pinned against the exact set in "
+    "tests/test_dedup.py; the md5-coin twins (d3_minhash_md5, "
+    "d3_minhash_pairs_capped) keep the same pipeline fully "
+    "value-graded.",
 )
 def d3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_dedup_pairs_with_report
+    from .cache_registry import track
+
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.2, num_hashes=32, bands=16)
+    pairs, report = minhash_dedup_pairs_with_report(
+        docs, "text", "doc_id", max_bucket_size=200, threshold=0.2,
+        num_hashes=32, bands=16,
+    )
+    pairs = track(pairs)
+    exact = track(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    )
+    counts = exact.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_pairs_05"),
+    )
+    subset_ok = (
+        pairs.join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("pairs_subset_of_exact"))
+    )
+    jmatch_ok = (
+        pairs.join(
+            exact.select("id_a", "id_b", F.col("jaccard").alias("j_exact")),
+            ["id_a", "id_b"],
+        )
+        .agg(
+            F.coalesce(F.min(F.col("jaccard") == F.col("j_exact")), F.lit(True))
+            .alias("jaccard_matches_exact")
+        )
+    )
+    report_ok = report.agg(
+        F.coalesce(
+            F.min(
+                (F.col("bucket_size") > 200)
+                & (
+                    F.col("pairs_skipped")
+                    == (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast(
+                        "long"
+                    )
+                )
+            ),
+            F.lit(True),
+        ).alias("cap_report_consistent")
+    )
+    return counts.crossJoin(subset_ok).crossJoin(jmatch_ok).crossJoin(report_ok)
 
 
 @register(
@@ -336,23 +426,76 @@ def d3_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d3_simhash_pairs",
-    "D3",
-    None,  # xxhash64 bit-signatures aren't SQL-reproducible (the md5
-    # road would pay 64 md5s per feature) — rows-only; pytest pins
-    # exact-dup recall 1.0 + sparse candidate volume on the Zipf corpus.
-    doc="SimHash 64-bit near-dup pairs: shingle features + multi-index "
-    "(8,5)-block banding + popcount verify. Shingle features keep "
-    "Zipfian-text signatures uncorrelated (token features let the "
-    "stopword head pull unrelated docs within hamming 3 — measured "
-    "8.4M spurious pairs on the 52k-doc realistic corpus) and the "
-    "40-bit combination keys keep buckets sparse as the corpus grows "
-    "(16-bit pigeonhole chunks birthday-collide past ~10^5 docs).",
+    "D3 ⊕ (production SimHash multi-index, contract-graded)",
+    """
+    WITH dup AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM documents a JOIN documents b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+    )
+    SELECT count(*) AS n_exact_text_dup_pairs,
+           TRUE AS exact_dups_all_reported,
+           TRUE AS hamming_bounded,
+           TRUE AS pairs_canonical
+    FROM dup
+    """,
+    doc="PRODUCTION SimHash near-dup pass — 64-bit shingle-feature "
+    "signatures, multi-index (8,5)-block banding, popcount verify — "
+    "contract-graded (round-10 VERDICT #4: rows-only original retired, "
+    "operator still harness-exercised end-to-end). The xxhash64 bit "
+    "signatures aren't SQL-reproducible (the md5 road pays 64 md5s per "
+    "feature — that twin exists as d3_simhash_md5), so the grade pins "
+    "the structural guarantees DuckDB can state exactly: "
+    "exact_dups_all_reported — every identical-text pair IS reported "
+    "(identical text ⇒ identical shingle multiset ⇒ identical "
+    "signature ⇒ hamming 0 ⇒ shares every block key: completeness at "
+    "hamming 0 is structural, and the count of such pairs is the full "
+    "value-match both engines compute); hamming_bounded — no reported "
+    "pair exceeds max_hamming=3; pairs_canonical — id_a < id_b "
+    "everywhere. Shingle features keep Zipfian-text signatures "
+    "uncorrelated (token features let the stopword head pull unrelated "
+    "docs within hamming 3 — measured 8.4M spurious pairs on the "
+    "52k-doc realistic corpus) and the 40-bit combination keys keep "
+    "buckets sparse as the corpus grows (16-bit pigeonhole chunks "
+    "birthday-collide past ~10^5 docs). Near-dup recall stays pinned "
+    "on the Zipf corpus in tests/test_dedup.py.",
 )
 def d3_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cache_registry import track
+
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return simhash_dup_pairs(
-        docs, "text", "doc_id", max_hamming=3, feature="shingle", blocks=(8, 5)
+    rep = track(
+        simhash_dup_pairs(
+            docs, "text", "doc_id", max_hamming=3, feature="shingle", blocks=(8, 5)
+        )
     )
+    d = docs.select("doc_id", "text")
+    dups = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    dups = track(dups)
+    n_dups = dups.agg(F.count(F.lit(1)).alias("n_exact_text_dup_pairs"))
+    all_reported = (
+        dups.join(rep.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("exact_dups_all_reported"))
+    )
+    bounds = rep.agg(
+        F.coalesce(F.min(F.col("hamming") <= 3), F.lit(True)).alias(
+            "hamming_bounded"
+        ),
+        F.coalesce(F.min(F.col("id_a") < F.col("id_b")), F.lit(True)).alias(
+            "pairs_canonical"
+        ),
+    )
+    return n_dups.crossJoin(all_reported).crossJoin(bounds)
 
 
 @register(

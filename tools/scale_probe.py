@@ -317,6 +317,12 @@ def main() -> None:
             scratch = args[i + 1]
             del args[i : i + 2]
         queries = None
+        if "--queries" in args:
+            # Probe exactly the named catalog entries (comma-separated) —
+            # for re-legging a single shape after a targeted fix.
+            i = args.index("--queries")
+            queries = [q.strip() for q in args[i + 1].split(",") if q.strip()]
+            del args[i : i + 2]
         if "--headline" in args:
             # VERDICT r7 #3: pair the FULL bench headline set, not just
             # the perf-watch five — rows-only entries time Spark-only.
