@@ -56,7 +56,12 @@ HEADLINE = [
     "t3_global_topk",
     "d2_dedup_by_key",
     "d3_exact_dedup",
-    "d3_minhash_pairs",
+    # r10: d3_minhash_pairs became a CONTRACT grade (runs the production
+    # capped pipeline PLUS the exact-Jaccard truth it's checked against
+    # — a different, heavier shape). The capped md5-coin twin is the
+    # same production MinHash+LSH pipeline shape, full-oracle, so the
+    # headline trend stays comparable across rounds.
+    "d3_minhash_pairs_capped",
     "u7_knn_bruteforce",
     "u6_text_stats",
     "st3_tumbling_window",

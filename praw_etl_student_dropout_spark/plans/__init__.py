@@ -111,69 +111,85 @@ def catalog_all():
 #:       outgoing family keeps representatives in the incoming set. All
 #:       50 incoming re-verified this round: check_oracle at sf0.001 +
 #:       sf0.01 and the foreign-cwd driver harness, before shipping.
+#:   r10 (rotation #7): ALL 50 slots turn over again (VERDICT r9 #1),
+#:       led by the ONLY two entries whose last driver grade is a fail
+#:       (a11_approx_distinct / a11b_hll_sketch_union: no_oracle in
+#:       r1/r2, contract-oracle since r8, never re-rotated) and the
+#:       three never-graded streaming batch-twins (VERDICT r9 #5).
+#:       Incoming: the 19 r9-new ops + both r9 oracle conversions
+#:       (d3_minhash_pairs_capped, d3_embedding_dup_lsh), the two r10
+#:       contract conversions (d3_minhash_pairs now driving the
+#:       production minhash_dedup_pairs_with_report path end-to-end,
+#:       d3_simhash_pairs), and 23 from the standing never-graded pool
+#:       spanning TPC-H (4), joins (2), windows (4), aggregates/stats
+#:       (7), scalar functions (3), transforms/setops/ETL (3). The 50
+#:       outgoing r9 slots were all green on first driver contact and
+#:       every outgoing family keeps representatives. All 50 incoming
+#:       verified this round: check_oracle at sf0.001 + sf0.01 and the
+#:       foreign-cwd driver harness, before shipping.
 GRADED_PREFIX = [
+    # The two red rows: ONLY entries whose last driver grade is a fail
+    # (no_oracle in r1/r2; contract oracles since r8, never re-rotated)
+    "a11_approx_distinct",
+    "a11b_hll_sketch_union",
     # TPC-H analytics family
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q11_important_parts",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q19_disjunctive_filter",
-    # Join family: dynamic partition pruning, SCD2 point-in-time,
-    # interval overlap, ε-band
-    "j7_dpp_busiest_year",
-    "j8_pit_scd2_lookup",
-    "j12_interval_overlap",
-    "j15_band_join",
+    "q12_late_priority_buckets",
+    "q16_supplier_count",
+    "q20_part_promotion",
+    "q23_market_basket",
+    # Join family
+    "j4b_nullsafe_join",
+    "j9_cross_join",
+    "j16_asof_tolerance",
     # Window family
-    "w4_time_range_frame",
-    "w6_locf_imputation",
-    "w11_activity_streaks",
-    "w12_user_paths",
-    "w16_pattern_vshape",
-    "w17_rolling_corr",
+    "w1b_rank_variants",
+    "w7_ewma",
+    "w8_event_transitions",
+    "w10_trailing_anomaly",
+    "w18_cusum_changepoint",
+    "w19_max_drawdown",
     # Aggregate + statistics family
-    "a12_approx_percentiles",
-    "a15_cohort_retention",
-    "a23_price_histogram",
-    "a30_rfm_segments",
-    "a44_gini_customer_value",
-    "a46_ks_two_sample",
-    "a52_decayed_counts",
-    "a56_mann_kendall",
+    "a13_array_agg",
+    "a18_yoy_growth",
+    "a20_multi_distinct",
+    "a21_regr_family",
+    "a27_corr_matrix",
+    "a32_heavy_hitters",
+    "a38_welch_ttest",
+    "a58_theil_index",
+    "a59_hill_tail_index",
+    "a60_cohort_ltv",
+    "a61_cramers_v",
+    "a62_pinball_backtest",
+    "a63_srm_check",
     # Scalar-function families
-    "f13_string_functions",
-    "f14_safe_casts",
-    # Transforms / top-k
-    "t5_unpivot",
-    "t7_ohlc_bars",
-    "t11_skyline_pareto",
-    # Dedup + LLM-pipeline surface
-    "d3_simhash_md5",
-    "d3_containment_pairs",
-    "d3_ngram_jaccard_capped",
-    "llm_pii_scrub",
-    "llm_k_anonymity",
-    "u8_decontaminate_capped",
-    # ANN / similarity (contract grades from the r8 conversions)
-    "u7_ivfpq_topk",
-    "u7_hybrid_rrf",
-    "u7_int8_ann",
+    "f12_map_functions",
+    "f16_posexplode",
+    "f17_array_setops",
+    # Transforms / set ops / ETL maintenance
+    "t4_pagination",
+    "d5_union_by_name",
+    "etl_snapshot_diff",
+    # Dedup + LLM pipeline (r9 md5/cap conversions + r10 contract grades)
+    "d3_minhash_pairs_capped",
+    "d3_embedding_dup_lsh",
+    "d3_minhash_pairs",
+    "d3_simhash_pairs",
+    "llm_tokenizer_fertility",
+    "llm_perplexity_buckets",
+    "llm_span_corruption",
     # Text analysis
-    "u6_readability",
-    "u6_url_normalize",
-    "u11_bigram_logprob",
-    # Graph (r8 full-oracle conversions)
-    "u9_pagerank_nations",
-    "u9_clustering_coeff",
-    # Streaming batch-twins
-    "st3_sliding_window",
-    "st7_trending_topk",
-    # ETL maintenance
-    "etl_star_schema",
-    "etl_zorder_key",
-    # Sampling + multimodal
-    "sample_hash_split",
-    "multimodal_meta",
+    "u6_zipf_fit",
+    "u6_code_detect",
+    # Similarity
+    "u7_matryoshka_rerank",
+    # Graph
+    "u9_link_prediction",
+    "u9_degree_assortativity",
+    # Streaming batch-twins (VERDICT r9 #5: thinnest hard-signal family)
+    "st3b_window_distinct_users",
+    "st8_rate_limit_batch",
+    "st11_cusum_batch",
+    # Sampling
+    "sample_class_balance",
 ]

@@ -76,7 +76,9 @@ PROBE_QUERIES = [
     "d3_jaccard_prefix",     # prefix-filtered similarity join (lossless)
     "u10_tfidf_topterms",    # row-local tf + vocab-broadcast df (round-4 shape)
     "u6_token_entropy",      # zero-shuffle closed-form entropy (round-4 shape)
-    "d3_simhash_pairs",      # multi-index banded hamming join (round-5 shape)
+    "d3_simhash_pairs",      # multi-index banded hamming join (round-5 shape;
+                             # r10: contract grade — adds the identical-text
+                             # dup join + completeness checks to the timed leg)
     "d3_minhash_pairs_capped",  # capped LSH join + shared-index report (round-5)
     "sample_stratified_mix_hash",  # content-hash coins: narrow, no shuffle (round-5)
     "d3_shared_span_pairs",  # winnowed fingerprint index + span equi-join (round-6)
