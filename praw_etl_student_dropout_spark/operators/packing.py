@@ -69,6 +69,16 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = toks.withColumn("local_cum", F.sum("n_tokens").over(local_w))
+    # Materialize ONCE before the totals/join fork: RangePartitioner
+    # seeds its bound sampling with the RDD id, so if Catalyst fails to
+    # reuse the range exchange across the two branches (it does fail on
+    # join lineages — round-10, global_rank docstring), the branches
+    # would otherwise see DIFFERENT partition layouts and the prefix
+    # sum comes out wrong. Tracked → released by the session cache
+    # contract (bench fairness unchanged).
+    from ..plans.cache_registry import track
+
+    local = track(local)
     totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_total"))
     # One row per partition: this window's frame is the partition COUNT,
     # not the data size — the only safe unpartitioned window shape.
@@ -98,6 +108,7 @@ def global_rank(
     order_cols: list[str],
     rank_name: str = "__rank",
     num_partitions: int | None = None,
+    track_cache: bool = True,
 ) -> DataFrame:
     """Distributed global row_number over ``order_cols`` — the
     pack_sequences prefix-sum pattern with count instead of sum:
@@ -108,6 +119,19 @@ def global_rank(
 
     ``order_cols`` must be a total order (append the id column) or ties
     make the rank layout-dependent.
+
+    ``track_cache`` (default True) persists the locally-ranked frame
+    (via plans.cache_registry.track) before the totals/join fork. This
+    is a CORRECTNESS guarantee, not an optimization, whenever Catalyst
+    does not reuse the range exchange across the two branches: Spark's
+    RangePartitioner seeds its bound-sampling reservoir with the RDD
+    id, so two physical instances of the "same" exchange draw DIFFERENT
+    bounds — _pid then means different slices in the totals branch and
+    the join branch, and ranks come out with gaps/overlaps (caught
+    round-10 on a64_theil_sen, whose self-join lineage defeated
+    ReuseExchange; simple scan lineages dedupe fine, but that is plan
+    luck, not a contract). Only disable it for a caller that owns its
+    own materialization of the input order.
     """
     cols = [F.col(c) for c in order_cols]
     if num_partitions:
@@ -121,6 +145,10 @@ def global_rank(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = d.withColumn("__local_rn", F.count(F.lit(1)).over(local_w))
+    if track_cache:
+        from ..plans.cache_registry import track
+
+        local = track(local)
     totals = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_total"))
     offset_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

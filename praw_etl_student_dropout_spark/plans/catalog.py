@@ -8623,3 +8623,256 @@ def a62_pinball_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("exceed").cast("long").alias("n_exceed"),
         )
     )
+
+
+# =====================================================================
+# Round 10: robust trend (Theil–Sen), momentum oscillator (RSI)
+# =====================================================================
+
+
+@register(
+    "a64_theil_sen",
+    "A ⊕ (robust trend: Theil–Sen slope estimator)",
+    """
+    WITH daily AS (
+      SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS d,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.r_name,
+             (b.cents - a.cents) * 1.0 / date_diff('day', a.d, b.d) AS slope
+      FROM daily a JOIN daily b ON a.r_name = b.r_name AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT r_name, slope,
+             row_number() OVER (PARTITION BY r_name ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY r_name) AS n
+      FROM slopes
+    )
+    SELECT r_name, CAST(max(n) AS BIGINT) AS n_pairs,
+           round(avg(slope), 6) AS ts_slope
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY r_name
+    """,
+    doc="Theil–Sen slope of each region's daily revenue series: the "
+    "MEDIAN of all pairwise slopes (c_j - c_i)/(d_j - d_i) — the "
+    "robust-regression complement of a56's Mann–Kendall trend TEST "
+    "(same day-domain pairing; Sen 1968 is literally the estimator "
+    "attached to that test). Breakdown point 29.3%: outlier days that "
+    "wreck an OLS fit leave the pairwise-slope median unmoved. "
+    "Determinism: cents and day gaps are exact integers, each slope is "
+    "ONE double division of those integers (identical IEEE op both "
+    "engines), and the median is RANK-SELECTED — packing.global_rank "
+    "range-partitions the (region, slope) order across ALL cores and "
+    "picks the middle element(s) by global-rank-minus-region-offset "
+    "(avg of two doubles is commutative-safe) — NOT Spark's "
+    "percentile() aggregate, which is a TypedImperativeAggregate "
+    "buffering every group value on one heap (OOMed the 1g-driver "
+    "harness at 2.9M slopes/region), and NOT a per-region row_number "
+    "window, which funnels each region through one task (5 of 32 "
+    "cores busy, measured 14s at sf0.1), rounded at 6. Scale shape: "
+    "the pair join is "
+    "DAY-DOMAIN quadratic — calendar-bounded (n_days² per region, "
+    "independent of row count), exactly like a56 — after one "
+    "custkey-broadcast rollup shuffle of orders; at multi-decade "
+    "calendars switch to the repeated-median or a pair-sampled "
+    "estimator, same frame.",
+)
+def a64_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cache_registry import track
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    daily = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey", "r_name")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("r_name", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = track(
+        a.join(
+            b,
+            (F.col("a.r_name") == F.col("b.r_name"))
+            & (F.col("a.d") < F.col("b.d")),
+        ).select(
+            F.col("a.r_name").alias("r_name"),
+            (
+                (F.col("b.cents") - F.col("a.cents")).cast("double")
+                / F.datediff(F.col("b.d"), F.col("a.d"))
+            ).alias("slope"),
+            F.col("a.d").alias("_da"),
+            F.col("b.d").alias("_db"),
+        )
+    )
+    # Median by DISTRIBUTED rank selection: a per-region row_number
+    # window would funnel each region's ~n_days² slopes through ONE
+    # task (5 regions -> 5 of 32 cores); global_rank range-partitions
+    # the (r_name, slope) order across every core, and since r_name
+    # leads the order, per-region ranks are the global rank minus the
+    # region's offset (5-row broadcast).
+    from pyspark.sql import Window
+
+    from ..operators.packing import global_rank
+
+    ranked = global_rank(
+        slopes,
+        ["r_name", "slope", "_da", "_db"],
+        rank_name="_grank",
+        # self-join lineage defeats ReuseExchange; without one
+        # materialization the two range-exchange instances sample
+        # DIFFERENT bounds and ranks come out inconsistent (see
+        # global_rank's docstring, round-10)
+        track_cache=True,
+    )
+    tot = slopes.groupBy("r_name").agg(F.count(F.lit(1)).alias("n"))
+    ow = Window.orderBy("r_name").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "r_name",
+        "n",
+        F.coalesce(F.sum("n").over(ow), F.lit(0)).alias("_off"),
+    )
+    mid = (
+        ranked.join(F.broadcast(off), "r_name")
+        .withColumn("_rn", F.col("_grank") - F.col("_off"))
+        .filter(
+            (F.col("_rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("_rn") == F.floor((F.col("n") + 2) / 2))
+        )
+    )
+    return mid.groupBy("r_name").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(F.avg("slope"), 6).alias("ts_slope"),
+    )
+
+
+@register(
+    "w20_rsi",
+    "W ⊕ (momentum oscillator: Cutler RSI-14)",
+    """
+    WITH daily AS (
+      SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS d,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT r_name, d,
+             cents - lag(cents) OVER (PARTITION BY r_name ORDER BY d) AS diff
+      FROM daily
+    ),
+    gl AS (
+      SELECT r_name, d,
+             CAST(greatest(diff, 0) AS BIGINT) AS gain,
+             CAST(greatest(-diff, 0) AS BIGINT) AS loss
+      FROM diffs WHERE diff IS NOT NULL
+    ),
+    framed AS (
+      SELECT r_name, d,
+             sum(gain) OVER w AS sg, sum(loss) OVER w AS sl,
+             count(*) OVER w AS n
+      FROM gl
+      WINDOW w AS (PARTITION BY r_name ORDER BY d
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT r_name, CAST(d AS TIMESTAMP) AS day,
+           CAST(sg AS BIGINT) AS gain14, CAST(sl AS BIGINT) AS loss14,
+           round(100.0 * sg / (sg + sl), 6) AS rsi14
+    FROM framed WHERE n = 14 AND (sg + sl) > 0
+    """,
+    doc="Cutler's RSI-14 on each region's daily revenue: up-moves and "
+    "down-moves from the lag-1 diff, 14-day frame sums, "
+    "RSI = 100·gains/(gains+losses) — the momentum complement of "
+    "w15's EWMA level and w16's shape matcher (Cutler's SMA variant "
+    "deliberately, NOT Wilder's: Wilder smoothing is a recursive EWMA "
+    "whose float state accumulates engine-order drift, while frame "
+    "sums of integer cents are exact — the w14/w17 discipline). The "
+    "division happens ONCE per emitted row on two exact integers; "
+    "degenerate frames (sg+sl = 0, a flat fortnight) are excluded "
+    "explicitly rather than emitting engine-dependent NULL/NaN. Scale "
+    "shape: one custkey-broadcast rollup shuffle of orders into the "
+    "(region, day) domain, then lag + frame windows over "
+    "calendar-bounded partitions.",
+)
+def w20_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    daily = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey", "r_name")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("r_name", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wlag = Window.partitionBy("r_name").orderBy("d")
+    gl = (
+        daily.select(
+            "r_name",
+            "d",
+            (F.col("cents") - F.lag("cents").over(wlag)).alias("diff"),
+        )
+        .filter(F.col("diff").isNotNull())
+        .select(
+            "r_name",
+            "d",
+            F.greatest(F.col("diff"), F.lit(0)).cast("long").alias("gain"),
+            F.greatest(-F.col("diff"), F.lit(0)).cast("long").alias("loss"),
+        )
+    )
+    wf = Window.partitionBy("r_name").orderBy("d").rowsBetween(-13, 0)
+    framed = gl.select(
+        "r_name",
+        "d",
+        F.sum("gain").over(wf).alias("sg"),
+        F.sum("loss").over(wf).alias("sl"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+    )
+    return framed.filter(
+        (F.col("n") == 14) & ((F.col("sg") + F.col("sl")) > 0)
+    ).select(
+        "r_name",
+        F.col("d").cast("timestamp").alias("day"),
+        F.col("sg").cast("long").alias("gain14"),
+        F.col("sl").cast("long").alias("loss14"),
+        F.round(
+            F.lit(100.0) * F.col("sg") / (F.col("sg") + F.col("sl")), 6
+        ).alias("rsi14"),
+    )

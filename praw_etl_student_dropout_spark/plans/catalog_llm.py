@@ -4797,3 +4797,116 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_join("ct", " ").alias("corrupted"),
     )
+
+
+@register(
+    "u9_cn_jaccard",
+    "U ⊕ (graph analytics: common-neighbor Jaccard link scores)",
+    """
+    WITH pairs AS (
+      SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
+             greatest(s.s_nationkey, c.c_nationkey) AS eb,
+             count(*) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ptot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
+    e0 AS MATERIALIZED (
+      SELECT ea, eb FROM pairs, ptot WHERE vol * n_pairs > total
+    ),
+    sym AS MATERIALIZED (
+      SELECT ea AS v, eb AS u FROM e0
+      UNION ALL SELECT eb, ea FROM e0
+    ),
+    deg AS MATERIALIZED (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
+    ),
+    wedge AS (
+      SELECT a.v AS c, a.u AS x, b.u AS y
+      FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+    ),
+    cand AS (
+      SELECT w.x, w.y, count(*) AS cn FROM wedge w
+      LEFT JOIN e0 ON e0.ea = w.x AND e0.eb = w.y
+      WHERE e0.ea IS NULL
+      GROUP BY w.x, w.y
+    )
+    SELECT CAST(cand.x AS BIGINT) AS id_a, CAST(cand.y AS BIGINT) AS id_b,
+           CAST(cand.cn AS BIGINT) AS n_common,
+           round(cand.cn * 1.0 / (dx.d + dy.d - cand.cn), 6) AS cn_jaccard
+    FROM cand
+    JOIN deg dx ON dx.v = cand.x
+    JOIN deg dy ON dy.v = cand.y
+    """,
+    doc="Common-neighbor Jaccard link scores over the sparsified nation "
+    "trade graph — |N(x)∩N(y)| / |N(x)∪N(y)| for every NON-adjacent "
+    "pair sharing a neighbor: the normalized companion of "
+    "u9_link_prediction's Adamic-Adar (same canonical-edge derivation, "
+    "same wedge join, same adjacency anti-join — the graph family's "
+    "sixth member on one shared shape). For non-adjacent pairs the "
+    "union is exactly d(x)+d(y)-cn, so every term is an exact integer "
+    "and the one division rounds at 6 (the D3 Jaccard discipline "
+    "applied to neighborhoods). Scale shape: node-domain wedge "
+    "self-join + two broadcast degree joins after the single fact "
+    "rollup shuffle; the tracked edge-list persist pattern of "
+    "u9_link_prediction applies unchanged at larger node domains.",
+)
+def u9_cn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cache_registry import track
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("ea"),
+            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
+        )
+        .agg(F.count(F.lit(1)).alias("vol"))
+    )
+    ptot = pairs.agg(
+        F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    e0 = track(
+        pairs.crossJoin(F.broadcast(ptot))
+        .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
+        .select("ea", "eb")
+    )
+    sym = e0.select(F.col("ea").alias("v"), F.col("eb").alias("u")).unionByName(
+        e0.select(F.col("eb").alias("v"), F.col("ea").alias("u"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = sym.alias("a"), sym.alias("b")
+    wedge = a.join(
+        b, (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u"))
+    ).select(F.col("a.u").alias("x"), F.col("b.u").alias("y"))
+    cand = (
+        wedge.join(
+            e0,
+            (F.col("ea") == F.col("x")) & (F.col("eb") == F.col("y")),
+            "left_anti",
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    return (
+        cand.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            F.col("x").cast("long").alias("id_a"),
+            F.col("y").cast("long").alias("id_b"),
+            F.col("cn").cast("long").alias("n_common"),
+            F.round(
+                F.col("cn") * 1.0 / (F.col("dx") + F.col("dy") - F.col("cn")), 6
+            ).alias("cn_jaccard"),
+        )
+    )

@@ -1940,3 +1940,54 @@ def u6_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "u6_hapax_ttr",
+    "U6 ⊕ (lexical richness: TTR + hapax legomena)",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({SQL_TOKS.format(col='text')}) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr,
+           round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 6)
+             AS hapax_ratio
+    FROM tf GROUP BY source
+    """,
+    doc="Per-source lexical richness: type-token ratio and hapax-"
+    "legomena share — the vocabulary-diversity screen a corpus mix "
+    "needs next to u6_zipf_fit's head-fit (a source whose TTR "
+    "collapses is template spam even when its Zipf slope looks "
+    "normal; a hapax share near 1 is OCR noise or ID-like junk). "
+    "Whitespace tokens (the shared SQL_TOKS discipline), one "
+    "(source, token)-keyed count, then a source-keyed fold; every "
+    "statistic is an exact integer until the two final divisions, "
+    "rounded at 6. Scale shape: token explode -> one vocab-domain "
+    "shuffle -> source-domain fold; no windows, no self-joins, the "
+    "u11/llm_corpus_drift aggregation family.",
+)
+def u6_hapax_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    tf = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.count_if(F.col("c") == 1).cast("long").alias("n_hapax"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("ttr"),
+        F.round(F.count_if(F.col("c") == 1) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "hapax_ratio"
+        ),
+    )

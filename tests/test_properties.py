@@ -758,6 +758,51 @@ def test_global_rank_equals_single_window_and_layout_independent(spark, sf_dir):
     assert {r.doc_id: r.rk for r in few} == expected
 
 
+def test_global_rank_dense_on_join_lineage(spark, sf_dir):
+    """Round-10 regression: a JOIN lineage defeats ReuseExchange, and
+    RangePartitioner seeds its bound sampling with the RDD id — without
+    the track_cache materialization the totals branch and the join
+    branch of global_rank see DIFFERENT partition layouts and ranks come
+    out with gaps/overlaps (caught on a64_theil_sen: region rank spans
+    disagreed with region counts). Dense 1..N per group is the contract."""
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.operators.packing import global_rank
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang"),
+        (F.col("b.n_chars") - F.col("a.n_chars")).alias("delta"),
+        F.col("a.doc_id").alias("ia"),
+        F.col("b.doc_id").alias("ib"),
+    )
+    ranked = global_rank(pairs, ["lang", "delta", "ia", "ib"], "rk")
+    spans = (
+        ranked.groupBy("lang")
+        .agg(
+            F.min("rk").alias("lo"),
+            F.max("rk").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert spans, "empty pair frame"
+    for r in sorted(spans, key=lambda r: r.lo):
+        assert r.hi - r.lo + 1 == r.n, (r.lang, r.lo, r.hi, r.n)
+    total = sum(r.n for r in spans)
+    assert sorted(x.rk for x in ranked.select("rk").collect()) == list(
+        range(1, total + 1)
+    )
+
+
 def test_curriculum_order_stages_and_determinism(spark, sf_dir):
     from praw_etl_student_dropout_spark.operators.packing import curriculum_order
     from praw_etl_student_dropout_spark.sources.readers import load_tables

@@ -99,6 +99,13 @@ EXPECTED_NESTED_LOOP = {
                              # cross join (the a52 max-date shape)
     "u7_matryoshka_rerank",  # broadcast query crossJoin, the
                              # brute-force stage-1 scoring shape
+    "d3_minhash_pairs",   # r10 contract grade: four 1-row contract
+                          # frames cross-joined into the single output row
+    "d3_simhash_pairs",   # r10 contract grade: three 1-row contract
+                          # frames cross-joined into the single output row
+    "u9_cn_jaccard",  # 1-row sparsify-threshold broadcast cross join +
+                      # node-domain wedge shapes (the u9_link_prediction
+                      # adjudication)
 }
 
 
@@ -109,6 +116,8 @@ EXPECTED_NESTED_LOOP = {
 # else a global window means Spark moved the whole frame to ONE task.
 EXPECTED_GLOBAL_WINDOW = {
     "llm_shuffle_pack",      # pack_sequences offsets frame (≤ #partitions rows)
+    "a64_theil_sen",         # global_rank offsets frame (≤ #partitions rows)
+                             # + the 5-row region-offset prefix window
     "llm_chunk_embed_dedup", # same pack_sequences machinery
     "j2_surrogate_key_swap", # dense_rank over DISTINCT dim keys (tiny by definition)
     "etl_star_schema",       # same surrogate-key windows (operators/etl.py:29,49)

@@ -234,15 +234,32 @@ def probe_scale(spark, n: int, scratch: str) -> dict:
         for fn in (plain, plan_fn):
             fn().count()  # warm
         con.sql(spec.oracle).fetchall()
+
+        def _shj(fn=plan_fn):
+            # Bucket-local SHUFFLED HASH JOIN instead of SMJ: the bucketed
+            # SMJ's cost is the per-task re-sort of both sides (Spark does
+            # not trust multi-file bucket sort order); hashing the smaller
+            # side skips the sort entirely while staying exchange-free.
+            spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+            try:
+                return fn().count()
+            finally:
+                spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+
+        _shj()  # warm under the conf
         entry = {
             "plain_s": _time(lambda: plain().count()),
             "bucketed_s": _time(lambda: plan_fn().count()),
+            "bucketed_shj_s": _time(_shj),
             "duckdb_s": _time(lambda: con.sql(spec.oracle).fetchall()),
             "bucketed_exchanges": _exchanges(plan_fn()),
             "plain_exchanges": _exchanges(plain()),
         }
         entry["ratio_plain"] = round(entry["plain_s"] / entry["duckdb_s"], 2)
         entry["ratio_bucketed"] = round(entry["bucketed_s"] / entry["duckdb_s"], 2)
+        entry["ratio_bucketed_shj"] = round(
+            entry["bucketed_shj_s"] / entry["duckdb_s"], 2
+        )
         # value check: bucketed variant == catalog plan on the same data
         exp = {tuple(r) for r in plain().collect()}
         got = {tuple(r) for r in plan_fn().collect()}
