@@ -8876,3 +8876,198 @@ def w20_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.col("sg") / (F.col("sg") + F.col("sl")), 6
         ).alias("rsi14"),
     )
+
+
+@register(
+    "j17_nearest_event_join",
+    "J ⊕ (bidirectional nearest-key join)",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type = 'click' AS is_click
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    passes AS (
+      SELECT user_id, ts, event_id, is_click,
+        last_value(CASE WHEN is_click THEN epoch_us(ts) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        last_value(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+        last_value(CASE WHEN is_click THEN epoch_us(ts) END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_ts,
+        last_value(CASE WHEN is_click THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_id
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id,
+           CAST(CASE WHEN prev_ts IS NULL THEN next_id
+                     WHEN next_ts IS NULL THEN prev_id
+                     WHEN epoch_us(ts) - prev_ts <= next_ts - epoch_us(ts)
+                       THEN prev_id ELSE next_id END AS BIGINT) AS click_id,
+           CAST(CASE WHEN prev_ts IS NULL THEN next_ts - epoch_us(ts)
+                     WHEN next_ts IS NULL THEN prev_ts - epoch_us(ts)
+                     WHEN epoch_us(ts) - prev_ts <= next_ts - epoch_us(ts)
+                       THEN prev_ts - epoch_us(ts)
+                       ELSE next_ts - epoch_us(ts) END AS BIGINT) AS delta_us
+    FROM passes
+    WHERE NOT is_click AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL)
+    """,
+    doc="BIDIRECTIONAL nearest-key join — for each purchase, the "
+    "user's nearest click by |Δt| in EITHER direction (ties → the "
+    "earlier side), the join J5's as-of can't express (as-of is "
+    "directional by definition; nearest-neighbor matching is the "
+    "attribution/sensor-alignment form). Implemented as the tagged "
+    "UNION + two running passes: a forward last-click carry and a "
+    "REVERSED-order last-click carry (never a [current, unbounded "
+    "following] frame — §9a: Spark rescans those per row, the t8 "
+    "O(n²) trap), then one CASE picks the nearer side. Every "
+    "comparison is integer epoch-microseconds; (ts, event_id) makes "
+    "the union order total, so same-timestamp click/purchase pairs "
+    "resolve identically on both engines. Scale shape: ONE user-keyed "
+    "shuffle feeds both window passes and the final filter — no join "
+    "at all in the physical plan, the union trick's whole point.",
+)
+def j17_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "click").alias("is_click"),
+        F.unix_micros("ts").alias("us"),
+    )
+    click_us = F.when(F.col("is_click"), F.col("us"))
+    click_id = F.when(F.col("is_click"), F.col("event_id"))
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    passes = tagged.select(
+        "event_id",
+        "is_click",
+        "us",
+        F.last(click_us, ignorenulls=True).over(fwd).alias("prev_ts"),
+        F.last(click_id, ignorenulls=True).over(fwd).alias("prev_id"),
+        F.last(click_us, ignorenulls=True).over(rev).alias("next_ts"),
+        F.last(click_id, ignorenulls=True).over(rev).alias("next_id"),
+    )
+    prev_nearer = (F.col("us") - F.col("prev_ts")) <= (
+        F.col("next_ts") - F.col("us")
+    )
+    return passes.filter(
+        (~F.col("is_click"))
+        & (F.col("prev_ts").isNotNull() | F.col("next_ts").isNotNull())
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.when(F.col("prev_ts").isNull(), F.col("next_id"))
+        .when(F.col("next_ts").isNull(), F.col("prev_id"))
+        .when(prev_nearer, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .cast("long")
+        .alias("click_id"),
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts") - F.col("us"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts") - F.col("us"))
+        .when(prev_nearer, F.col("prev_ts") - F.col("us"))
+        .otherwise(F.col("next_ts") - F.col("us"))
+        .cast("long")
+        .alias("delta_us"),
+    )
+
+
+@register(
+    "a65_anova_f",
+    "A16 ⊕ (one-way ANOVA F)",
+    """
+    WITH s AS (
+      SELECT CAST(count(*) FILTER (l_returnflag = 'A') AS BIGINT) AS n_a,
+             round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS s1_a,
+             round(sum(l_quantity * l_quantity)
+                   FILTER (l_returnflag = 'A'), 2) AS s2_a,
+             CAST(count(*) FILTER (l_returnflag = 'N') AS BIGINT) AS n_n,
+             round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS s1_n,
+             round(sum(l_quantity * l_quantity)
+                   FILTER (l_returnflag = 'N'), 2) AS s2_n,
+             CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_r,
+             round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS s1_r,
+             round(sum(l_quantity * l_quantity)
+                   FILTER (l_returnflag = 'R'), 2) AS s2_r
+      FROM lineitem
+    ),
+    m AS (
+      SELECT n_a + n_n + n_r AS n_total,
+             s1_a + s1_n + s1_r AS s1,
+             s2_a + s2_n + s2_r AS s2,
+             s1_a * s1_a / n_a + s1_n * s1_n / n_n + s1_r * s1_r / n_r
+               AS between_raw,
+             n_a, n_n, n_r
+      FROM s
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST(3 AS INTEGER) AS k_groups,
+           round((between_raw - s1 * s1 / n_total) / (3 - 1)
+                 / ((s2 - between_raw) / (n_total - 3)), 6) AS f_stat,
+           round((between_raw - s1 * s1 / n_total)
+                 / (s2 - s1 * s1 / n_total), 6) AS eta_sq
+    FROM m
+    """,
+    doc="One-way ANOVA F across the three l_returnflag quantity "
+    "populations — the k-group generalization of a38's Welch pair "
+    "(SSB = Σ S_g²/n_g − S²/N, SSW = Σq² − Σ S_g²/n_g), with effect "
+    "size η². The a16 discipline throughout: ONE conditional-"
+    "aggregation pass collects exact rounded power sums per group "
+    "(quantities are small integers, so every sum is exact in "
+    "doubles), the groups are PIVOTED into fixed columns so the "
+    "cross-group additions happen in a written-down order (a groupBy "
+    "row sum would add in partition order — not cross-engine stable), "
+    "and the downstream algebra is one deterministic IEEE expression "
+    "tree. Fully partial-aggregatable, zero joins — the screening "
+    "test run before pairwise a38s at any scale.",
+)
+def a65_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    q = F.col("l_quantity")
+    aggs = []
+    for g in ("a", "n", "r"):
+        flag = F.col("l_returnflag") == g.upper()
+        aggs += [
+            F.count_if(flag).alias(f"n_{g}"),
+            F.round(F.sum(F.when(flag, q)), 2).alias(f"s1_{g}"),
+            F.round(F.sum(F.when(flag, q * q)), 2).alias(f"s2_{g}"),
+        ]
+    s = li.agg(*aggs)
+    n_total = F.col("n_a") + F.col("n_n") + F.col("n_r")
+    s1 = F.col("s1_a") + F.col("s1_n") + F.col("s1_r")
+    s2 = F.col("s2_a") + F.col("s2_n") + F.col("s2_r")
+    between_raw = (
+        F.col("s1_a") * F.col("s1_a") / F.col("n_a")
+        + F.col("s1_n") * F.col("s1_n") / F.col("n_n")
+        + F.col("s1_r") * F.col("s1_r") / F.col("n_r")
+    )
+    m = s.select(
+        n_total.alias("n_total"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        between_raw.alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - F.col("s1") * F.col("s1") / F.col("n_total")
+    ssw = F.col("s2") - F.col("between_raw")
+    sst = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_total")
+    return m.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.lit(3).cast("int").alias("k_groups"),
+        F.round((ssb / (3 - 1)) / (ssw / (F.col("n_total") - 3)), 6).alias(
+            "f_stat"
+        ),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
