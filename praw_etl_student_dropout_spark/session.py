@@ -42,6 +42,13 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # Bucketed scans report their sortBy order ONLY under this flag
+    # (removed from the default path in Spark 3.0). write_bucketed lays
+    # out one file per bucket precisely so this is sound; with it, a
+    # bucketed SMJ drops BOTH per-task sorts — measured round-10 as the
+    # dominant per-core cost of the bucketed-join family (q21 32×:
+    # 1.30 → 1.10 s; multi-file buckets are detected and still sorted).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     # Files >128MB split; small fixture files still read in one task each.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",

@@ -146,14 +146,21 @@ def _exchanges(df) -> int:
     )
 
 
-def _ensure_bucketed(spark, rep: str, table: str, src: str, key: str) -> float:
+def _ensure_bucketed(
+    spark, rep: str, table: str, src: str, key: str,
+    sort_keys: list[str] | None = None,
+) -> float:
     """Write (or re-register) a bucketed table whose DATA lives under the
     replica dir. A fresh session's in-memory catalog forgets the table
     while the files persist — re-register the existing directory as an
     external bucketed table instead of rewriting (or crashing on
-    LOCATION_ALREADY_EXISTS)."""
+    LOCATION_ALREADY_EXISTS). ``sort_keys`` may extend the bucket key
+    (e.g. (l_orderkey, l_suppkey)) so downstream per-key aggregates get
+    their order free too — the key must stay the sort PREFIX or the
+    join loses its sort elision."""
     from praw_etl_student_dropout_spark.operators.bucketing import write_bucketed
 
+    sort_cols = ", ".join(sort_keys or [key])
     if spark.catalog.tableExists(table):
         return 0.0
     path = f"{rep}/{table}"
@@ -161,7 +168,7 @@ def _ensure_bucketed(spark, rep: str, table: str, src: str, key: str) -> float:
         ddl = spark.read.parquet(path).schema.toDDL()
         spark.sql(
             f"CREATE TABLE {table} ({ddl}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {BUCKETS} BUCKETS "
+            f"CLUSTERED BY ({key}) SORTED BY ({sort_cols}) INTO {BUCKETS} BUCKETS "
             f"LOCATION '{path}'"
         )
         return 0.0
@@ -171,6 +178,7 @@ def _ensure_bucketed(spark, rep: str, table: str, src: str, key: str) -> float:
         table,
         [key],
         num_buckets=BUCKETS,
+        sort_keys=sort_keys,
         path=path,
     )
     return round(time.perf_counter() - t0, 3)
@@ -182,8 +190,16 @@ def probe_scale(spark, n: int, scratch: str) -> dict:
         print(f"# building {n}x replicas in {rep}", file=sys.stderr)
         build_replicas(spark, rep, n)
 
-    li_table, ord_table = f"li_bkt_{n}x", f"ord_bkt_{n}x"
-    bucket_write_s = _ensure_bucketed(spark, rep, li_table, "lineitem", "l_orderkey")
+    # lineitem sorted by (l_orderkey, l_suppkey): l_orderkey stays the
+    # sort PREFIX (the SMJ's elision holds) and the per-(order,supplier)
+    # SortAggregate gets its two-key order from the scan as well —
+    # distinct table name so the DDL re-register can never claim a sort
+    # the files don't have.
+    li_table, ord_table = f"li_bkt2_{n}x", f"ord_bkt_{n}x"
+    bucket_write_s = _ensure_bucketed(
+        spark, rep, li_table, "lineitem", "l_orderkey",
+        sort_keys=["l_orderkey", "l_suppkey"],
+    )
     bucket_write_s += _ensure_bucketed(spark, rep, ord_table, "orders", "o_orderkey")
 
     from praw_etl_student_dropout_spark.plans import catalog_all
