@@ -61,6 +61,12 @@ def _ensure_conf(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # one-file-per-bucket tables (j18 / write_bucketed) carry usable
+        # sortBy order only under this flag; purely an optimization —
+        # results identical without it
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
     except Exception:
         pass  # immutable conf on some deployments; session.get_spark sets it
     _ship_package(spark)

@@ -73,3 +73,51 @@ def bucketed_join(
     tests/test_plans.py). Any extra filters/projections compose on the
     returned DataFrame and still prune the bucketed scan."""
     return spark.table(left_table).join(spark.table(right_table), on=keys, how=how)
+
+
+def ensure_bucketed_pair(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> tuple[str, str]:
+    """Materialize (once per fixture dir) the load-time warehouse layout
+    the q21/q3/d2/q17 family deploys on: lineitem and orders bucketed by
+    orderkey, one file per bucket, lineitem sorted (l_orderkey,
+    l_suppkey) so the join takes the prefix and per-(order, supplier)
+    aggregates ride the same order. Data lives under the repo scratch
+    dir (the j7 ensure_orders_by_year pattern); a fresh session
+    re-registers the existing files as external bucketed tables — the
+    DDL always states exactly the sort the writer used, never more.
+    Returns the (lineitem, orders) table names for this sf_dir."""
+    from pathlib import Path
+
+    from ..sources.partitioned import _scratch_root
+    from ..sources.readers import load_tables
+
+    tag = Path(sf_dir).name.replace(".", "_").replace("-", "_")
+    spec = {
+        "lineitem": ("l_orderkey", ["l_orderkey", "l_suppkey"]),
+        "orders": ("o_orderkey", ["o_orderkey"]),
+    }
+    names = {}
+    for src, (key, sort) in spec.items():
+        table = f"bkt_{src}_{tag}"
+        names[src] = table
+        if spark.catalog.tableExists(table):
+            continue
+        path = _scratch_root() / "bucketed" / Path(sf_dir).name / src
+        if (path / "_SUCCESS").exists():
+            ddl = spark.read.parquet(str(path)).schema.toDDL()
+            spark.sql(
+                f"CREATE TABLE {table} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({', '.join(sort)}) "
+                f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            write_bucketed(
+                load_tables(spark, sf_dir, [src])[src],
+                table,
+                [key],
+                num_buckets=num_buckets,
+                sort_keys=sort,
+                path=str(path),
+            )
+    return names["lineitem"], names["orders"]

@@ -9071,3 +9071,63 @@ def a65_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(ssb / sst, 6).alias("eta_sq"),
     )
+
+
+@register(
+    "j18_bucketed_colocation",
+    "J ⊕ (co-located fact join on the bucketed load-time layout)",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rev_c4
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(rev_c4) AS BIGINT) AS rev_c4
+    FROM per_order JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="The bucketed warehouse layout AS A GRADED ENTRY: the builder "
+    "materializes (once per fixture dir, the j7 partitioned-copy "
+    "pattern) lineitem+orders bucketed by orderkey — one file per "
+    "bucket, sorted, the round-10 load-time contract — then runs the "
+    "canonical co-located pipeline: per-order line rollup (bucket-"
+    "local, and SORT-FREE off the scan order), orderkey join (bucket-"
+    "local SMJ, sort-free), priority rollup (the single exchange, "
+    "priority-domain sized). A driver grade therefore value-proves "
+    "the whole layout path end-to-end — writer bucket-id parity with "
+    "HashPartitioning, the one-file-per-bucket sort contract, the "
+    "sorted-scan flag, DDL re-registration — against a plain-table "
+    "oracle. Money stays exact: l_extendedprice*(1-l_discount) has 4 "
+    "decimals, so round(x*10000) is integer-exact with no half-even/"
+    "half-up boundary exposure; sums are BIGINT.",
+)
+def j18_bucketed_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bucketing import ensure_bucketed_pair
+
+    li_t, ord_t = ensure_bucketed_pair(spark, sf_dir)
+    per_order = (
+        spark.table(li_t)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("rev_c4"),
+        )
+    )
+    orders = spark.table(ord_t).select("o_orderkey", "o_orderpriority")
+    return (
+        per_order.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("rev_c4").cast("long").alias("rev_c4"),
+        )
+    )

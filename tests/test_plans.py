@@ -177,6 +177,45 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_smj_is_sort_free(spark, sf_dir, tmp_path):
+    """Round-10 layout contract: write_bucketed lays out ONE file per
+    bucket and the session enables sorted bucketed scans, so the
+    co-located SMJ elides BOTH per-task sorts — the silent re-sort the
+    multi-file default was paying (BASELINE §round-10-sorted-buckets)."""
+    from praw_etl_student_dropout_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    write_bucketed(
+        t["orders"].select(F.col("o_orderkey").alias("orderkey"), "o_totalprice"),
+        "bs_orders", ["orderkey"], num_buckets=8, path=str(tmp_path / "bso"),
+    )
+    write_bucketed(
+        t["lineitem"].select(F.col("l_orderkey").alias("orderkey"), "l_quantity"),
+        "bs_lineitem", ["orderkey"], num_buckets=8, path=str(tmp_path / "bsl"),
+    )
+    # exactly one data file per bucket — the precondition for Spark to
+    # trust the sortBy metadata at scan time
+    for d in ("bso", "bsl"):
+        files = [f for f in (tmp_path / d).iterdir() if f.suffix == ".parquet"]
+        assert len(files) == 8, (d, len(files))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bs_orders", "bs_lineitem", ["orderkey"])
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # the r10 rung: no Sort node anywhere — scan order feeds the merge
+        assert "+- Sort " not in plan and ":- Sort " not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bs_orders")
+        spark.sql("DROP TABLE IF EXISTS bs_lineitem")
+
+
 def test_flagship_pivot_is_single_shuffle(spark, sf_dir, registry):
     # explicit-value pivot compiles to conditional aggregation: one
     # hash-partition exchange, not pivot's two-aggregate double shuffle
