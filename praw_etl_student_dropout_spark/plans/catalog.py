@@ -9131,3 +9131,133 @@ def j18_bucketed_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_c4").cast("long").alias("rev_c4"),
         )
     )
+
+
+@register(
+    "a66_cuped",
+    "A16 ⊕ (CUPED variance-reduced experiment readout)",
+    """
+    WITH per_user AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+                      THEN CAST(floor(o_totalprice) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                      THEN CAST(floor(o_totalprice) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y,
+             CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 2 AS grp
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(count(*) FILTER (grp = 0) AS BIGINT) AS n_a,
+             CAST(sum(x) FILTER (grp = 0) AS BIGINT) AS sx_a,
+             CAST(sum(y) FILTER (grp = 0) AS BIGINT) AS sy_a,
+             CAST(count(*) FILTER (grp = 1) AS BIGINT) AS n_b,
+             CAST(sum(x) FILTER (grp = 1) AS BIGINT) AS sx_b,
+             CAST(sum(y) FILTER (grp = 1) AS BIGINT) AS sy_b
+      FROM per_user
+    )
+    SELECT n_a, n_b,
+           round((sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                 / (sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)), 6)
+             AS theta,
+           round(sy_a * 1.0 / n_a, 6) AS mean_raw_a,
+           round(sy_b * 1.0 / n_b, 6) AS mean_raw_b,
+           round(sy_a * 1.0 / n_a
+                 - (sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                   / (sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+                   * (sx_a * 1.0 / n_a - sx * 1.0 / n), 6) AS mean_adj_a,
+           round(sy_b * 1.0 / n_b
+                 - (sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                   / (sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+                   * (sx_b * 1.0 / n_b - sx * 1.0 / n), 6) AS mean_adj_b
+    FROM s
+    """,
+    doc="CUPED (Controlled-experiment Using Pre-Experiment Data, Deng "
+    "et al. WSDM'13 — the industry-standard variance-reduction "
+    "adjustment): per active customer, pre-period spend x "
+    "(orders before 1998; the fixture calendar runs 1995-2001) is the "
+    "covariate for experiment-period "
+    "spend y; θ = cov(x,y)/var(x) from pooled power sums, cohorts by "
+    "the md5 coin (the sample_hash_split convention), and each "
+    "cohort's adjusted mean is ȳ_g − θ(x̄_g − x̄). Everything before "
+    "the final expressions is EXACT BIGINT — integer dollars via "
+    "floor() (no rounding-mode exposure), per-user sums, x·y and x² "
+    "products, FILTER-pivoted cohort sums — and the float algebra is "
+    "one written-down expression tree evaluated identically by both "
+    "engines (the a38/a65 pivot discipline). Scale shape: one "
+    "custkey-keyed groupBy then a single 1-row fold, fully "
+    "partial-aggregatable. θ is computed in NORMALIZED double space "
+    "(each power sum / n first): the raw n·Σx² cross-product overflows "
+    "BIGINT at the 32× probe already. The BIGINT power sums themselves "
+    "hold exactness to ~10⁷ users at integer-dollar magnitudes; past "
+    "that, per-partition double partials (or native covar_pop) take "
+    "over and the entry's algebra stays the spec.",
+)
+def a66_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    pre = F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    dollars = F.floor(F.col("o_totalprice")).cast("long")
+    per_user = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(pre, dollars).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(~pre, dollars).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("y"),
+    ).withColumn(
+        "grp",
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 2,
+    )
+    is_a, is_b = F.col("grp") == 0, F.col("grp") == 1
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count_if(is_a).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, F.col("x")).otherwise(F.lit(0))).cast("long").alias("sx_a"),
+        F.sum(F.when(is_a, F.col("y")).otherwise(F.lit(0))).cast("long").alias("sy_a"),
+        F.count_if(is_b).cast("long").alias("n_b"),
+        F.sum(F.when(is_b, F.col("x")).otherwise(F.lit(0))).cast("long").alias("sx_b"),
+        F.sum(F.when(is_b, F.col("y")).otherwise(F.lit(0))).cast("long").alias("sy_b"),
+    )
+    # theta in NORMALIZED double space: n*sxx overflows BIGINT at the
+    # 32x probe (DuckDB errors, ANSI Spark would too) — divide each
+    # power sum by n FIRST, identical expression tree both engines
+    theta = (
+        F.col("sxy") * F.lit(1.0) / F.col("n")
+        - (F.col("sx") * F.lit(1.0) / F.col("n"))
+        * (F.col("sy") * F.lit(1.0) / F.col("n"))
+    ) / (
+        F.col("sxx") * F.lit(1.0) / F.col("n")
+        - (F.col("sx") * F.lit(1.0) / F.col("n"))
+        * (F.col("sx") * F.lit(1.0) / F.col("n"))
+    )
+    def adj(sy_g, sx_g, n_g):
+        return (
+            F.col(sy_g) * F.lit(1.0) / F.col(n_g)
+            - theta
+            * (
+                F.col(sx_g) * F.lit(1.0) / F.col(n_g)
+                - F.col("sx") * F.lit(1.0) / F.col("n")
+            )
+        )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(F.col("sy_a") * F.lit(1.0) / F.col("n_a"), 6).alias("mean_raw_a"),
+        F.round(F.col("sy_b") * F.lit(1.0) / F.col("n_b"), 6).alias("mean_raw_b"),
+        F.round(adj("sy_a", "sx_a", "n_a"), 6).alias("mean_adj_a"),
+        F.round(adj("sy_b", "sx_b", "n_b"), 6).alias("mean_adj_b"),
+    )
