@@ -75,6 +75,26 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=keys, how=how)
 
 
+def _bucket_files_match(path, num_buckets: int) -> bool:
+    """True iff the parquet files under ``path`` are a valid one-file-
+    per-bucket layout for ``num_buckets``: every filename carries a
+    parseable bucket id (part-NNNNN-<uuid>_BBBBB.*), no two files share
+    one, and all ids are < num_buckets. Anything else means the files
+    were written under a different spec — rewrite, never re-register."""
+    import re
+
+    files = [f for f in path.iterdir() if f.suffix == ".parquet"]
+    if not files or len(files) > num_buckets:
+        return False
+    ids = []
+    for f in files:
+        m = re.search(r"_(\d{5})\.", f.name)
+        if m is None:
+            return False
+        ids.append(int(m.group(1)))
+    return len(set(ids)) == len(ids) and all(0 <= b < num_buckets for b in ids)
+
+
 def ensure_bucketed_pair(
     spark: SparkSession, sf_dir: str, num_buckets: int = 8
 ) -> tuple[str, str]:
@@ -86,13 +106,21 @@ def ensure_bucketed_pair(
     dir (the j7 ensure_orders_by_year pattern); a fresh session
     re-registers the existing files as external bucketed tables — the
     DDL always states exactly the sort the writer used, never more.
-    Returns the (lineitem, orders) table names for this sf_dir."""
+    Returns the (lineitem, orders) table names for this sf_dir.
+
+    The scratch path AND table name encode ``num_buckets`` (round-10
+    ADVICE): a later call with a different bucket count must never
+    re-register existing files with an ``INTO N BUCKETS`` clause that
+    disagrees with the bucket ids baked into the filenames — a
+    co-located SMJ over mismatched buckets joins silently wrong. As a
+    second line of defense, re-registration validates the on-disk
+    bucket-id range against ``num_buckets`` before trusting the files."""
     from pathlib import Path
 
     from ..sources.partitioned import _scratch_root
     from ..sources.readers import load_tables
 
-    tag = Path(sf_dir).name.replace(".", "_").replace("-", "_")
+    tag = f"{Path(sf_dir).name}_b{num_buckets}".replace(".", "_").replace("-", "_")
     spec = {
         "lineitem": ("l_orderkey", ["l_orderkey", "l_suppkey"]),
         "orders": ("o_orderkey", ["o_orderkey"]),
@@ -103,8 +131,13 @@ def ensure_bucketed_pair(
         names[src] = table
         if spark.catalog.tableExists(table):
             continue
-        path = _scratch_root() / "bucketed" / Path(sf_dir).name / src
-        if (path / "_SUCCESS").exists():
+        path = (
+            _scratch_root()
+            / "bucketed"
+            / f"{Path(sf_dir).name}_b{num_buckets}"
+            / src
+        )
+        if (path / "_SUCCESS").exists() and _bucket_files_match(path, num_buckets):
             ddl = spark.read.parquet(str(path)).schema.toDDL()
             spark.sql(
                 f"CREATE TABLE {table} ({ddl}) USING parquet "

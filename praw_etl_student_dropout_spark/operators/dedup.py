@@ -871,8 +871,11 @@ def embedding_dup_pairs(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Embedding cosine near-dup via BANDED random-hyperplane LSH.
+    ``eager=True`` materializes the result and releases the internal
+    banded-index cache (see :func:`embedding_dup_md5_pairs`).
 
     ``num_planes`` sign bits (bit i = sign(v · plane_i)) split into
     ``bands`` band signatures of ``r = num_planes/bands`` bits each; a
@@ -940,9 +943,10 @@ def embedding_dup_pairs(
             for b in range(bands)
         ]
     )
-    banded = with_dots.select(
+    banded_idx = with_dots.select(
         F.col(id_col), F.posexplode(band_sigs).alias("band", "band_sig")
     ).persist()
+    banded = banded_idx
     if max_bucket_size is not None:
         # Same whole-bucket drop as embedding_dup_md5_pairs: bounds the
         # per-(band, band_sig) self-join fan-out, which goes quadratic
@@ -966,7 +970,7 @@ def embedding_dup_pairs(
         .distinct()
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    return (
+    verified = (
         cands.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"
         )
@@ -980,6 +984,11 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if eager:
+        from .caching import materialize_and_release
+
+        return materialize_and_release(verified, [banded_idx])
+    return verified
 
 
 def embedding_dup_md5_pairs(
@@ -991,6 +1000,7 @@ def embedding_dup_md5_pairs(
     bands: int = 8,
     dim: int = 64,
     max_bucket_size: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Embedding near-dup via banded SRP-LSH on the ENGINE-PORTABLE md5
     coin — the :func:`minhash_md5_pairs` move applied to the hyperplane
@@ -1022,6 +1032,14 @@ def embedding_dup_md5_pairs(
     census plus both self-join sides — three reads). The left-fold
     summation order is unchanged, so doubles stay bit-identical to the
     DuckDB oracle, which still derives the same coins via md5() in SQL.
+
+    Cache ownership (round-10 ADVICE): the banded-index persist follows
+    the :func:`_minhash_core` contract — ``eager=True`` materializes the
+    result, releases the internal index cache, and returns a persisted
+    caller-OWNED DataFrame (plan layers register it with
+    ``plans.cache_registry.adopt`` so ``release_session_caches()`` frees
+    it between bench runs); ``eager=False`` keeps the build fully lazy
+    for one-shot pipelines that collect exactly once.
     """
     import hashlib
 
@@ -1066,9 +1084,10 @@ def embedding_dup_md5_pairs(
             for b in range(bands)
         ]
     )
-    banded = with_dots.select(
+    banded_idx = with_dots.select(
         F.col(id_col), F.posexplode(band_sigs).alias("band", "band_sig")
     ).persist()
+    banded = banded_idx
     if max_bucket_size is not None:
         # Whole-bucket drop, the minhash_md5_pairs cap: r-bit signatures
         # give only 2^r buckets per band, so on UNSTRUCTURED (random)
@@ -1098,7 +1117,7 @@ def embedding_dup_md5_pairs(
     )
     vecs = df.select(F.col(id_col), F.col(vec_col))
     raw_cos = cosine_similarity(F.col("_va"), F.col("_vb"))
-    return (
+    verified = (
         cands.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"
         )
@@ -1108,6 +1127,11 @@ def embedding_dup_md5_pairs(
         .filter(raw_cos >= threshold)
         .select("id_a", "id_b", F.round(raw_cos, 6).alias("cosine"))
     )
+    if eager:
+        from .caching import materialize_and_release
+
+        return materialize_and_release(verified, [banded])
+    return verified
 
 
 def jaccard_prefix_pairs(

@@ -37,6 +37,14 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def adopt(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted DataFrame (e.g. the caller-owned
+    result of an operator's ``eager=True`` mode) for release, without
+    re-persisting it. Returns the same DataFrame."""
+    _CACHES.append(df)
+    return df
+
+
 def release_session_caches() -> int:
     """Unpersist every tracked plan-level cache; returns how many were
     released. Safe to call at any time — plans re-materialize on next

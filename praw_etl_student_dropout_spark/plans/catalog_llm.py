@@ -347,14 +347,19 @@ def u8_decontaminate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_dedup_pairs_with_report
-    from .cache_registry import track
+    from .cache_registry import adopt, track
 
     docs = _t(spark, sf_dir, "documents")["documents"]
+    # eager=True (round-10 ADVICE): _minhash_core's internal persists
+    # (banded index, shingle sets) are materialized and RELEASED inside
+    # the operator; the returned pairs/report come back persisted and
+    # caller-owned — adopt() registers them so release_session_caches()
+    # frees them deterministically between bench runs.
     pairs, report = minhash_dedup_pairs_with_report(
         docs, "text", "doc_id", max_bucket_size=200, threshold=0.2,
-        num_hashes=32, bands=16,
+        num_hashes=32, bands=16, eager=True,
     )
-    pairs = track(pairs)
+    pairs, report = adopt(pairs), adopt(report)
     exact = track(
         ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
     )
@@ -619,11 +624,19 @@ def _srp_md5_sql(
 )
 def d3_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_dup_md5_pairs
+    from .cache_registry import adopt
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    return embedding_dup_md5_pairs(
-        e, "embedding", "vec_id", threshold=0.35, num_planes=16, bands=8,
-        dim=64, max_bucket_size=600,
+    # eager=True: the operator materializes the pair set and releases its
+    # internal banded-index persist; adopt() hands the one remaining
+    # (caller-owned) cache to the registry so release_session_caches()
+    # frees it between bench runs — no unowned session-lifetime cache,
+    # and no timed run serving the warm-up's LSH index (round-10 ADVICE).
+    return adopt(
+        embedding_dup_md5_pairs(
+            e, "embedding", "vec_id", threshold=0.35, num_planes=16, bands=8,
+            dim=64, max_bucket_size=600, eager=True,
+        )
     )
 
 

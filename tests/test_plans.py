@@ -196,11 +196,23 @@ def test_bucketed_smj_is_sort_free(spark, sf_dir, tmp_path):
         t["lineitem"].select(F.col("l_orderkey").alias("orderkey"), "l_quantity"),
         "bs_lineitem", ["orderkey"], num_buckets=8, path=str(tmp_path / "bsl"),
     )
-    # exactly one data file per bucket — the precondition for Spark to
-    # trust the sortBy metadata at scan time
+    # at MOST one data file per bucket — the precondition for Spark to
+    # trust the sortBy metadata at scan time. Parse the bucket id from
+    # each filename (part-NNNNN-<uuid>_BBBBB.*) rather than assuming
+    # every bucket is non-empty at this fixture scale (round-10 ADVICE).
+    import re
+
     for d in ("bso", "bsl"):
         files = [f for f in (tmp_path / d).iterdir() if f.suffix == ".parquet"]
-        assert len(files) == 8, (d, len(files))
+        assert len(files) <= 8, (d, len(files))
+        bucket_ids = [
+            int(m.group(1))
+            for f in files
+            if (m := re.search(r"_(\d{5})\.", f.name))
+        ]
+        assert len(bucket_ids) == len(files), (d, [f.name for f in files])
+        assert len(set(bucket_ids)) == len(bucket_ids), (d, bucket_ids)
+        assert all(0 <= b < 8 for b in bucket_ids), (d, bucket_ids)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
