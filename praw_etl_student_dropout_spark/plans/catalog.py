@@ -8709,21 +8709,33 @@ def a64_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # The rollup is the ONLY piece that grows with the data (the slope
+    # pair-set is calendar-bounded); the self-join reads it twice and
+    # its lineage defeats ReuseExchange, so without a persist the 3-way
+    # join + agg over orders runs TWICE — measured as the rising 32×
+    # ratio in SCALE_r10 (1.74×→4.5×). Persist it once: the pair join
+    # then reads a ~n_regions·n_days row cache.
+    daily = track(daily)
     a, b = daily.alias("a"), daily.alias("b")
-    slopes = track(
-        a.join(
-            b,
-            (F.col("a.r_name") == F.col("b.r_name"))
-            & (F.col("a.d") < F.col("b.d")),
-        ).select(
-            F.col("a.r_name").alias("r_name"),
-            (
-                (F.col("b.cents") - F.col("a.cents")).cast("double")
-                / F.datediff(F.col("b.d"), F.col("a.d"))
-            ).alias("slope"),
-            F.col("a.d").alias("_da"),
-            F.col("b.d").alias("_db"),
-        )
+    # BROADCAST the left pair side (round-11): a shuffled self-join on
+    # r_name has only n_regions distinct keys, so the quadratic pair
+    # expansion funnels through 5 of 32 tasks; broadcasting the (tiny,
+    # calendar-bounded) daily frame keeps the probe side's full
+    # partitioning, so every core expands pairs. The slope projection
+    # carries ONLY (r_name, slope): the pair's dates are not needed
+    # downstream — median-by-rank selects ORDER STATISTICS, which are
+    # deterministic VALUES under arbitrary tie order (any total-order
+    # extension puts the k-th smallest value at rank k), so no
+    # tie-break columns, and ~30% less data through the rank shuffle.
+    slopes = a.join(
+        F.broadcast(b),
+        (F.col("a.r_name") == F.col("b.r_name")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.r_name").alias("r_name"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
     )
     # Median by DISTRIBUTED rank selection: a per-region row_number
     # window would funnel each region's ~n_days² slopes through ONE
@@ -8737,15 +8749,21 @@ def a64_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = global_rank(
         slopes,
-        ["r_name", "slope", "_da", "_db"],
+        ["r_name", "slope"],
         rank_name="_grank",
-        # self-join lineage defeats ReuseExchange; without one
-        # materialization the two range-exchange instances sample
-        # DIFFERENT bounds and ranks come out inconsistent (see
-        # global_rank's docstring, round-10)
+        # global_rank materializes the ranked frame itself (its
+        # track_cache correctness guarantee), so slopes needs NO
+        # separate persist: it has exactly one reader now that the
+        # per-region pair counts come from day-count arithmetic below
+        # instead of a second scan of the pair set.
         track_cache=True,
     )
-    tot = slopes.groupBy("r_name").agg(F.count(F.lit(1)).alias("n"))
+    # n_pairs per region is CLOSED-FORM: c days pair into c*(c-1)/2
+    # slopes — a 5-row aggregate of the cached daily rollup, not a
+    # 14M-row recount of the pair set.
+    tot = daily.groupBy("r_name").agg(
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("long").alias("n")
+    )
     ow = Window.orderBy("r_name").rowsBetween(Window.unboundedPreceding, -1)
     off = tot.select(
         "r_name",

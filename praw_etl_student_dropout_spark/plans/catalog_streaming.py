@@ -318,3 +318,94 @@ def st11_cusum_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
     )
     return cusum_fold(daily, key="event_type", slack=0.25, threshold=3.0)
+
+
+@register(
+    "st2b_watermark_late_drop",
+    "ST2 ⊕ (watermark late-arrival drop, batch twin)",
+    """
+    WITH arr AS (
+      SELECT ts, user_id, value, event_id,
+             ts + to_seconds(
+               CAST(concat('0x', substring(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 7200) AS arrival_ts
+      FROM events
+    ),
+    wm AS (
+      SELECT ts, value,
+             max(ts) OVER (PARTITION BY user_id ORDER BY arrival_ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+      FROM arr
+    ),
+    flagged AS (
+      SELECT date_trunc('hour', ts) AS window_start, value,
+             CASE WHEN hwm IS NOT NULL AND ts < hwm - INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS is_late
+      FROM wm
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           CAST(sum(1 - is_late) AS BIGINT) AS cnt_on_time,
+           CAST(sum(is_late) AS BIGINT) AS n_late_dropped,
+           round(sum(CASE WHEN is_late = 0 THEN value ELSE 0 END), 2)
+             AS sum_on_time
+    FROM flagged GROUP BY window_start
+    """,
+    doc="ST2's watermark semantics as a graded batch query (round-10 "
+    "VERDICT #5): the late-arrival DROP rule — an event is discarded "
+    "iff its event time is older than the high watermark its key had "
+    "already advanced to, minus the 1-hour allowed lateness — exactly "
+    "the behavior tests/test_streaming.py::"
+    "test_watermark_drops_late_rows_across_batches pins on the real "
+    "readStream pipeline (streaming/stream_jobs.tumbling_counts_stream "
+    "with withWatermark). The fixture's events arrive perfectly "
+    "time-ordered (zero late rows — measured), so arrival order is "
+    "simulated with a DETERMINISTIC bounded ingest delay: "
+    "0-2h of jitter from the first-6-hex md5(event_id) coin (the "
+    "sample_hash_split convention), identical in both engines. The "
+    "high watermark is then max(event ts) over each user's PRIOR "
+    "arrivals (rows preceding, current row excluded — the streaming "
+    "rule that a batch's own rows set the watermark for the NEXT "
+    "batch), and the hourly windows report surviving counts, dropped "
+    "counts, and the on-time value sum — grading both the keep and "
+    "drop sets. Scale shape: one shuffle by user key (the same state "
+    "partitioning the streaming form keeps), running-max windows over "
+    "per-key partitions, then a map-side-combined window rollup; no "
+    "global ordering anywhere.",
+)
+def st2b_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 7200
+    )
+    arr = ev.select("ts", "user_id", "value", "event_id").withColumn(
+        "arrival_ts", F.col("ts") + jitter * F.expr("INTERVAL 1 SECOND")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = arr.select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "value",
+        F.when(
+            F.max("ts").over(w).isNotNull()
+            & (F.col("ts") < F.max("ts").over(w) - F.expr("INTERVAL 1 HOUR")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_late"),
+    )
+    return flagged.groupBy("window_start").agg(
+        F.sum(1 - F.col("is_late")).cast("long").alias("cnt_on_time"),
+        F.sum("is_late").cast("long").alias("n_late_dropped"),
+        F.round(
+            F.sum(F.when(F.col("is_late") == 0, F.col("value")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("sum_on_time"),
+    )
