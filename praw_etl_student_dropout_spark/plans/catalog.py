@@ -2983,23 +2983,29 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q21_plan(li: DataFrame, ord_f: DataFrame, nation_sup: DataFrame) -> DataFrame:
     """The q21 one-pass plan over prepared frames, shared by the fixture
-    catalog entry and the bucketed-layout variant (tools/scale_probe.py
-    --q21-bucketed): when ``li``/``ord_f`` scan tables bucketed by
-    orderkey, the SAME plan runs with ZERO exchanges — the orders join,
-    the (order,supplier) collapse, and the per-order windows all reuse
-    the bucket distribution."""
+    catalog entry and the bucketed-layout variant (tools/
+    q21_bucketed_probe.py): when ``li``/``ord_f`` scan tables bucketed
+    by orderkey, the SAME plan runs with ZERO data-proportional
+    exchanges — the orders join, the (order,supplier) collapse, and the
+    per-order windows all reuse the bucket distribution.
+
+    Round-11 lean rewrite (VERDICT #3): supplier NAMES never enter the
+    fact pipeline. The old shape left-broadcast nation_sup onto every
+    lineitem row, dragging an s_name string through the SMJ, the
+    (order,supplier) SortAggregate, and the window; the filter only
+    consumed it at the very end. Now the big pipeline carries integer
+    keys only, and the (tiny, post-sole-filter) survivor set
+    broadcast-joins nation_sup — the inner join applies the nation
+    restriction AND attaches names in one step. Measured on the 32×
+    sorted-bucket layout: 1.23 s → 1.12 s."""
     from pyspark.sql.window import Window
 
-    li2 = li.join(
-        F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey"), "left"
-    )
-    joined = li2.join(ord_f, F.col("o_orderkey") == F.col("l_orderkey"))
+    joined = li.join(ord_f, F.col("o_orderkey") == F.col("l_orderkey"))
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     # One row per (order, supplier); exchange-free on the join's
-    # orderkey partitioning. s_name is constant per supplier.
+    # orderkey partitioning.
     os_agg = joined.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(late, 1).otherwise(0)).alias("supp_late"),
-        F.first("s_name").alias("s_name"),
         F.sum(F.when(late, 1).otherwise(0)).alias("late_rows"),
     )
     w = Window.partitionBy("l_orderkey")
@@ -3009,12 +3015,14 @@ def q21_plan(li: DataFrame, ord_f: DataFrame, nation_sup: DataFrame) -> DataFram
         F.sum("supp_late").over(w).alias("n_late_supp"),
     )
     sole = per.filter(
-        F.col("s_name").isNotNull()
-        & (F.col("supp_late") == 1)
+        (F.col("supp_late") == 1)
         & (F.col("n_supp") > 1)
         & (F.col("n_late_supp") == 1)
     )
-    return sole.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
+    named = sole.join(
+        F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    return named.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
 
 
 

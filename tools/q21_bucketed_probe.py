@@ -132,6 +132,76 @@ def _q21_agg(spark, sf_dir: str, li_table: str | None, ord_table: str | None):
     return sole.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
 
 
+def _ensure_preagg(spark, rep: str, table: str) -> float:
+    """Round-11 third rung (VERDICT r10 #3): materialize the
+    per-(orderkey, suppkey) lateness pre-agg AT LOAD TIME, bucketed and
+    sorted by orderkey — the shared rollup both the semi (n_supp) and
+    anti (n_late_supp) quantifier sides consume. The query then reads a
+    12M-row pre-agg instead of merging 19M lineitem rows against
+    orders: scan → window (rides the sorted buckets) → filter →
+    broadcast name join. Returns the one-time write cost."""
+    from praw_etl_student_dropout_spark.operators.bucketing import write_bucketed
+
+    if spark.catalog.tableExists(table):
+        return 0.0
+    path = f"{rep}/{table}"
+    if os.path.isdir(path):
+        ddl = spark.read.parquet(path).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey) "
+            f"INTO {BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+        return 0.0
+    li = spark.read.parquet(f"{rep}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ord_f = (
+        spark.read.parquet(f"{rep}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    os_agg = (
+        li.join(ord_f, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(F.when(late, 1).otherwise(0)).alias("supp_late"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("late_rows"),
+        )
+    )
+    t0 = time.perf_counter()
+    write_bucketed(
+        os_agg, table, ["l_orderkey"], num_buckets=BUCKETS,
+        sort_keys=["l_orderkey"], path=path,
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
+def _q21_mv(spark, sf_dir: str, preagg_table: str):
+    """q21 off the load-time pre-agg: window + filter + broadcast name
+    join, zero joins over raw facts."""
+    from pyspark.sql.window import Window
+
+    os_agg = spark.table(preagg_table)
+    w = Window.partitionBy("l_orderkey")
+    per = os_agg.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late_supp"),
+    )
+    sole = per.filter(
+        (F.col("supp_late") == 1)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late_supp") == 1)
+    )
+    named = sole.join(
+        F.broadcast(_nation_sup(spark, sf_dir)),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+    )
+    return named.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
+
+
 def _exchanges(df) -> int:
     """SHUFFLE exchanges in the executed plan (broadcasts excluded: a
     BroadcastExchange of a dim/filter side is constant-sized traffic,
@@ -201,6 +271,8 @@ def probe_scale(spark, n: int, scratch: str) -> dict:
         sort_keys=["l_orderkey", "l_suppkey"],
     )
     bucket_write_s += _ensure_bucketed(spark, rep, ord_table, "orders", "o_orderkey")
+    preagg_table = f"os_preagg_{n}x"
+    preagg_write_s = _ensure_preagg(spark, rep, preagg_table)
 
     from praw_etl_student_dropout_spark.plans import catalog_all
 
@@ -212,6 +284,7 @@ def probe_scale(spark, n: int, scratch: str) -> dict:
         "bucketed": lambda: _q21_bucketed(spark, rep, li_table, ord_table),
         "agg_plain": lambda: _q21_agg(spark, rep, None, None),
         "agg_bucketed": lambda: _q21_agg(spark, rep, li_table, ord_table),
+        "mv_preagg": lambda: _q21_mv(spark, rep, preagg_table),
     }
     for v in variants.values():  # warm-ups
         v().count()
@@ -237,6 +310,7 @@ def probe_scale(spark, n: int, scratch: str) -> dict:
     res: dict = {f"{k}_s": round(min(ts), 3) for k, ts in times.items()}
     res["duckdb_s"] = round(min(duck_s), 3)
     res["bucket_write_s"] = round(bucket_write_s, 3)
+    res["preagg_write_s"] = round(preagg_write_s, 3)
     res["bucketed_exchanges"] = _exchanges(variants["bucketed"]())
     res["agg_bucketed_exchanges"] = _exchanges(variants["agg_bucketed"]())
     res["rows"] = len(expect)
