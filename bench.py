@@ -287,6 +287,19 @@ def bench_interleaved(
     comparable_spark = round(sum(queries[n] for n in dqueries), 3)
     duck_total = round(sum(dqueries.values()), 3)
     ratio = round(comparable_spark / duck_total, 3) if duck_total else None
+    # Cross-round comparability guard (round-10 VERDICT #4): the r10
+    # slot swap put d3_minhash_pairs_capped INTO the comparable set
+    # while the slot it replaced (d3_minhash_pairs, then rows-only) was
+    # EXCLUDED from both totals through r9 — so the headline ratio
+    # jumped 1.466 -> 1.56 purely from slot composition. Report the
+    # ratio over the r9-comparable slot set (the swapped slot removed
+    # from BOTH sides) so the trend line stays apples-to-apples.
+    swapped = "d3_minhash_pairs_capped"
+    r9_ratio = None
+    if swapped in dqueries and duck_total:
+        r9_spark = comparable_spark - queries[swapped]
+        r9_duck = duck_total - dqueries[swapped]
+        r9_ratio = round(r9_spark / r9_duck, 3) if r9_duck else None
     for n in sorted(queries):
         d = f" duckdb={dqueries[n]:.3f}s" if n in dqueries else " (rows-only)"
         print(f"# {n}: spark={queries[n]:.3f}s{d}", file=sys.stderr)
@@ -317,6 +330,7 @@ def bench_interleaved(
         "duckdb_comparable_total": duck_total,
         "spark_comparable_total": comparable_spark,
         "spark_vs_duckdb_ratio": ratio,
+        "r9_comparable_slots_ratio": r9_ratio,
         "methodology": f"interleaved per-query, 1 warmup + {n_timed} timed per engine, min per query",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -362,7 +376,8 @@ if __name__ == "__main__":
         in (
             "metric", "value", "unit", "queries", "sf",
             "duckdb_comparable_total", "spark_comparable_total",
-            "spark_vs_duckdb_ratio", "concurrent_wall_clock",
+            "spark_vs_duckdb_ratio", "r9_comparable_slots_ratio",
+            "concurrent_wall_clock",
         )
     }
     sys.stderr.flush()

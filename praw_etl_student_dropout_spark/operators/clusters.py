@@ -213,3 +213,65 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(e3, ["a", "c"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 4,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), as DataFrame rounds — returns ``(id, label)``.
+
+    Every vertex starts with its own id as label; each round, every
+    vertex adopts the most frequent label among its neighbors, ties
+    broken by SMALLEST label — making each round a deterministic
+    function of the previous labeling, so a fixed round count yields an
+    identical result on any engine/partitioning (the property the
+    oracle checks; asynchronous/randomized variants converge faster but
+    are layout-dependent). Scale shape: per round, one join of the
+    (symmetrized) edge list against the label frame + one two-level
+    aggregate — count per (vertex, label), then argmax by (count DESC,
+    label ASC) via max_by on an order-encoding struct. Same discipline
+    as :func:`pagerank`: lineage cut per round with localCheckpoint,
+    the graph stays a DataFrame, no driver-side adjacency. Synchronous
+    LPA can oscillate on bipartite-ish structures; run a fixed even/odd
+    round budget and read the labeling AS OF that round (the streaming
+    -style contract), or post-process with
+    :func:`connected_components` over same-label edges for stable
+    communities.
+    """
+    a, b = F.col(src), F.col(dst)
+    # symmetrize + dedupe: neighbor multiplicity should not double-count
+    # a vote because the input listed both directions
+    und = (
+        edges.select(F.least(a, b).alias("ea"), F.greatest(a, b).alias("eb"))
+        .where(F.col("ea") != F.col("eb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(
+        und.select(F.col("eb").alias("ea"), F.col("ea").alias("eb"))
+    )
+    labels = (
+        und.select(F.col("ea").alias("id"))
+        .unionByName(und.select(F.col("eb").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        votes = (
+            sym.join(labels, sym["eb"] == labels["id"])
+            .groupBy(F.col("ea").alias("vid"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # argmax by (n DESC, label ASC): max_by over a struct ordering
+        # (n, -label) would break on unsigned domains — use min_by on
+        # (-n, label), which is exactly the required comparator
+        new_labels = votes.groupBy(F.col("vid").alias("id")).agg(
+            F.expr("min_by(label, struct(-n, label))").alias("label")
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+    return labels

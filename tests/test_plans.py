@@ -511,3 +511,23 @@ def test_bucketed_groupby_dedup_has_no_big_exchange(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in bucketed.collect()} == {
         tuple(r) for r in plain.collect()
     }
+
+
+def test_grouped_topk_prunes_map_side(spark, sf_dir, registry):
+    """t13 / sample_weighted_kpg scale contract: the rank<=k filter is
+    planted as a Partial WindowGroupLimit BELOW the exchange, so the
+    shuffle carries at most k rows per (group, map partition) instead of
+    the full relations."""
+    for name in ("t13_grouped_topk_merge", "sample_weighted_kpg"):
+        plan = (
+            registry[name]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        partial = plan.index("WindowGroupLimit")
+        assert "Partial" in plan[partial:], (name, plan)
+        ex = plan.index("Exchange hashpartitioning")
+        last_partial = plan.rindex("Partial")
+        assert last_partial > ex, (name, plan)

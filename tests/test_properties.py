@@ -1029,3 +1029,73 @@ def test_minhash_md5_signature_matches_python_reference(spark, texts):
             for h in range(4)
         ]
         assert got[i] == expect, (t, got[i], expect)
+
+
+def test_label_propagation_separates_cliques(spark):
+    from praw_etl_student_dropout_spark.operators.clusters import (
+        label_propagation,
+    )
+
+    # Two 4-cliques joined by ONE bridge edge: LPA must keep them as two
+    # communities (the bridge vote is always outnumbered 3-to-1), and
+    # the deterministic min-label tie-break pins each community's label
+    # to its smallest member.
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + [(3, 10)], ["src", "dst"]
+    )
+    got = {r.id: r.label for r in label_propagation(edges, max_iter=4).collect()}
+    assert {got[v] for v in range(4)} == {0}
+    assert {got[v] for v in range(10, 14)} == {10}
+
+
+def test_label_propagation_layout_independent(spark):
+    from praw_etl_student_dropout_spark.operators.clusters import (
+        label_propagation,
+    )
+
+    edge_list = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 7), (7, 8), (8, 9)]
+    one = spark.createDataFrame(edge_list, ["src", "dst"]).coalesce(1)
+    many = spark.createDataFrame(edge_list, ["src", "dst"]).repartition(13)
+    ra = sorted((r.id, r.label) for r in label_propagation(one, max_iter=3).collect())
+    rb = sorted((r.id, r.label) for r in label_propagation(many, max_iter=3).collect())
+    assert ra == rb
+
+
+def test_sample_weighted_k_per_group_law(spark):
+    from praw_etl_student_dropout_spark.operators.sampling import (
+        sample_weighted_k,
+        sample_weighted_k_per_group,
+    )
+
+    rows = [(i, f"g{i % 3}", float(1 + i % 7)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    out = sample_weighted_k_per_group(df, "grp", "id", "w", k=4, seed=7)
+    got = out.collect()
+    # exactly k per group, ranks 1..k
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.grp, []).append(r.rk)
+    assert set(by_g) == {"g0", "g1", "g2"}
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_g.values())
+    # within one group, the selection equals the GLOBAL weighted top-k
+    # restricted to that group (same E-S key, same seed)
+    g0 = df.filter(F.col("grp") == "g0")
+    want = {r.id for r in sample_weighted_k(g0, "id", "w", k=4, seed=7).collect()}
+    assert {r.id for r in got if r.grp == "g0"} == want
+    # layout independence
+    again = sample_weighted_k_per_group(
+        df.repartition(17), "grp", "id", "w", k=4, seed=7
+    )
+    assert sorted((r.grp, r.id) for r in again.collect()) == sorted(
+        (r.grp, r.id) for r in got
+    )
+    # zero/NULL weights carry no mass
+    with_zero = df.union(spark.createDataFrame([(999, "g0", 0.0)], df.schema))
+    assert (
+        sample_weighted_k_per_group(with_zero, "grp", "id", "w", k=4, seed=7)
+        .filter(F.col("id") == 999)
+        .count()
+        == 0
+    )
