@@ -275,3 +275,56 @@ def label_propagation(
         )
         labels = new_labels.localCheckpoint(eager=True)
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Truncated k-core decomposition: ``rounds`` synchronous peeling
+    passes — drop every vertex whose CURRENT degree is < k, remove its
+    edges, repeat — over the canonicalized undirected graph. Returns
+    the surviving vertices with their end-state degrees ``(id, deg)``.
+
+    A full k-core iterates to a fixpoint (data-dependent round count —
+    the d3_semdedup/u6_bpe_train class that cannot carry a portable
+    oracle); the FIXED round budget keeps every round a deterministic
+    function of the last, so the result value-grades against an
+    unrolled SQL twin, and in practice a few rounds reach the fixpoint
+    on all but adversarial chains (each round strictly shrinks the
+    graph or IS the fixpoint). Scale shape: per round, one degree
+    aggregate + two broadcast-size semi-joins of the edge list against
+    the surviving-vertex set — the same join+groupBy round discipline
+    as :func:`pagerank`/:func:`label_propagation`, lineage cut per
+    round, no driver adjacency.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("ea"), F.greatest(a, b).alias("eb"))
+        .where(F.col("ea") != F.col("eb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("ea").alias("id"))
+            .unionByName(e.select(F.col("eb").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        e = (
+            e.join(keep.withColumnRenamed("id", "ea"), "ea", "left_semi")
+            .join(keep.withColumnRenamed("id", "eb"), "eb", "left_semi")
+            .select("ea", "eb")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("ea").alias("id"))
+        .unionByName(e.select(F.col("eb").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

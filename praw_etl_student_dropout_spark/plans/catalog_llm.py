@@ -5052,3 +5052,96 @@ def sample_weighted_kpg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "lang", "n_chars",
         F.col("rk").cast("int").alias("rk"), "es_key",
     )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled truncated k-core oracle — one (degree, survivor,
+    edge-filter) CTE triple per peeling round, every CTE MATERIALIZED
+    (the _lpa_sql lesson: inlined CTEs re-execute the fact join per
+    reference and spill at probe scale)."""
+    sql = """
+    WITH pairs AS MATERIALIZED (
+      SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
+             greatest(s.s_nationkey, c.c_nationkey) AS eb,
+             count(*) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
+    e0 AS MATERIALIZED (
+      SELECT ea, eb FROM pairs, tot WHERE vol * n_pairs > total
+    )"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    deg{r} AS MATERIALIZED (
+      SELECT v, count(*) AS d FROM (
+        SELECT ea AS v FROM {prev} UNION ALL SELECT eb FROM {prev}
+      ) GROUP BY v
+    ),
+    keep{r} AS MATERIALIZED (SELECT v FROM deg{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT ea, eb FROM {prev}
+      WHERE ea IN (SELECT v FROM keep{r}) AND eb IN (SELECT v FROM keep{r})
+    )"""
+        prev = f"e{r}"
+    sql += f"""
+    SELECT CAST(v AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS deg FROM (
+      SELECT ea AS v FROM {prev} UNION ALL SELECT eb FROM {prev}
+    ) GROUP BY v
+    """
+    return sql
+
+
+@register(
+    "u9_kcore",
+    "U ⊕ (graph analytics: truncated k-core peeling)",
+    _kcore_sql(k=8, rounds=3),
+    doc="Truncated 8-core of the sparsified nation trade graph (the "
+    "u9_cn_jaccard/u9_pagerank above-average-volume edge derivation, "
+    "whose degree spread 1-24 actually peels): 3 synchronous peeling "
+    "rounds — drop vertices with current degree < k, discard their "
+    "edges, repeat — via operators/clusters.kcore_peel, the fifth "
+    "join-based graph operator (round-10 VERDICT #8: graph was the "
+    "thinnest family). The FIXED round budget is what makes the result "
+    "a pure function of the graph (a fixpoint k-core has a "
+    "data-dependent round count — the terminal-rows-only class); each "
+    "round is one degree aggregate plus two semi-joins of the edge "
+    "list, lineage-cut per round, and the oracle unrolls the same "
+    "rounds as MATERIALIZED CTEs and matches end-state (vertex, "
+    "degree) VALUES. Returns the surviving vertices with their "
+    "end-state degrees.",
+)
+def u9_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import kcore_peel
+    from .cache_registry import track
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("ea"),
+            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
+        )
+        .agg(F.count(F.lit(1)).alias("vol"))
+    )
+    ptot = pairs.agg(
+        F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    e0 = (
+        pairs.crossJoin(F.broadcast(ptot))
+        .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    return kcore_peel(e0, k=8, rounds=3).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("deg").cast("long").alias("deg"),
+    )

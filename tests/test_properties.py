@@ -1099,3 +1099,28 @@ def test_sample_weighted_k_per_group_law(spark):
         .count()
         == 0
     )
+
+
+def test_kcore_peel_matches_fixpoint_on_small_graph(spark):
+    from praw_etl_student_dropout_spark.operators.clusters import kcore_peel
+
+    # A 4-clique with a pendant chain: the 2-core is exactly the clique
+    # (chain peels in two rounds), and within 3 rounds the truncated
+    # peel reaches the fixpoint.
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 8), (8, 9)]
+    edges = spark.createDataFrame(clique + chain, ["src", "dst"])
+    got = {(r.id, r.deg) for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert got == {(0, 3), (1, 3), (2, 3), (3, 3)}
+    # k above the max degree empties the graph
+    assert kcore_peel(edges, k=5, rounds=3).count() == 0
+    # layout independence
+    again = {
+        (r.id, r.deg)
+        for r in kcore_peel(
+            spark.createDataFrame(clique + chain, ["src", "dst"]).repartition(9),
+            k=2,
+            rounds=3,
+        ).collect()
+    }
+    assert again == got
