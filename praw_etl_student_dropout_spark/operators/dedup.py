@@ -40,6 +40,17 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def md5_index_coin(i: int) -> int:
+    """The fixed 60-bit XOR constant for min-hash index ``i``: first 15
+    hex digits of md5("mh:<i>"), computed driver-side with hashlib —
+    bit-identical to ``CAST(concat('0x', substring(md5('mh:<i>'), 1,
+    15)) AS BIGINT)`` in any SQL engine, the same hoisting move as the
+    SRP Rademacher coin (round-10)."""
+    import hashlib
+
+    return int(hashlib.md5(f"mh:{i}".encode()).hexdigest()[:15], 16)
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition by id before explode-heavy stages.
 
@@ -445,38 +456,47 @@ def minhash_md5_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signatures on the ENGINE-PORTABLE md5 coin (round-7
-    VERDICT #3): h_i(shingle) = first 15 hex digits of
-    md5("<i>:<shingle>") as a 60-bit long — the hash_coin / token_bucket
-    md5 road, so ANY SQL engine reproduces the identical signature,
-    banded candidate set, and therefore verified pair list. The xxhash64
-    variant (:func:`minhash_signatures`) stays the production default
-    (JVM-native hash, ~md5-free per-shingle cost); this twin exists so
-    the flagship near-dup operator has a FULL value-equality oracle
-    instead of a rows-only grade — recall parity between the two coins
-    is pinned on the Zipf corpus (tests/test_zipf_dedup.py).
+    VERDICT #3): a 60-bit base value ``base(s)`` = first 15 hex digits
+    of md5(shingle), and h_i(s) = base(s) XOR c_i where c_i is the
+    fixed 60-bit constant md5("mh:<i>")[:15] — the hash_coin /
+    token_bucket md5 road, so ANY SQL engine reproduces the identical
+    signature, banded candidate set, and therefore verified pair list.
+    The xxhash64 variant (:func:`minhash_signatures`) stays the
+    production default (JVM-native hash, ~md5-free per-shingle cost);
+    this twin exists so the flagship near-dup operator has a FULL
+    value-equality oracle instead of a rows-only grade — recall parity
+    between the two coins is pinned on the Zipf corpus
+    (tests/test_zipf_dedup.py).
+
+    Round-11 perf: ONE md5 per shingle instead of num_hashes of them
+    (the SRP coin-hoisting move applied here). The per-index functions
+    are the XOR-shift family h_i = base ^ c_i — each a bijection of the
+    base hash, with constants that are themselves md5 digits (hoisted
+    driver-side with hashlib, bit-identical in SQL) — a standard
+    universal-hashing derivation whose LSH recall stays within the
+    xxhash parity band the Zipf test pins (re-verified on landing).
+    16× fewer md5 evaluations was the dominant cost of the whole
+    pipeline on BOTH engines.
 
     Same single-pass array fold as the xxhash64 form: NO explode, NO
     shuffle; per-doc state never leaves the row.
     """
     sentinel = 1 << 62  # above any 60-bit hash value
-    sig = F.aggregate(
+    coins = [md5_index_coin(i) for i in range(num_hashes)]
+    # materialize the base hashes as their own array FIRST — one md5 per
+    # shingle structurally, rather than relying on subexpression
+    # elimination inside the fold lambda
+    bases = F.transform(
         word_shingles(F.col(text_col), shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    sig = F.aggregate(
+        bases,
         F.array_repeat(F.lit(sentinel).cast("long"), num_hashes),
-        lambda acc, s: F.zip_with(
+        lambda acc, b: F.zip_with(
             acc,
-            F.array(
-                *[
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws(":", F.lit(str(i)), s)), 1, 15
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    for i in range(num_hashes)
-                ]
-            ),
-            lambda a, b: F.least(a, b),
+            F.array(*[b.bitwiseXOR(F.lit(c)) for c in coins]),
+            lambda a, x: F.least(a, x),
         ),
     )
     return _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(

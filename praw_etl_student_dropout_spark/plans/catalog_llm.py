@@ -178,16 +178,20 @@ def d3_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_md5_sql(
     num_hashes: int, bands: int, threshold: float, cap: int | None = None
 ) -> str:
-    """DuckDB twin of dedup.minhash_md5_pairs — the SAME md5 permutation
-    hashes, min-fold, band keys, candidate join, and exact-Jaccard
-    verify, so the full LSH pipeline value-checks cross-engine. ``cap``
+    """DuckDB twin of dedup.minhash_md5_pairs — the SAME md5 base hash,
+    XOR index constants, min-fold, band keys, candidate join, and
+    exact-Jaccard verify, so the full LSH pipeline value-checks
+    cross-engine (round-11: one md5 per shingle + the hoisted
+    md5("mh:<i>") XOR coins, mirroring dedup.md5_index_coin). ``cap``
     mirrors max_bucket_size: (band, band_key) buckets above the cap are
     dropped WHOLE before the candidate join — a deterministic function
     of the signatures, so the capped pipeline value-checks too."""
+    from ..operators.dedup import md5_index_coin
+
     r = num_hashes // bands
     h_exprs = ",\n             ".join(
-        f"min(CAST(concat('0x', substring(md5(concat('{i}:', s)), 1, 15)) "
-        f"AS BIGINT)) AS h{i}"
+        f"min(xor(CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT), "
+        f"{md5_index_coin(i)})) AS h{i}"
         for i in range(num_hashes)
     )
     band_rows = "\n      UNION ALL ".join(
@@ -241,8 +245,10 @@ def _minhash_md5_sql(
     "D3 ⊕ (MinHash LSH on the engine-portable md5 coin — FULL oracle)",
     _minhash_md5_sql(num_hashes=16, bands=8, threshold=0.5),
     doc="The flagship near-dup operator with a complete value-equality "
-    "oracle (round-7 VERDICT #3): h_i(shingle) = 60-bit long from "
-    "md5('<i>:<shingle>') — the sample_weighted_es/token_bucket md5 "
+    "oracle (round-7 VERDICT #3): h_i(shingle) = 60-bit md5(shingle) "
+    "base XOR the fixed md5('mh:<i>') coin (round-11: ONE md5 per "
+    "shingle instead of 16 — the SRP coin-hoisting move; recall parity "
+    "re-pinned) — the sample_weighted_es/token_bucket md5 "
     "road — so DuckDB reproduces the identical signatures, band keys "
     "(plain space-joined decimal minima, no second hash), candidate "
     "pairs, and exact-Jaccard verification. A driver grade is therefore "

@@ -995,7 +995,7 @@ def test_minhash_md5_signature_matches_python_reference(spark, texts):
     """The md5-coin signature is a pure deterministic function any engine
     can reproduce — pinned against a from-scratch Python implementation
     of the same definition (tokens -> distinct 3-gram shingles ->
-    min over shingles of int(md5('<i>:<s>')[:15], 16))."""
+    min over shingles of int(md5(s)[:15],16) ^ md5('mh:<i>') coins)."""
     import hashlib
     import re
 
@@ -1019,9 +1019,15 @@ def test_minhash_md5_signature_matches_python_reference(spark, texts):
 
     for i, t in rows:
         sh = py_shingles(t)
+        # round-11 coin: ONE md5 per shingle, per-index values derived by
+        # XOR with the fixed md5("mh:<i>") constants
+        coins = [
+            int(hashlib.md5(f"mh:{h}".encode()).hexdigest()[:15], 16)
+            for h in range(4)
+        ]
         expect = [
             min(
-                int(hashlib.md5(f"{h}:{s}".encode()).hexdigest()[:15], 16)
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) ^ coins[h]
                 for s in sh
             )
             if sh
