@@ -136,9 +136,9 @@ def catalog_all():
 #:       (VERDICT r10 #5 — a graded late-arrival-drop row). The
 #:       remaining 32 come from the standing never-graded pool spanning
 #:       every family that still HAS never-graded members: aggregates/
-#:       stats+sketches (8), windows (4), scalar functions (3),
+#:       stats+sketches (7), windows (4), scalar functions (3),
 #:       dedup/linkage/setops (5), transforms (1), text (3), similarity
-#:       (2), graph (1), LLM pipeline (2), sampling (1), ETL/profile
+#:       (2), graph (1), LLM pipeline (3), sampling (1), ETL/profile
 #:       (2). TPC-H and the core join family send NO representatives
 #:       for the first time because every one of their members is
 #:       already hard-graded green (q1-q23, j1-j16 all carry driver
@@ -170,7 +170,6 @@ GRADED_PREFIX = [
     # r11-new ST2 batch twin (VERDICT r10 #5)
     "st2b_watermark_late_drop",
     # aggregates / robust stats / sketches
-    "a19_bitwise_agg",
     "a26_mad_robust",
     "a28_chi_square",
     "a31_contribution_shares",
@@ -207,6 +206,7 @@ GRADED_PREFIX = [
     # LLM pipeline
     "llm_dataset_card",
     "llm_preference_pairs",
+    "llm_chunk_embed_dedup",
     # sampling
     "sample_k_per_group",
     # ETL maintenance / profiling
