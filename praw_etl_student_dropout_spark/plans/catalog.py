@@ -9355,3 +9355,95 @@ def t13_grouped_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("acctbal", 2).alias("acctbal"),
         )
     )
+
+
+@register(
+    "w21_interval_coverage",
+    "W ⊕ (interval-union coverage: gaps and islands)",
+    """
+    WITH ints AS (
+      SELECT l_suppkey AS s,
+             date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+               AS st,
+             date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+               + (CAST(l_quantity AS BIGINT) % 14) + 1 AS en
+      FROM lineitem
+    ),
+    flagged AS (
+      SELECT s, st, en,
+             CASE WHEN st > coalesce(
+               max(en) OVER (PARTITION BY s ORDER BY st, en
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_island
+      FROM ints
+    ),
+    islands AS (
+      SELECT s, st, en,
+             sum(new_island) OVER (PARTITION BY s ORDER BY st, en
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    ),
+    per_isl AS (
+      SELECT s, isl, max(en) - min(st) AS cov, count(*) AS n
+      FROM islands GROUP BY s, isl
+    )
+    SELECT CAST(s AS BIGINT) AS suppkey,
+           CAST(sum(cov) AS BIGINT) AS covered_days,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(n) AS BIGINT) AS n_shipments
+    FROM per_isl GROUP BY s
+    """,
+    doc="Interval-UNION length per key — the gaps-and-islands shape "
+    "(overlapping in-transit windows [ship, ship+transit) per supplier; "
+    "transit is a deterministic 1-14-day function of quantity since the "
+    "fixture carries no receipt date): how many distinct days did each "
+    "supplier have at least one shipment in flight, and in how many "
+    "contiguous busy stretches. The sweep is the running-max-of-ends "
+    "island detector: an interval starts a new island iff its start "
+    "exceeds every previous end (max(en) OVER rows-to-1-preceding), "
+    "islands are the running sum of those flags, and coverage is "
+    "max(en)-min(st) per island — pure integer day arithmetic, "
+    "engine-identical. Scale shape: ONE hash exchange on the supplier "
+    "key; both windows ride a single sort of (s, st, en); the island "
+    "rollup is map-side combinable. The naive alternative — exploding "
+    "each interval into its days and count(DISTINCT day) — is "
+    "O(total duration) rows; this is O(intervals).",
+)
+def w21_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    st = F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date"))
+    ints = li.select(
+        F.col("l_suppkey").alias("s"),
+        st.alias("st"),
+        (st + (F.col("l_quantity").cast("long") % 14) + 1).alias("en"),
+    )
+    w = Window.partitionBy("s").orderBy("st", "en")
+    prev_max_end = F.max("en").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ints.select(
+        "s",
+        "st",
+        "en",
+        F.when(F.col("st") > F.coalesce(prev_max_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "s",
+        "st",
+        "en",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    per_isl = islands.groupBy("s", "isl").agg(
+        (F.max("en") - F.min("st")).alias("cov"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_isl.groupBy(F.col("s").cast("long").alias("suppkey")).agg(
+        F.sum("cov").cast("long").alias("covered_days"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("n").cast("long").alias("n_shipments"),
+    )

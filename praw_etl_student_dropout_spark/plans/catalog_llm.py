@@ -5151,3 +5151,68 @@ def u9_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         F.col("deg").cast("long").alias("deg"),
     )
+
+
+@register(
+    "d3_chunk_dedup_report",
+    "D3 ⊕ (content-addressed chunk-level dedup report)",
+    """
+    WITH chunked AS (
+      SELECT source,
+             md5(substring(text, 1 + ci * 512, 512)) AS h
+      FROM (
+        SELECT source, text,
+               unnest(range(0, CAST(ceil(length(text) / 512.0) AS INT))) AS ci
+        FROM documents WHERE length(text) > 0
+      )
+    ),
+    per_chunk AS (
+      SELECT source, h, count(*) AS c FROM chunked GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_uniq_chunks,
+           round(1.0 - count(*) * 1.0 / sum(c), 6) AS dedup_ratio,
+           CAST(max(c) AS BIGINT) AS max_chunk_reuse
+    FROM per_chunk GROUP BY source
+    """,
+    doc="Content-addressed STORAGE dedup report — the chunk-store shape "
+    "(fixed 512-unit chunks, digest per chunk, reuse census per "
+    "source): what fraction of a corpus's chunks a content-addressed "
+    "store would deduplicate away, and the hottest single chunk's "
+    "reuse count. Complements d3_line_dedup (line granularity) and "
+    "d3_exact_dedup (whole-doc): chunk granularity is what object-"
+    "store dedup and training-data page-reuse audits actually operate "
+    "at. The graded twin chunks by CHARACTER positions so the digest "
+    "stream is engine-identical (DuckDB cannot substring BLOBs); the "
+    "production byte-chunking path over opaque binary payloads lives "
+    "with the multimodal stubs (operators/multimodal.sample_frames — "
+    "same fan-out, frame_size in bytes). Scale shape: chunk fan-out is "
+    "a row-local sequence+explode (no shuffle), then ONE exchange for "
+    "the (source, digest) census with map-side combine; never "
+    "O(total-bytes) rows to the driver.",
+)
+def d3_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")["documents"]
+        .filter(F.length("text") > 0)
+        .select("source", "text")
+    )
+    n_chunks = F.ceil(F.length("text") / F.lit(512.0)).cast("int")
+    chunked = docs.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci"),
+        "text",
+    ).select(
+        "source",
+        F.md5(F.substring(F.col("text"), F.col("ci") * 512 + 1, F.lit(512))).alias(
+            "h"
+        ),
+    )
+    per_chunk = chunked.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
+    return per_chunk.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_uniq_chunks"),
+        F.round(1.0 - F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("dedup_ratio"),
+        F.max("c").cast("long").alias("max_chunk_reuse"),
+    )
