@@ -9447,3 +9447,79 @@ def w21_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.sum("n").cast("long").alias("n_shipments"),
     )
+
+
+@register(
+    "a67_cohens_kappa",
+    "A ⊕ (inter-rater agreement: Cohen's kappa)",
+    """
+    WITH labeled AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ra,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END AS rb
+      FROM orders
+    ),
+    cm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra * rb) AS BIGINT) AS n11,
+             CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+             CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+      FROM labeled
+    )
+    SELECT n, n11, n10, n01, n00,
+           round((n11 + n00) * 1.0 / n, 6) AS po,
+           round(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6)
+             AS pe,
+           round(((n11 + n00) * 1.0 / n
+                  - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                     + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+                 / (1.0 - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                           + ((n01 + n00) * 1.0 / n)
+                             * ((n10 + n00) * 1.0 / n))),
+                 6) AS kappa
+    FROM cm
+    """,
+    doc="Cohen's kappa between two deterministic binary raters "
+    "(order-finished flag vs pre-1998 order date) — the label-quality / "
+    "annotator-agreement statistic an eval pipeline reports beside raw "
+    "agreement (a61's Cramér's V measures association strength; kappa "
+    "corrects OBSERVED agreement for chance agreement from the "
+    "marginals, the distinction that matters when classes are "
+    "imbalanced). One full-scan aggregation producing an exact integer "
+    "2×2 confusion matrix; po/pe/kappa are a fixed tree of IEEE "
+    "divisions on those integers, identical in both engines, rounded "
+    "at 6. Scale shape: single map-side-combined global aggregate — "
+    "no shuffle beyond the 32-partial fold, no joins.",
+)
+def a67_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    ra = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    rb = F.when(
+        F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"), 1
+    ).otherwise(0)
+    cm = orders.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).cast("long").alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")) * F.lit(1.0) / n
+    pe = ((F.col("n11") + F.col("n10")) * F.lit(1.0) / n) * (
+        (F.col("n11") + F.col("n01")) * F.lit(1.0) / n
+    ) + ((F.col("n01") + F.col("n00")) * F.lit(1.0) / n) * (
+        (F.col("n10") + F.col("n00")) * F.lit(1.0) / n
+    )
+    return cm.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
