@@ -9523,3 +9523,99 @@ def a67_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+@register(
+    "a68_mutual_information",
+    "A ⊕ (mutual information + normalized MI of two categoricals)",
+    """
+    WITH cells AS (
+      SELECT r.r_name AS x, o.o_orderpriority AS y, count(*) AS c
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT x, y, c,
+             sum(c) OVER (PARTITION BY x) AS rx,
+             sum(c) OVER (PARTITION BY y) AS cy,
+             sum(c) OVER () AS n
+      FROM cells
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(sum((c * 1.0 / n) * ln((c * 1.0 * n) / (rx * 1.0 * cy))), 6)
+             AS mi_nats,
+           round(-sum(CASE WHEN y = min_y THEN (rx * 1.0 / n)
+                           * ln(rx * 1.0 / n) ELSE 0.0 END), 6) AS h_x,
+           round(-sum(CASE WHEN x = min_x THEN (cy * 1.0 / n)
+                           * ln(cy * 1.0 / n) ELSE 0.0 END), 6) AS h_y
+    FROM (SELECT *, min(y) OVER (PARTITION BY x) AS min_y,
+                    min(x) OVER (PARTITION BY y) AS min_x
+          FROM marg)
+    """,
+    doc="Mutual information I(X;Y) between customer region and order "
+    "priority, with the marginal entropies H(X), H(Y) — the "
+    "information-theoretic dependence measure beside a28's chi-square "
+    "and a61's Cramér's V (MI is the one that feeds feature selection "
+    "and drift dashboards directly; NMI = mi/min(h_x, h_y) is one "
+    "division away for the caller). All counts exact integers from one "
+    "contingency rollup; marginals are window sums over the tiny cell "
+    "table; each term is the same IEEE tree (c/n)·ln(c·n/(rx·cy)) in "
+    "both engines, summed over ~25 cells and rounded at 6 (ln parity "
+    "precedent: u6_token_entropy). The per-marginal entropy terms are "
+    "de-duplicated with a min-witness flag instead of a second "
+    "aggregate, so the whole statistic is ONE pass over the cells. "
+    "Scale shape: one rollup shuffle on (region, priority) with "
+    "map-side combine; everything after is 25 rows.",
+)
+def a68_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
+    cells = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey", "r_name")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy(F.col("r_name").alias("x"), F.col("o_orderpriority").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    marg = cells.select(
+        "x",
+        "y",
+        "c",
+        F.sum("c").over(Window.partitionBy("x")).alias("rx"),
+        F.sum("c").over(Window.partitionBy("y")).alias("cy"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.min("y").over(Window.partitionBy("x")).alias("min_y"),
+        F.min("x").over(Window.partitionBy("y")).alias("min_x"),
+    )
+    n = F.col("n")
+    mi_term = (F.col("c") * 1.0 / n) * F.log(
+        (F.col("c") * 1.0 * n) / (F.col("rx") * 1.0 * F.col("cy"))
+    )
+    hx_term = F.when(
+        F.col("y") == F.col("min_y"),
+        (F.col("rx") * 1.0 / n) * F.log(F.col("rx") * 1.0 / n),
+    ).otherwise(F.lit(0.0))
+    hy_term = F.when(
+        F.col("x") == F.col("min_x"),
+        (F.col("cy") * 1.0 / n) * F.log(F.col("cy") * 1.0 / n),
+    ).otherwise(F.lit(0.0))
+    return marg.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.sum(mi_term), 6).alias("mi_nats"),
+        F.round(-F.sum(hx_term), 6).alias("h_x"),
+        F.round(-F.sum(hy_term), 6).alias("h_y"),
+    )

@@ -5216,3 +5216,96 @@ def d3_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 - F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("dedup_ratio"),
         F.max("c").cast("long").alias("max_chunk_reuse"),
     )
+
+
+@register(
+    "u9_edge_support",
+    "U ⊕ (graph analytics: edge triangle support)",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
+             greatest(s.s_nationkey, c.c_nationkey) AS eb,
+             count(*) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
+    e0 AS MATERIALIZED (
+      SELECT ea, eb FROM pairs, tot WHERE vol * n_pairs > total
+    ),
+    sym AS MATERIALIZED (
+      SELECT ea AS v, eb AS u FROM e0 UNION ALL SELECT eb, ea FROM e0
+    ),
+    support AS (
+      SELECT e.ea, e.eb, count(*) AS sup
+      FROM e0 e
+      JOIN sym sa ON sa.v = e.ea
+      JOIN sym sb ON sb.v = e.eb AND sb.u = sa.u
+      GROUP BY e.ea, e.eb
+    )
+    SELECT CAST(e0.ea AS BIGINT) AS a, CAST(e0.eb AS BIGINT) AS b,
+           CAST(coalesce(sup, 0) AS BIGINT) AS support,
+           coalesce(sup, 0) = 0 AS is_bridge
+    FROM e0 LEFT JOIN support ON support.ea = e0.ea AND support.eb = e0.eb
+    """,
+    doc="Per-edge TRIANGLE SUPPORT on the sparsified trade graph — "
+    "|N(a) ∩ N(b)| for every edge (a,b), the statistic k-truss "
+    "decomposition peels on and the zero-support test that finds "
+    "BRIDGE-like edges (no triangle reinforcement — the weak ties of "
+    "the trade network). Sixth join-based graph operator: common "
+    "neighbors per edge via the two-hop equi-join of the symmetrized "
+    "adjacency against both endpoints (the u9_triangle_count shape, "
+    "grouped per edge instead of globally summed), then a left join "
+    "back onto the edge list so triangle-free edges report support 0 "
+    "rather than vanishing. Oracle CTEs MATERIALIZED (the r11 LPA "
+    "lesson). Scale shape: two shuffle joins on the edge list + one "
+    "aggregate; skew bounded by the canonical a<b ordering.",
+)
+def u9_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cache_registry import track
+
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("ea"),
+            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
+        )
+        .agg(F.count(F.lit(1)).alias("vol"))
+    )
+    ptot = pairs.agg(
+        F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    e0 = track(
+        pairs.crossJoin(F.broadcast(ptot))
+        .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
+        .select("ea", "eb")
+    )
+    sym = e0.select(F.col("ea").alias("v"), F.col("eb").alias("u")).unionByName(
+        e0.select(F.col("eb").alias("v"), F.col("ea").alias("u"))
+    )
+    sa = sym.select(F.col("v").alias("ea"), F.col("u").alias("cn"))
+    sb = sym.select(F.col("v").alias("eb"), F.col("u").alias("cn"))
+    support = (
+        e0.join(sa, "ea")
+        .join(sb, ["eb", "cn"])
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    return (
+        e0.join(support, ["ea", "eb"], "left")
+        .select(
+            F.col("ea").cast("long").alias("a"),
+            F.col("eb").cast("long").alias("b"),
+            F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("support"),
+            (F.coalesce(F.col("sup"), F.lit(0)) == 0).alias("is_bridge"),
+        )
+    )
