@@ -106,6 +106,8 @@ EXPECTED_NESTED_LOOP = {
     "u9_cn_jaccard",  # 1-row sparsify-threshold broadcast cross join +
                       # node-domain wedge shapes (the u9_link_prediction
                       # adjudication)
+    "u9_edge_support",  # same 1-row sparsify-threshold broadcast cross
+                        # join (the u9_cn_jaccard adjudication, r11)
 }
 
 
@@ -177,6 +179,10 @@ EXPECTED_GLOBAL_WINDOW = {
     # pinball backtest's trailing-quantile frame runs over the day
     # domain (calendar-bounded, the a55/w16/w17 exception).
     "a62_pinball_backtest",
+    # mutual information's grand-total / marginal windows run over the
+    # (region × priority) contingency-cell frame (≤ 25 rows, the
+    # a28/a61 contingency shape).
+    "a68_mutual_information",
 }
 
 
