@@ -1150,7 +1150,11 @@ def embedding_dup_md5_pairs(
     if eager:
         from .caching import materialize_and_release
 
-        return materialize_and_release(verified, [banded])
+        # Release the frame that was PERSISTED (banded_idx), not `banded`:
+        # under max_bucket_size `banded` is rebound to the never-persisted
+        # anti-join frame, so unpersisting it would be a no-op and the LSH
+        # index would stay cached for the session (round-11 ADVICE).
+        return materialize_and_release(verified, [banded_idx])
     return verified
 
 

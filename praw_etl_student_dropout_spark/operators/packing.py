@@ -118,7 +118,12 @@ def global_rank(
     prefix-summed and broadcast back. Never a single-partition window.
 
     ``order_cols`` must be a total order (append the id column) or ties
-    make the rank layout-dependent.
+    make the rank layout-dependent. One documented exception (round-11
+    ADVICE): a caller that consumes only the VALUES of ``order_cols`` at
+    selected ranks — order statistics such as rank-select medians — may
+    pass a non-total order, because the value at rank k is identical
+    under every tie layout (a64_theil_sen does this). Such callers must
+    never propagate ``rank_name`` itself downstream.
 
     ``track_cache`` (default True) persists the locally-ranked frame
     (via plans.cache_registry.track) before the totals/join fork. This

@@ -8750,7 +8750,10 @@ def a64_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task (5 regions -> 5 of 32 cores); global_rank range-partitions
     # the (r_name, slope) order across every core, and since r_name
     # leads the order, per-region ranks are the global rank minus the
-    # region's offset (5-row broadcast).
+    # region's offset (5-row broadcast). (r_name, slope) is NOT a total
+    # order — sanctioned by global_rank's values-at-selected-ranks
+    # exception: only the slope VALUE at the median rank is read, which
+    # is tie-layout-invariant, and _grank itself never leaves this plan.
     from pyspark.sql import Window
 
     from ..operators.packing import global_rank

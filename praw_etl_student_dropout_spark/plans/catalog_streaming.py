@@ -354,11 +354,16 @@ def st11_cusum_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ST2's watermark semantics as a graded batch query (round-10 "
     "VERDICT #5): the late-arrival DROP rule — an event is discarded "
     "iff its event time is older than the high watermark its key had "
-    "already advanced to, minus the 1-hour allowed lateness — exactly "
-    "the behavior tests/test_streaming.py::"
+    "already advanced to, minus the 1-hour allowed lateness — a "
+    "PER-KEY, ROW-GRANULAR ANALOGUE of the behavior "
+    "tests/test_streaming.py::"
     "test_watermark_drops_late_rows_across_batches pins on the real "
     "readStream pipeline (streaming/stream_jobs.tumbling_counts_stream "
-    "with withWatermark). The fixture's events arrive perfectly "
+    "with withWatermark). Analogue, not exact twin: Structured "
+    "Streaming's watermark is GLOBAL across keys and advances once per "
+    "micro-batch, while this deterministic batch form advances a "
+    "per-user watermark per prior row — same drop rule, finer "
+    "granularity (round-11 ADVICE). The fixture's events arrive perfectly "
     "time-ordered (zero late rows — measured), so arrival order is "
     "simulated with a DETERMINISTIC bounded ingest delay: "
     "0-2h of jitter from the first-6-hex md5(event_id) coin (the "

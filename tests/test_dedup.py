@@ -640,3 +640,31 @@ def test_passjoin_equals_brute_force_and_handles_ties(spark, sf_dir):
             for r in passjoin_pairs(part, "p_partkey", "p_name", max_dist=k).collect()
         }
         assert got == brute(k), f"k={k}"
+
+
+def test_embedding_md5_eager_capped_releases_index(spark, sf_dir):
+    """Round-11 ADVICE regression: embedding_dup_md5_pairs(eager=True,
+    max_bucket_size=...) must unpersist the frame it actually PERSISTED
+    (banded_idx), not the anti-join rebinding — exactly how the graded
+    d3_embedding_dup_lsh entry calls it. A leak here lets later timed
+    bench runs serve the warm-up's LSH index from cache."""
+    from praw_etl_student_dropout_spark.operators.dedup import (
+        embedding_dup_md5_pairs,
+    )
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    before = {
+        rid for rid, _ in spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    pairs = embedding_dup_md5_pairs(
+        e, "embedding", "vec_id", threshold=0.35, num_planes=16, bands=8,
+        dim=64, max_bucket_size=600, eager=True,
+    )
+    assert pairs.count() >= 0
+    pairs.unpersist()
+    after = {
+        rid for rid, _ in spark.sparkContext._jsc.getPersistentRDDs().items()
+    }
+    assert after <= before, (
+        "eager capped run leaked a cached intermediate (banded_idx)"
+    )

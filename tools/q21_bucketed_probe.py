@@ -142,10 +142,23 @@ def _ensure_preagg(spark, rep: str, table: str) -> float:
     broadcast name join. Returns the one-time write cost."""
     from praw_etl_student_dropout_spark.operators.bucketing import write_bucketed
 
+    from pathlib import Path
+
+    from praw_etl_student_dropout_spark.operators.bucketing import (
+        _bucket_files_match,
+    )
+
     if spark.catalog.tableExists(table):
         return 0.0
     path = f"{rep}/{table}"
-    if os.path.isdir(path):
+    # Re-register ONLY a complete, layout-valid write (round-11 ADVICE):
+    # a bare isdir() would silently register a partially written dir
+    # from a killed probe run and produce wrong results/timings.
+    if (
+        os.path.isdir(path)
+        and (Path(path) / "_SUCCESS").exists()
+        and _bucket_files_match(Path(path), BUCKETS)
+    ):
         ddl = spark.read.parquet(path).schema.toDDL()
         spark.sql(
             f"CREATE TABLE {table} ({ddl}) USING parquet "
@@ -153,6 +166,10 @@ def _ensure_preagg(spark, rep: str, table: str) -> float:
             f"INTO {BUCKETS} BUCKETS LOCATION '{path}'"
         )
         return 0.0
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
     li = spark.read.parquet(f"{rep}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
