@@ -9163,6 +9163,81 @@ def j18_bucketed_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q21_preagg_colocation",
+    "SQ+J4 ⊕ (Q21 on the load-time lateness pre-agg — the materialized-view contract)",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND n_name = 'NATION_7'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+    doc="The round-11 `mv_preagg` probe rung as a GRADED entry (VERDICT "
+    "r11 #2, the j18 ship-the-layout pattern): q21's quantifier "
+    "pipeline off a LOAD-TIME materialized per-(orderkey, suppkey) "
+    "lateness pre-agg — bucketed and sorted by orderkey, one file per "
+    "bucket (operators/bucketing.ensure_q21_preagg). At read time the "
+    "query is scan → per-order supplier/late-supplier counts as window "
+    "aggregates RIDING the sorted buckets (zero data-proportional "
+    "exchanges) → sole-late filter → broadcast nation-supplier name "
+    "join → name rollup. The oracle is the FULL Q21 quantifier SQL "
+    "against the PLAIN tables, so a driver grade value-proves the "
+    "materialized-view contract end-to-end: pre-agg derivation "
+    "(orders-status filter, 90-day lateness, per-pair max/sum), writer "
+    "bucket-id parity, the one-file-per-bucket sort contract, and DDL "
+    "re-registration in a fresh session — any drift between the stored "
+    "rollup and the base tables breaks value equality. This is the "
+    "only measured q21 configuration that held the ≤2.5× gate at the "
+    "32× probe (0.69-0.96 s vs DuckDB 0.38-0.43, SCALE_r11 "
+    "§q21_third_rung); write-once cost 8.2 s there, amortized across "
+    "every repeat of the query family — the 100 TB shape for repeated "
+    "quantifier analytics over slowly-appended facts.",
+)
+def q21_preagg_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.bucketing import ensure_q21_preagg
+
+    table = ensure_q21_preagg(spark, sf_dir)
+    t = _t(spark, sf_dir, "supplier", "nation")
+    nation_sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    os_agg = spark.table(table)
+    w = Window.partitionBy("l_orderkey")
+    per = os_agg.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late_supp"),
+    )
+    sole = per.filter(
+        (F.col("supp_late") == 1)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late_supp") == 1)
+    )
+    named = sole.join(
+        F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    return named.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
+
+
+@register(
     "a66_cuped",
     "A16 ⊕ (CUPED variance-reduced experiment readout)",
     """
