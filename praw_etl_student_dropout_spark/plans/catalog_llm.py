@@ -4877,19 +4877,9 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u9_cn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cache_registry import track
 
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.least("s_nationkey", "c_nationkey").alias("ea"),
-            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
-        )
-        .agg(F.count(F.lit(1)).alias("vol"))
-    )
+    # Round-12: shared lean derivation (one fact shuffle — see
+    # _nation_trade_pairs); downstream wedge/degree shape unchanged.
+    pairs = _nation_trade_pairs(spark, sf_dir)
     ptot = pairs.agg(
         F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
     )
@@ -4928,6 +4918,60 @@ def u9_cn_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cn") * 1.0 / (F.col("dx") + F.col("dy") - F.col("cn")), 6
             ).alias("cn_jaccard"),
         )
+    )
+
+
+def _nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical nation trade-graph edge derivation, LEAN form (round-12,
+    VERDICT r11 #3): undirected cross-nation pair volumes
+    ``(ea < eb, vol)`` where vol counts the raw supplier→customer trade
+    rows, exactly the 4-way-join pair census every u9_* oracle states.
+
+    Plan shape: both dimensions are BROADCAST onto their fact side
+    first — supplier onto lineitem, customer onto orders — and the
+    orderkey join RIDES THE LOAD-TIME BUCKETED LAYOUT
+    (operators/bucketing.ensure_bucketed_pair, the same warehouse
+    tables q3/d2/q21/j18 deploy on): broadcast joins preserve the
+    streamed side's bucket distribution, so the one data-proportional
+    join is exchange-free and sort-free, and all that follows is a
+    map-side-combined pair census (≤ nations² rows). The old per-entry
+    inline shape joined lineitem⋈orders first and then joined customer
+    on custkey, re-shuffling the full joined fact a second time.
+    Measured at the 32× probe: 2.72 s → 1.54 s (plain-table
+    broadcast-dims form) → ~1.0 s bucketed (a pre-collapse
+    groupBy(l_orderkey, s_nationkey) variant was also tried and
+    measured WORSE, 3.36 s — per-order supplier duplication is too low
+    for the extra exchange to pay)."""
+    from ..operators.bucketing import ensure_bucketed_pair
+
+    t = _t(spark, sf_dir, "customer", "supplier")
+    li_t, ord_t = ensure_bucketed_pair(spark, sf_dir)
+    li = (
+        spark.table(li_t)
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select("l_orderkey", "s_nationkey")
+    )
+    orders = (
+        spark.table(ord_t)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("o_orderkey", "c_nationkey")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("ea"),
+            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
+        )
+        .agg(F.count(F.lit(1)).alias("vol"))
     )
 
 
@@ -4996,15 +5040,13 @@ def _lpa_sql(rounds: int) -> str:
 def u9_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clusters import label_propagation
 
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    edges = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
-        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    # Lean shared derivation (one fact shuffle) + bounded-domain rounds
+    # (nation graph ≤ 25 vertices → exchange-free single-task rounds):
+    # round-12 re-leg of the 7.67×-at-32× entry (VERDICT r11 #3).
+    edges = _nation_trade_pairs(spark, sf_dir).select(
+        F.col("ea").alias("src"), F.col("eb").alias("dst")
     )
-    return label_propagation(edges, max_iter=4).select(
+    return label_propagation(edges, max_iter=4, bounded_domain=True).select(
         F.col("id").cast("long").alias("id"),
         F.col("label").cast("long").alias("label"),
     )
@@ -5124,21 +5166,10 @@ def _kcore_sql(k: int, rounds: int) -> str:
 )
 def u9_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clusters import kcore_peel
-    from .cache_registry import track
 
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.least("s_nationkey", "c_nationkey").alias("ea"),
-            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
-        )
-        .agg(F.count(F.lit(1)).alias("vol"))
-    )
+    # Lean shared derivation + bounded-domain peeling rounds (round-12
+    # re-leg, VERDICT r11 #3 — same move as u9_label_prop).
+    pairs = _nation_trade_pairs(spark, sf_dir)
     ptot = pairs.agg(
         F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
     )
@@ -5147,7 +5178,7 @@ def u9_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
         .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
     )
-    return kcore_peel(e0, k=8, rounds=3).select(
+    return kcore_peel(e0, k=8, rounds=3, bounded_domain=True).select(
         F.col("id").cast("long").alias("id"),
         F.col("deg").cast("long").alias("deg"),
     )

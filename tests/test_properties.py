@@ -1069,6 +1069,34 @@ def test_label_propagation_layout_independent(spark):
     assert ra == rb
 
 
+def test_bounded_domain_rounds_match_distributed(spark):
+    """bounded_domain=True must be a pure EXECUTION-layout switch: label
+    propagation and k-core return value-identical results with and
+    without it (round-12 — the flag collapses rounds to exchange-free
+    single-task stages; it must never change semantics)."""
+    from praw_etl_student_dropout_spark.operators.clusters import (
+        kcore_peel,
+        label_propagation,
+    )
+
+    edge_list = (
+        [(a, b) for a in range(5) for b in range(5) if a < b]
+        + [(4, 10), (10, 11), (11, 12), (12, 10), (12, 13)]
+    )
+    edges = spark.createDataFrame(edge_list, ["src", "dst"]).repartition(7)
+    lp_d = sorted(map(tuple, label_propagation(edges, max_iter=4).collect()))
+    lp_b = sorted(map(tuple, label_propagation(
+        edges, max_iter=4, bounded_domain=True).collect()))
+    assert lp_d == lp_b
+    kc_d = sorted(map(tuple, kcore_peel(edges, k=2, rounds=3).collect()))
+    kc_b = sorted(map(tuple, kcore_peel(
+        edges, k=2, rounds=3, bounded_domain=True).collect()))
+    assert kc_d == kc_b
+    # and the bounded final frame really is one partition
+    assert label_propagation(
+        edges, max_iter=2, bounded_domain=True).rdd.getNumPartitions() == 1
+
+
 def test_sample_weighted_k_per_group_law(spark):
     from praw_etl_student_dropout_spark.operators.sampling import (
         sample_weighted_k,
