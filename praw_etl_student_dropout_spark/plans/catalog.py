@@ -9436,6 +9436,65 @@ def t13_grouped_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t14_topk_dense_ties",
+    "T ⊕ (top-k with ties: dense_rank cap)",
+    """
+    WITH ranked AS (
+      SELECT p_brand, p_size, p_retailprice,
+             dense_rank() OVER (PARTITION BY p_brand
+                                ORDER BY p_size DESC) AS rk
+      FROM part
+    )
+    SELECT p_brand, CAST(p_size AS INTEGER) AS p_size,
+           CAST(rk AS INTEGER) AS rk,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_c2
+    FROM ranked WHERE rk <= 3
+    GROUP BY p_brand, p_size, rk
+    """,
+    doc="Top-k WITH TIES (round-11 VERDICT #7, the thin T-family): every "
+    "part whose size is among its brand's 3 LARGEST DISTINCT sizes — "
+    "dense_rank <= k, the 'WITH TIES' semantics row_number-based top-k "
+    "(t3/t13/w1) cannot express: tied rows all survive, and a value "
+    "level shared by many rows still consumes ONE rank. Integer p_size "
+    "guarantees real ties in the fixture (~5 parts per (brand, size) at "
+    "sf0.01). Money is cents-exact BIGINT (the j18 discipline: "
+    "p_retailprice has 2 decimals, round(x*100) is integer-exact). "
+    "Scale shape: one window over the brand exchange — Spark's "
+    "WindowGroupLimit rewrite prunes rank > k map-side for dense_rank "
+    "exactly as for t13's row_number (per-partition rank cap before "
+    "the exchange), then a map-side-combined rollup of the survivors; "
+    "the shuffle never carries more than the per-partition top-k "
+    "levels' rows.",
+)
+def t14_topk_dense_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")["part"]
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return (
+        part.select("p_brand", "p_size", "p_retailprice")
+        .withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("p_brand", "p_size", "rk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_c2"),
+        )
+        .select(
+            "p_brand",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("rk").cast("int").alias("rk"),
+            "n_parts",
+            "price_c2",
+        )
+    )
+
+
+@register(
     "w21_interval_coverage",
     "W ⊕ (interval-union coverage: gaps and islands)",
     """

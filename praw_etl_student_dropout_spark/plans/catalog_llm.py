@@ -5102,6 +5102,49 @@ def sample_weighted_kpg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_reservoir_merge",
+    "D5-sampling ⊕ (deterministic distributed reservoir: global k via partial top-k merge)",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+           round({_md5_coin_sql(23)}, 6) AS coin
+    FROM documents
+    ORDER BY {_md5_coin_sql(23)}, doc_id
+    LIMIT 100
+    """,
+    doc="Global k-sample as a DISTRIBUTED RESERVOIR, deterministically "
+    "(round-11 VERDICT #7): the 100 docs with the smallest "
+    "content-keyed md5 coins, ORDER BY (coin, doc_id) LIMIT k. "
+    "Classic reservoir sampling (Vitter '85) is sequential and "
+    "layout-dependent; keying the reservoir priority on a hash coin "
+    "(the Efraimidis–Spirakis unweighted special case) makes the "
+    "sample a pure function of CONTENT, so any partitioning, any "
+    "engine, and any merge order draw the IDENTICAL sample — which is "
+    "exactly what lets this entry value-grade. Scale shape: Spark "
+    "plans the ORDER BY k as TakeOrderedAndProject — each partition "
+    "keeps its local k candidates and the driver merges k-sized "
+    "buffers (the distributed-reservoir merge), so no global sort and "
+    "no full shuffle ever happens; doc_id breaks the ~n²/2²¹ expected "
+    "coin collisions at the boundary into a total order.",
+)
+def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_coin
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    coin = hash_coin(F.col("doc_id"), seed=23, method="md5")
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            "lang",
+            coin.alias("_coin"),
+        )
+        .orderBy("_coin", "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "lang", F.round("_coin", 6).alias("coin"))
+    )
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled truncated k-core oracle — one (degree, survivor,
     edge-filter) CTE triple per peeling round, every CTE MATERIALIZED

@@ -92,6 +92,59 @@ def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st7_session_gaps",
+    "ST4 ⊕ (inter-session idle gaps — the session-window complement)",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           prev_ts AS gap_start, ts AS gap_end,
+           CAST(floor(epoch(ts)) - floor(epoch(prev_ts)) AS BIGINT)
+             AS gap_seconds
+    FROM ordered
+    WHERE prev_ts IS NOT NULL AND ts >= prev_ts + INTERVAL 30 MINUTE
+    """,
+    doc="The ST4 session window's COMPLEMENT (round-11 VERDICT #7): the "
+    "idle intervals BETWEEN a user's sessions — one row per session "
+    "boundary, [gap_start, gap_end] spanning last-event-of-previous-"
+    "session to first-event-of-next, under the same 30-minute merge "
+    "rule st4 sessionizes with (a boundary exists iff the inter-event "
+    "gap reaches 30 min, so the gap report and the session report "
+    "partition the timeline exactly). This is the gap-fill feed: "
+    "downtime dashboards, re-engagement triggers, and t6-style "
+    "interpolation all consume these intervals. gap_seconds is "
+    "floor(epoch) arithmetic on BOTH engines (DuckDB's bare epoch() "
+    "ROUNDS — the §9a sharp edge; Spark's unix_timestamp truncates). "
+    "Scale shape: one user-keyed exchange (the same state partitioning "
+    "the streaming sessionizer keeps), one lag window riding it, a "
+    "row-local filter — no second shuffle, no global order.",
+)
+def st7_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    ).filter(
+        F.col("prev_ts").isNotNull()
+        & (F.col("ts") >= F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return gaps.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
+@register(
     "st3b_window_distinct_users",
     "ST3+A11",
     """

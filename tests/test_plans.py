@@ -518,7 +518,12 @@ def test_grouped_topk_prunes_map_side(spark, sf_dir, registry):
     planted as a Partial WindowGroupLimit BELOW the exchange, so the
     shuffle carries at most k rows per (group, map partition) instead of
     the full relations."""
-    for name in ("t13_grouped_topk_merge", "sample_weighted_kpg"):
+    # t14: the same rewrite fires for dense_rank (WITH-TIES semantics)
+    for name in (
+        "t13_grouped_topk_merge",
+        "sample_weighted_kpg",
+        "t14_topk_dense_ties",
+    ):
         plan = (
             registry[name]
             .builder(spark, sf_dir)
