@@ -147,69 +147,83 @@ def catalog_all():
 #:       All 50 incoming verified this round: check_oracle at sf0.001 +
 #:       sf0.01, the TZ=Asia/Tokyo leg, and the foreign-cwd driver
 #:       harness, before shipping.
+#:   r12 (rotation #9 — CLOSE THE POOL, VERDICT r11 #1): all 50 slots
+#:       to never-driver-graded entries, drawn so the never-graded
+#:       remainder shrinks to 5 deliberately-least-risky leftovers
+#:       (a10b_grouping_sets — judge re-verified foreign-cwd in r11 —
+#:       plus the four simplest A-family shapes a19_bitwise_agg,
+#:       a22_listagg, a37_winsorize, a43_grouped_mad) and the 2
+#:       declared-terminal rows-only entries. Led by the 9 r11-new ops
+#:       (u9_label_prop/u9_kcore re-legged this round: bucketed edge
+#:       derivation + bounded-domain rounds), the u6 text-stats block,
+#:       the ANN contract entries (u7_knn_ivf/u7_kmeans_ivf/
+#:       u7_ivf_int8_topk/u7_pq_adc_topk), the llm_* curation set, and
+#:       multimodal_frame_sample (VERDICT r11 #5 — the multimodal
+#:       family's last ungraded member). Slot 1 is the r12-new
+#:       q21_preagg_colocation (VERDICT r11 #2: the mv_preagg rung as a
+#:       graded materialized-view contract). The r12-new widening ops
+#:       (t14_topk_dense_ties, st7_session_gaps, sample_reservoir_merge)
+#:       wait for rotation #10, per the standing verified-on-landing
+#:       pattern. All 50 verified this round at sf0.001 + sf0.01 +
+#:       TZ=Asia/Tokyo + foreign-cwd before shipping.
 GRADED_PREFIX = [
-    # r10-new ops (VERDICT r10 #1 lead block)
-    "a64_theil_sen",
-    "a65_anova_f",
-    "a66_cuped",
-    "w20_rsi",
-    "u6_hapax_ttr",
-    "u9_cn_jaccard",
-    "j17_nearest_event_join",
-    "j18_bucketed_colocation",
-    # the 9-entry never-graded A-family stats block
-    "a45_hhi_concentration",
-    "a48_autocorrelation",
-    "a49_mann_whitney",
-    "a50_survival_km",
-    "a51_bootstrap_ci",
-    "a53_conversion_ztest",
-    "a54_funnel_gated",
-    "a55_seasonal_decompose",
-    "a57_backtest_mape",
-    # r11-new ST2 batch twin (VERDICT r10 #5)
-    "st2b_watermark_late_drop",
-    # aggregates / robust stats / sketches
-    "a26_mad_robust",
-    "a28_chi_square",
-    "a31_contribution_shares",
-    "a39_equidepth_histogram",
-    "a41_spearman_corr",
-    "a36_kmv_quantiles",
-    "a17_cms_heavy_hitters",
-    # window family
-    "w2b_value_window",
-    "w3b_range_frame",
-    "w9_zscore_normalize",
-    "w15_ewma_smooth",
-    # scalar-function families
-    "f4b_date_arith",
-    "f10b_hof_filter",
-    "f12_collation_ci_filter",
-    # dedup / record linkage / set ops
-    "d3b_fuzzy_name_pairs",
-    "d3c_record_linkage",
-    "d4c_bag_setops",
-    "d3_line_dedup",
-    "d3_source_priority_dedup",
-    # transforms / top-k
-    "t12_diversified_topk",
-    # text analysis
-    "u6_fingerprint",
-    "u6_redact_pii",
-    "u12_corpus_health",
-    # similarity
-    "u7_mmr_rerank",
-    "u7_radius_search",
-    # graph
-    "u9_triangle_count",
-    # LLM pipeline
-    "llm_dataset_card",
-    "llm_preference_pairs",
-    "llm_chunk_embed_dedup",
+    # r12-new: the q21 materialized-view contract (VERDICT r11 #2)
+    "q21_preagg_colocation",
+    # the 9 r11-new ops (VERDICT r11 #1 lead block)
+    "u9_label_prop",
+    "u9_kcore",
+    "u9_edge_support",
+    "t13_grouped_topk_merge",
+    "sample_weighted_kpg",
+    "w21_interval_coverage",
+    "d3_chunk_dedup_report",
+    "a67_cohens_kappa",
+    "a68_mutual_information",
+    # the u6 text-stats block
+    "u6_token_count_bpe",
+    "u6_vocab_coverage",
+    "u6_vocab_oov",
+    "u6_token_entropy",
+    "u6_chunk_documents",
+    "u6_intra_doc_repetition",
+    "u6_pseudonymize",
+    "u6_bpe_pairs",
+    "u6_repeated_ngrams",
+    "u6_kwic_snippets",
+    "u6_shingle_novelty",
+    # the ANN contract entries
+    "u7_knn_ivf",
+    "u7_kmeans_ivf",
+    "u7_ivf_int8_topk",
+    "u7_pq_adc_topk",
+    "u7_text_search_hashed",
+    # the llm_* curation set
+    "llm_dsir_select",
+    "llm_mixture_plan",
+    "llm_curriculum_order",
+    "llm_shuffle_pack",
+    "llm_hard_negatives",
+    "llm_l_diversity",
+    "llm_corpus_drift",
+    "llm_quantile_normalize",
+    # dedup / near-dup / span family
+    "d3_embedding_dup_exact",
+    "d3_jaccard_prefix",
+    "d3_cross_source_dup_report",
+    "d3_shared_span_regions",
+    "d3_shared_span_incremental",
+    "d3_containment_capped",
+    # multimodal (VERDICT r11 #5)
+    "multimodal_frame_sample",
     # sampling
-    "sample_k_per_group",
-    # ETL maintenance / profiling
-    "etl_contract_report",
-    "profile_table",
+    "sample_stratified_mix_hash",
+    "sample_weighted_es",
+    # aggregates / stats / transforms / ETL
+    "a29_conversion_latency",
+    "a33_aqp_sample_estimate",
+    "a34_skew_report",
+    "a35_mv_rollup_rewrite",
+    "a47_benford_deviation",
+    "t6_incremental_topk",
+    "etl_table_integrity_diff",
 ]
