@@ -360,3 +360,66 @@ def kcore_peel(
             .localCheckpoint(eager=True)
         )
     return _ends(e).groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    bounded_domain: bool = False,
+) -> DataFrame:
+    """Truncated unweighted BFS from the SMALLEST vertex id: ``rounds``
+    synchronous frontier expansions over the canonicalized undirected
+    graph, returning ``(id, lvl)`` for every vertex reached within the
+    budget (lvl 0 = the source). The seventh join-based graph operator
+    (CC, PageRank, triangles, LPA, k-core, edge support precede it).
+
+    The FIXED round budget is the family's value-gradability contract
+    (a fixpoint BFS has a data-dependent round count): after r rounds
+    the level assignment is a pure function of the graph, so an
+    unrolled MATERIALIZED-CTE SQL twin matches VALUES. Each round is
+    one equi-join of the symmetrized edge list against the previous
+    frontier plus one anti-join against the settled set — the same
+    join+groupBy round discipline as :func:`label_propagation`, lineage
+    cut per round, no driver adjacency. The source is MIN(vertex id),
+    chosen as a 1-row aggregate broadcast into the seed frame — never a
+    driver collect. ``bounded_domain``: same contract as
+    :func:`label_propagation` (exchange-free single-task rounds).
+    """
+    a, b = F.col(src), F.col(dst)
+    e = edges.select(
+        F.least(a, b).alias("ea"), F.greatest(a, b).alias("eb")
+    ).where(F.col("ea") != F.col("eb")).distinct()
+    if bounded_domain:
+        e = e.coalesce(1)
+    e = e.localCheckpoint(eager=True)
+    sym = e.unionByName(
+        e.select(F.col("eb").alias("ea"), F.col("ea").alias("eb"))
+    )
+    if bounded_domain:
+        sym = sym.coalesce(1)
+    # seed: the smallest vertex id (ea < eb per row, so min(ea) is the
+    # global minimum), as a 1-row frame — no driver-side scalar
+    dist = (
+        e.agg(F.min("ea").alias("id"))
+        .withColumn("lvl", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, rounds + 1):
+        frontier = dist.filter(F.col("lvl") == r - 1).select(
+            F.col("id").alias("fid")
+        )
+        cand = (
+            sym.join(frontier, sym["ea"] == frontier["fid"])
+            .select(F.col("eb").alias("id"))
+            .distinct()
+        )
+        new = cand.join(dist, "id", "left_anti").withColumn(
+            "lvl", F.lit(r).cast("int")
+        )
+        nxt = dist.unionByName(new)
+        if bounded_domain:
+            nxt = nxt.coalesce(1)
+        dist = nxt.localCheckpoint(eager=True)
+    return dist

@@ -9495,6 +9495,71 @@ def t14_topk_dense_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t15_decile_profile",
+    "T+A12 ⊕ (rank-based decile profile: the distributed ntile)",
+    """
+    WITH r AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(floor(CAST((rn - 1) * 10 AS DOUBLE) / n) AS INTEGER)
+             AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(cents) AS BIGINT) AS lo_c2,
+           CAST(max(cents) AS BIGINT) AS hi_c2,
+           CAST(sum(cents) AS BIGINT) AS sum_c2
+    FROM r GROUP BY 1
+    """,
+    doc="Equal-COUNT decile profile by RANK arithmetic — ntile(10) "
+    "semantics without ntile's plan (a global window = ONE task "
+    "scanning the whole relation, the §9a t8-class trap): "
+    "packing.global_rank range-partitions the (cents, orderkey) total "
+    "order across every core (per-partition running counts + a "
+    "≤#partitions-row offset prefix sum — the distributed ntile), "
+    "decile = floor((rank-1)·10/n), then a map-side-combined rollup. "
+    "Complements a39's equi-depth histogram, which buckets by QUANTILE "
+    "VALUE boundaries: rank-based deciles split ties across buckets to "
+    "hold counts exactly equal — the form batch schedulers and "
+    "stratified splitters want. Money is cents-exact BIGINT; the one "
+    "float step is floor((rn-1)·10/n) where the integer operands are "
+    "exact in double and an exactly-representable quotient is returned "
+    "exactly by IEEE division on both engines; n arrives as a 1-row "
+    "broadcast (the q17 scalar pattern), never a global window on the "
+    "data frame.",
+)
+def t15_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import global_rank
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = global_rank(cents, ["cents", "o_orderkey"], rank_name="_rn")
+    n1 = cents.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .withColumn(
+            "decile",
+            F.floor(
+                ((F.col("_rn") - 1) * 10).cast("double") / F.col("_n")
+            ).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("cents").cast("long").alias("lo_c2"),
+            F.max("cents").cast("long").alias("hi_c2"),
+            F.sum("cents").cast("long").alias("sum_c2"),
+        )
+    )
+
+
+@register(
     "w21_interval_coverage",
     "W ⊕ (interval-union coverage: gaps and islands)",
     """

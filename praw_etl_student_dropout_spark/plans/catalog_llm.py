@@ -5145,6 +5145,84 @@ def sample_reservoir_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bfs_sql(rounds: int) -> str:
+    """Unrolled truncated-BFS oracle over the sparsified trade graph —
+    one settled-set CTE per round, every multiply-referenced CTE
+    MATERIALIZED (the _lpa_sql lesson)."""
+    sql = """
+    WITH pairs AS MATERIALIZED (
+      SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
+             greatest(s.s_nationkey, c.c_nationkey) AS eb,
+             count(*) AS vol
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
+    e0 AS MATERIALIZED (
+      SELECT ea, eb FROM pairs, tot WHERE vol * n_pairs > total
+    ),
+    sym AS MATERIALIZED (
+      SELECT ea, eb FROM e0 UNION ALL SELECT eb AS ea, ea AS eb FROM e0
+    ),
+    d0 AS MATERIALIZED (SELECT min(ea) AS id, 0 AS lvl FROM e0)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    d{r} AS MATERIALIZED (
+      SELECT id, lvl FROM d{r - 1}
+      UNION ALL
+      SELECT DISTINCT s.eb AS id, {r} AS lvl
+      FROM sym s JOIN d{r - 1} p ON s.ea = p.id AND p.lvl = {r - 1}
+      WHERE s.eb NOT IN (SELECT id FROM d{r - 1})
+    )"""
+    sql += f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(lvl AS INTEGER) AS lvl
+    FROM d{rounds}
+    """
+    return sql
+
+
+@register(
+    "u9_bfs_levels",
+    "U ⊕ (graph analytics: truncated BFS levels / unweighted SSSP)",
+    _bfs_sql(rounds=4),
+    doc="Truncated breadth-first levels from the smallest vertex of the "
+    "sparsified nation trade graph (the u9_kcore/u9_cn_jaccard "
+    "above-average-volume edge derivation): 4 synchronous frontier "
+    "expansions via operators/clusters.bfs_levels — the SEVENTH "
+    "join-based graph operator, covering the reachability/shortest-"
+    "path gap beside CC, PageRank, triangles, LPA, k-core and edge "
+    "support. The fixed round budget is the family's value-gradability "
+    "contract (a fixpoint BFS is the data-dependent-rounds class); the "
+    "oracle unrolls the same rounds as MATERIALIZED CTEs. The source "
+    "vertex is MIN(id) as a 1-row aggregate joined into the seed — "
+    "deterministic and driver-collect-free. Scale shape: per round one "
+    "frontier equi-join + one settled-set anti-join, lineage cut per "
+    "round; the graded entry runs the bounded-domain path (nation "
+    "domain ≤ 25 → exchange-free single-task rounds) off the shared "
+    "lean bucketed edge derivation (_nation_trade_pairs).",
+)
+def u9_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import bfs_levels
+
+    pairs = _nation_trade_pairs(spark, sf_dir)
+    ptot = pairs.agg(
+        F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    e0 = (
+        pairs.crossJoin(F.broadcast(ptot))
+        .filter(F.col("vol") * F.col("n_pairs") > F.col("total"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    return bfs_levels(e0, rounds=4, bounded_domain=True).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("lvl").cast("int").alias("lvl"),
+    )
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled truncated k-core oracle — one (degree, survivor,
     edge-filter) CTE triple per peeling round, every CTE MATERIALIZED

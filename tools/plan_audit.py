@@ -53,6 +53,7 @@ EXPECTED_NESTED_LOOP = {
     "u10_tfidf_topterms",   # 1-row corpus-size N broadcast cross join
     "llm_mixture_plan",     # 1-row source-count scalar broadcast cross join
     "u11_unigram_logprob",  # 1-row corpus-token-total scalar broadcast cross join
+    "t15_decile_profile",   # 1-row total-count scalar broadcast cross join (r12)
     "u11_trigram_backoff",  # 1-row train-token-total scalar broadcast cross join
     "llm_dsir_select",  # same 1-row LM-totals scalar broadcast cross join
     "llm_corpus_drift",  # 1-row per-group totals + 1-row JSD broadcast cross joins
@@ -120,6 +121,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "llm_shuffle_pack",      # pack_sequences offsets frame (≤ #partitions rows)
     "a64_theil_sen",         # global_rank offsets frame (≤ #partitions rows)
                              # + the 5-row region-offset prefix window
+    "t15_decile_profile",    # global_rank offsets frame (≤ #partitions rows, r12)
     "llm_chunk_embed_dedup", # same pack_sequences machinery
     "j2_surrogate_key_swap", # dense_rank over DISTINCT dim keys (tiny by definition)
     "etl_star_schema",       # same surrogate-key windows (operators/etl.py:29,49)
