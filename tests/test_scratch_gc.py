@@ -100,3 +100,36 @@ def test_gc_validates_removes_and_rebuild_path(spark, sf_dir, tmp_path, monkeypa
 def test_gc_refuses_nothing_on_missing_root(tmp_path):
     report = gc_scratch(root=tmp_path / "nope")
     assert report == {"valid": [], "removed": {}, "dry_run": False}
+
+
+def test_q21_preagg_survives_gc_cycle(spark, sf_dir, tmp_path, monkeypatch):
+    """The graded q21_preagg_colocation layout obeys the same contract:
+    a partial write is swept by gc and ensure_q21_preagg rebuilds a
+    value-identical pre-agg in a fresh-catalog session."""
+    from pathlib import Path
+
+    from praw_etl_student_dropout_spark.operators.bucketing import (
+        ensure_q21_preagg,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    tag = Path(sf_dir).name.replace(".", "_").replace("-", "_")
+    table = f"bkt_q21preagg_{tag}_b8"
+    _drop_tables(spark, table)
+
+    assert ensure_q21_preagg(spark, sf_dir) == table
+    ref = sorted(map(tuple, spark.table(table).collect()))
+    layout = tmp_path / "bucketed" / f"{Path(sf_dir).name}_b8" / "q21_preagg"
+    assert (layout / "_SUCCESS").exists()
+
+    # partial write → swept
+    (layout / "_SUCCESS").unlink()
+    report = gc_scratch(root=tmp_path)
+    assert any("q21_preagg" in k for k in report["removed"])
+    assert not layout.exists()
+
+    # fresh catalog → rebuild → same values
+    _drop_tables(spark, table)
+    ensure_q21_preagg(spark, sf_dir)
+    assert sorted(map(tuple, spark.table(table).collect())) == ref
+    _drop_tables(spark, table)
