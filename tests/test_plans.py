@@ -536,3 +536,57 @@ def test_grouped_topk_prunes_map_side(spark, sf_dir, registry):
         ex = plan.index("Exchange hashpartitioning")
         last_partial = plan.rindex("Partial")
         assert last_partial > ex, (name, plan)
+
+
+def test_t14_keeps_whole_tied_levels(spark, sf_dir, registry):
+    """t14's WITH-TIES contract: for every (brand, rk<=3) the survivor
+    rows are ALL parts at that size level — dense_rank never splits a
+    tied level, and level counts match an independent recount."""
+    from pyspark.sql import functions as F
+
+    got = registry["t14_topk_dense_ties"].builder(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    truth = (
+        part.groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_all"))
+        .collect()
+    )
+    full = {(r.p_brand, r.p_size): r.n_all for r in truth}
+    rows = got.collect()
+    assert rows and all(r.n_parts == full[(r.p_brand, r.p_size)] for r in rows)
+    # per brand: exactly the 3 largest distinct sizes, ranks 1..3
+    from collections import defaultdict
+
+    by_brand = defaultdict(list)
+    for r in rows:
+        by_brand[r.p_brand].append((r.rk, r.p_size))
+    sizes_by_brand = defaultdict(set)
+    for (b, sz) in full:
+        sizes_by_brand[b].add(sz)
+    for b, pairs in by_brand.items():
+        top3 = sorted(sizes_by_brand[b], reverse=True)[:3]
+        assert sorted(pairs) == [(i + 1, sz) for i, sz in enumerate(top3)]
+
+
+def test_reservoir_merge_prefix_stable(spark, sf_dir, registry):
+    """Deterministic-reservoir law: the k=100 sample drawn by the entry
+    is the 100 smallest coins, so any smaller k is a PREFIX of it —
+    and the draw is layout-independent by construction (content-keyed
+    coins). Verified against an independent full sort."""
+    from pyspark.sql import functions as F
+
+    from praw_etl_student_dropout_spark.operators.sampling import hash_coin
+
+    got = registry["sample_reservoir_merge"].builder(spark, sf_dir).collect()
+    assert len(got) == 100
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    coin = hash_coin(F.col("doc_id"), seed=23, method="md5")
+    full = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), coin.alias("c"))
+        .orderBy("c", "doc_id")
+        .limit(100)
+        .collect()
+    )
+    assert [r.doc_id for r in sorted(got, key=lambda r: (r.coin, r.doc_id))] == [
+        r.doc_id for r in full
+    ]

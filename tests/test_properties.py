@@ -1097,6 +1097,28 @@ def test_bounded_domain_rounds_match_distributed(spark):
         edges, max_iter=2, bounded_domain=True).rdd.getNumPartitions() == 1
 
 
+def test_bfs_levels_path_graph(spark):
+    """bfs_levels on a known path + disconnected pair: exact levels from
+    the MIN-id source, truncation drops beyond-budget vertices, and the
+    disconnected component never appears."""
+    from praw_etl_student_dropout_spark.operators.clusters import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["src", "dst"]
+    )
+    got = {r.id: r.lvl for r in bfs_levels(edges, rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # bounded path agrees
+    got_b = {
+        r.id: r.lvl
+        for r in bfs_levels(edges, rounds=3, bounded_domain=True).collect()
+    }
+    assert got_b == got
+    # a wider budget reaches the whole source component, never 10/11
+    got5 = {r.id: r.lvl for r in bfs_levels(edges, rounds=5).collect()}
+    assert got5 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
 def test_sample_weighted_k_per_group_law(spark):
     from praw_etl_student_dropout_spark.operators.sampling import (
         sample_weighted_k,
