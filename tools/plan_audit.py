@@ -270,6 +270,14 @@ def main() -> int:
             continue
         a = audit(plan)
         flags = []
+        # Iterative entries (LPA/k-core/BFS/CC) materialize per round, so
+        # by audit time the final frame is a checkpointed-RDD scan and the
+        # zeros above describe the POST-materialization plan, not the
+        # rounds — mark them so a zero row is never read as "no joins ran"
+        # (round-12 honesty note; the round plans are audited where they
+        # are built: SCALE probes + executed-plan checks in the re-legs).
+        if "Scan ExistingRDD" in plan:
+            flags.append("(ckpt-final-frame)")
         if a["python"] and name not in EXPECTED_PYTHON:
             flags.append("UNEXPECTED-PYTHON")
         if a["bnlj"] and name not in EXPECTED_NESTED_LOOP:
@@ -282,7 +290,9 @@ def main() -> int:
             f"{name:32s} {a['exchanges']:>4} {a['bhj']:>4} {a['smj']:>4} "
             f"{a['bnlj']:>4} {a['python']:>3} {a['gwin']:>4}  {' '.join(flags)}"
         )
-        problems += [f"{name}: {f}" for f in flags]
+        problems += [
+            f"{name}: {f}" for f in flags if not f.startswith("(")
+        ]
     print(f"\n{len(wanted) - len(set(p.split(':')[0] for p in problems))}/{len(wanted)} clean")
     if problems:
         print("PROBLEMS:", problems)
