@@ -295,11 +295,15 @@ def bench_interleaved(
     # plan change; outside it, investigate.
     noise_band = None
     if duck_total:
+        # All four band inputs are UNROUNDED per-query sums (ADVICE r12:
+        # mixing the rounded headline numerator with unrounded extremes
+        # made the endpoints inconsistently derived); only the final two
+        # band values are rounded.
+        spark_best = sum(min(spark_t[n]) for n in dqueries)
         spark_worst = sum(max(spark_t[n]) for n in dqueries)
+        duck_best = sum(min(v) for v in duck_t.values())
         duck_worst = sum(max(v) for v in duck_t.values())
-        lo = comparable_spark / duck_worst
-        hi = spark_worst / duck_total
-        noise_band = [round(lo, 3), round(hi, 3)]
+        noise_band = [round(spark_best / duck_worst, 3), round(spark_worst / duck_best, 3)]
     # Cross-round comparability guard (round-10 VERDICT #4): the r10
     # slot swap put d3_minhash_pairs_capped INTO the comparable set
     # while the slot it replaced (d3_minhash_pairs, then rows-only) was

@@ -129,14 +129,21 @@ def ensure_bucketed_pair(
     for src, (key, sort) in spec.items():
         table = f"bkt_{src}_{tag}"
         names[src] = table
-        if spark.catalog.tableExists(table):
-            continue
         path = (
             _scratch_root()
             / "bucketed"
             / f"{Path(sf_dir).name}_b{num_buckets}"
             / src
         )
+        if spark.catalog.tableExists(table):
+            # A registered table only short-circuits while its files are
+            # still on disk (ADVICE r12: a gc sweep between sessions'
+            # registrations would otherwise strand this session on a
+            # swept location until it drops the table). Missing marker →
+            # drop and rebuild below.
+            if (path / "_SUCCESS").exists():
+                continue
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
         if (path / "_SUCCESS").exists() and _bucket_files_match(path, num_buckets):
             ddl = spark.read.parquet(str(path)).schema.toDDL()
             spark.sql(
@@ -188,14 +195,18 @@ def ensure_q21_preagg(
 
     tag = f"{Path(sf_dir).name}_b{num_buckets}".replace(".", "_").replace("-", "_")
     table = f"bkt_q21preagg_{tag}"
-    if spark.catalog.tableExists(table):
-        return table
     path = (
         _scratch_root()
         / "bucketed"
         / f"{Path(sf_dir).name}_b{num_buckets}"
         / "q21_preagg"
     )
+    if spark.catalog.tableExists(table):
+        # Same gc-vs-warm-session guard as ensure_bucketed_pair (ADVICE
+        # r12): trust the registration only while the files exist.
+        if (path / "_SUCCESS").exists():
+            return table
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     if (path / "_SUCCESS").exists() and _bucket_files_match(path, num_buckets):
         ddl = spark.read.parquet(str(path)).schema.toDDL()
         spark.sql(

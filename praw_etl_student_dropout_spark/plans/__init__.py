@@ -161,8 +161,9 @@ def catalog_all():
 #:       multimodal_frame_sample (VERDICT r11 #5 — the multimodal
 #:       family's last ungraded member). Slot 1 is the r12-new
 #:       q21_preagg_colocation (VERDICT r11 #2: the mv_preagg rung as a
-#:       graded materialized-view contract). The r12-new widening ops
-#:       (t14_topk_dense_ties, st7_session_gaps, sample_reservoir_merge)
+#:       graded materialized-view contract). ALL FIVE r12-new widening
+#:       ops (t14_topk_dense_ties, st7_session_gaps,
+#:       sample_reservoir_merge, t15_decile_profile, u9_bfs_levels)
 #:       wait for rotation #10, per the standing verified-on-landing
 #:       pattern. All 50 verified this round at sf0.001 + sf0.01 +
 #:       TZ=Asia/Tokyo + foreign-cwd before shipping.

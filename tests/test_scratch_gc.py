@@ -99,7 +99,55 @@ def test_gc_validates_removes_and_rebuild_path(spark, sf_dir, tmp_path, monkeypa
 
 def test_gc_refuses_nothing_on_missing_root(tmp_path):
     report = gc_scratch(root=tmp_path / "nope")
-    assert report == {"valid": [], "removed": {}, "dry_run": False}
+    assert report == {"valid": [], "removed": {}, "unknown": [], "dry_run": False}
+
+
+def test_gc_reports_unknown_family_without_removing(tmp_path):
+    """An unrecognized top-level directory (a future layout family, or a
+    user-parked dir) is reported, never removed, unless --purge-unknown
+    (ADVICE r12)."""
+    stray = tmp_path / "future_family" / "something"
+    stray.mkdir(parents=True)
+    report = gc_scratch(root=tmp_path)
+    assert report["unknown"] == ["future_family"]
+    assert not report["removed"]
+    assert stray.exists()
+    # explicit purge removes it
+    report = gc_scratch(root=tmp_path, purge_unknown=True)
+    assert "future_family" in report["removed"]
+    assert not stray.parent.exists()
+
+
+def test_ensure_rebuilds_when_registered_location_swept(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A warm session whose catalog still registers a layout table must
+    NOT trust the registration after the files are swept (ADVICE r12):
+    ensure_* re-verifies the on-disk _SUCCESS marker and rebuilds."""
+    import shutil as _shutil
+    from pathlib import Path
+
+    from praw_etl_student_dropout_spark.operators.bucketing import (
+        ensure_q21_preagg,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    tag = Path(sf_dir).name.replace(".", "_").replace("-", "_")
+    table = f"bkt_q21preagg_{tag}_b8"
+    _drop_tables(spark, table)
+
+    assert ensure_q21_preagg(spark, sf_dir) == table
+    ref = sorted(map(tuple, spark.table(table).collect()))
+    layout = tmp_path / "bucketed" / f"{Path(sf_dir).name}_b8" / "q21_preagg"
+
+    # sweep the files but keep the catalog registration (the gc-while-
+    # warm-session hazard): ensure must rebuild, not short-circuit
+    _shutil.rmtree(layout)
+    assert spark.catalog.tableExists(table)
+    assert ensure_q21_preagg(spark, sf_dir) == table
+    assert (layout / "_SUCCESS").exists()
+    assert sorted(map(tuple, spark.table(table).collect())) == ref
+    _drop_tables(spark, table)
 
 
 def test_q21_preagg_survives_gc_cycle(spark, sf_dir, tmp_path, monkeypatch):

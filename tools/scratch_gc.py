@@ -16,11 +16,24 @@ OLD spec (pre-round-10 paths without the ``_b<N>`` suffix) is dead weight
 no current code will ever read.
 
 This tool makes the contract operational: VALIDATE every known layout,
-REMOVE anything invalid or unrecognized (the ensure_* functions rebuild
-on next use — removal is always safe), and report what it did as one
-JSON line. Run with ``--dry-run`` to only report.
+REMOVE anything invalid in the known ``part/`` and ``bucketed/``
+families (the ensure_* functions rebuild on next use — removal there is
+always safe), and report what it did as one JSON line. Directories
+outside the known families are REPORTED, never removed, unless
+``--purge-unknown`` is passed (ADVICE r12: a future layout family added
+without updating this tool — or anything a user parks under the scratch
+root — must not be silently rm -rf'd; only the known families' validity
+can actually be checked). Run with ``--dry-run`` to only report.
 
-Usage: python tools/scratch_gc.py [--dry-run] [--root PATH]
+Run gc only with NO live Spark session attached to this repo: a warm
+session that already registered a layout table short-circuits in
+ensure_* on ``spark.catalog.tableExists`` and would keep reading the
+swept path. The ensure_* functions additionally re-verify the on-disk
+``_SUCCESS`` marker before trusting a registered table (round-13), so a
+stranded session rebuilds instead of failing — but the sweep itself
+still races a concurrent writer, so keep the no-live-session rule.
+
+Usage: python tools/scratch_gc.py [--dry-run] [--purge-unknown] [--root PATH]
 """
 
 from __future__ import annotations
@@ -51,10 +64,17 @@ def _valid_bucketed(layout: Path, num_buckets: int) -> bool:
     )
 
 
-def gc_scratch(root: Path | None = None, dry_run: bool = False) -> dict:
+def gc_scratch(
+    root: Path | None = None,
+    dry_run: bool = False,
+    purge_unknown: bool = False,
+) -> dict:
     """Validate every layout under ``root`` (default: the engine scratch
-    root); remove invalid/legacy/unrecognized entries. Returns
-    ``{"valid": [...], "removed": {path: reason}, "dry_run": bool}`` with
+    root); remove invalid/legacy entries in the known families. Unknown
+    top-level directories are only reported (``unknown`` key) unless
+    ``purge_unknown`` — their validity cannot be checked, so removal must
+    be an explicit operator decision. Returns ``{"valid": [...],
+    "removed": {path: reason}, "unknown": [...], "dry_run": bool}`` with
     paths relative to the root."""
     if root is None:
         from praw_etl_student_dropout_spark.sources.partitioned import (
@@ -65,6 +85,7 @@ def gc_scratch(root: Path | None = None, dry_run: bool = False) -> dict:
     root = Path(root)
     valid: list[str] = []
     removed: dict[str, str] = {}
+    unknown: list[str] = []
 
     def drop(path: Path, reason: str) -> None:
         removed[str(path.relative_to(root))] = reason
@@ -72,7 +93,12 @@ def gc_scratch(root: Path | None = None, dry_run: bool = False) -> dict:
             shutil.rmtree(path, ignore_errors=True)
 
     if not root.is_dir():
-        return {"valid": valid, "removed": removed, "dry_run": dry_run}
+        return {
+            "valid": valid,
+            "removed": removed,
+            "unknown": unknown,
+            "dry_run": dry_run,
+        }
 
     for family in sorted(p for p in root.iterdir() if p.is_dir()):
         if family.name == "part":
@@ -101,16 +127,25 @@ def gc_scratch(root: Path | None = None, dry_run: bool = False) -> dict:
                             "(partial write or spec drift)",
                         )
         else:
-            drop(family, "unrecognized scratch family")
-    return {"valid": valid, "removed": removed, "dry_run": dry_run}
+            if purge_unknown:
+                drop(family, "unrecognized scratch family (--purge-unknown)")
+            else:
+                unknown.append(str(family.relative_to(root)))
+    return {
+        "valid": valid,
+        "removed": removed,
+        "unknown": unknown,
+        "dry_run": dry_run,
+    }
 
 
 def main() -> None:
     dry = "--dry-run" in sys.argv
+    purge = "--purge-unknown" in sys.argv
     root = None
     if "--root" in sys.argv:
         root = Path(sys.argv[sys.argv.index("--root") + 1])
-    print(json.dumps(gc_scratch(root=root, dry_run=dry)))
+    print(json.dumps(gc_scratch(root=root, dry_run=dry, purge_unknown=purge)))
 
 
 if __name__ == "__main__":
