@@ -350,15 +350,22 @@ def kcore_peel(
         # the bounded path exchange-free through the degree aggregate
         return ends.coalesce(1) if bounded_domain else ends
 
-    for _ in range(rounds):
+    for r in range(1, rounds + 1):
         deg = _ends(e).groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("id")
         e = (
             e.join(keep.withColumnRenamed("id", "ea"), "ea", "left_semi")
             .join(keep.withColumnRenamed("id", "eb"), "eb", "left_semi")
             .select("ea", "eb")
-            .localCheckpoint(eager=True)
         )
+        # Per-round eager cut on BOTH paths. Batching two peeling rounds
+        # per job (checkpoint r%2==0) was measured WORSE at the 32×
+        # probe (round-13 A/B: 2.17-2.34 s vs 1.49-1.71 s per-round) —
+        # the uncut round's 3 edge-frame references triple the stage
+        # chain inside the next job, costing more than the ~0.2 s job
+        # floor it saves; same failure mode as the fully-lazy chain
+        # falsified in round 12.
+        e = e.localCheckpoint(eager=True)
     return _ends(e).groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
 
 
@@ -378,14 +385,31 @@ def bfs_levels(
     The FIXED round budget is the family's value-gradability contract
     (a fixpoint BFS has a data-dependent round count): after r rounds
     the level assignment is a pure function of the graph, so an
-    unrolled MATERIALIZED-CTE SQL twin matches VALUES. Each round is
-    one equi-join of the symmetrized edge list against the previous
-    frontier plus one anti-join against the settled set — the same
-    join+groupBy round discipline as :func:`label_propagation`, lineage
-    cut per round, no driver adjacency. The source is MIN(vertex id),
-    chosen as a 1-row aggregate broadcast into the seed frame — never a
-    driver collect. ``bounded_domain``: same contract as
-    :func:`label_propagation` (exchange-free single-task rounds).
+    unrolled MATERIALIZED-CTE SQL twin matches VALUES. The source is
+    MIN(vertex id), chosen as a 1-row aggregate broadcast into the seed
+    frame — never a driver collect.
+
+    Two round structures, value-equivalent (equivalence pinned in
+    tests/test_properties.py):
+
+    - **Distributed** (default): per round, one equi-join of the
+      symmetrized edge list against the previous FRONTIER plus one
+      anti-join against the settled set, lineage cut per round — the
+      frontier discipline never re-expands settled vertices, which is
+      what matters when each round's join is full-size.
+    - **Bounded domain**: ONE submitted job. Level sets
+      ``R_k = distinct neighbors of R_{k-1}`` are chained lazily (a
+      vertex at distance d first appears in R_d, so
+      ``min(lvl) group by id`` over R_0..R_rounds IS the level
+      assignment); no anti-join, no per-round checkpoint. Lazy
+      duplication is LINEAR (R_k is referenced once by R_{k+1} and once
+      by the final union), unlike the frontier form whose two dist
+      references double the replayed stage chain per uncut round —
+      round-13 A/B at the 32× probe: one-job min-hop 1.49-1.85 s vs
+      per-round frontier 1.60-2.27 s vs two-rounds-per-job frontier
+      2.36-3.47 s. Re-expanding settled vertices is free here: every
+      R_k is ≤ domain rows, and each round is an exchange-free
+      single-task stage (coalesce(1) → SinglePartition).
     """
     a, b = F.col(src), F.col(dst)
     e = edges.select(
@@ -401,10 +425,26 @@ def bfs_levels(
         sym = sym.coalesce(1)
     # seed: the smallest vertex id (ea < eb per row, so min(ea) is the
     # global minimum), as a 1-row frame — no driver-side scalar
-    dist = (
-        e.agg(F.min("ea").alias("id"))
-        .withColumn("lvl", F.lit(0).cast("int"))
-        .localCheckpoint(eager=True)
+    seed = e.agg(F.min("ea").alias("id"))
+
+    if bounded_domain:
+        level = seed.coalesce(1)
+        out = level.withColumn("lvl", F.lit(0).cast("int"))
+        for r in range(1, rounds + 1):
+            prev = level.select(F.col("id").alias("fid"))
+            level = (
+                sym.join(prev, sym["ea"] == prev["fid"])
+                .select(F.col("eb").alias("id"))
+                .distinct()
+                .coalesce(1)
+            )
+            out = out.unionByName(
+                level.withColumn("lvl", F.lit(r).cast("int"))
+            ).coalesce(1)
+        return out.groupBy("id").agg(F.min("lvl").alias("lvl"))
+
+    dist = seed.withColumn("lvl", F.lit(0).cast("int")).localCheckpoint(
+        eager=True
     )
     for r in range(1, rounds + 1):
         frontier = dist.filter(F.col("lvl") == r - 1).select(
@@ -418,8 +458,5 @@ def bfs_levels(
         new = cand.join(dist, "id", "left_anti").withColumn(
             "lvl", F.lit(r).cast("int")
         )
-        nxt = dist.unionByName(new)
-        if bounded_domain:
-            nxt = nxt.coalesce(1)
-        dist = nxt.localCheckpoint(eager=True)
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
     return dist
