@@ -167,64 +167,85 @@ def catalog_all():
 #:       wait for rotation #10, per the standing verified-on-landing
 #:       pattern. All 50 verified this round at sf0.001 + sf0.01 +
 #:       TZ=Asia/Tokyo + foreign-cwd before shipping.
+#:   r13 (rotation #10 — CLOSE THE HARD-SIGNAL POOL, VERDICT r12 #1):
+#:       slot 1 is the r13-new q21_preagg_refresh (VERDICT r12 #4: the
+#:       incremental-MV maintenance rung). Slots 2-11 are the ten
+#:       never-driver-graded stragglers — the 5 r12-new ops
+#:       (t14_topk_dense_ties, st7_session_gaps, sample_reservoir_merge,
+#:       t15_decile_profile, u9_bfs_levels) and the 5 held-back
+#:       leftovers (a10b_grouping_sets, a19_bitwise_agg, a22_listagg,
+#:       a37_winsorize, a43_grouped_mad) — after which EVERY gradeable
+#:       catalog entry has a hard driver grade. Slots 12-21 are the
+#:       LLM-mandate freshness rows (VERDICT r12 #5: ≥1 per family each
+#:       rotation — dedup, ANN, graph [u9_bfs_levels above], multimodal,
+#:       curation), chosen oldest-latest-grade-first within the
+#:       contract-counted prefixes: d3_dup_clusters, d3_ngram_jaccard
+#:       (r5), llm_leakage_safe_split (r6), u7_bm25_topk,
+#:       d3_shared_span_pairs (r7), u7_knn_bruteforce, u8_decontaminate,
+#:       u10_tfidf_topterms, multimodal_features, u6_gopher_rules (r8).
+#:       The remaining 29 are the globally longest-unrotated greens by
+#:       latest grade round (r3 ×10, r4 ×10, r5 ×9 — the SURVEY §9c
+#:       slate minus the two d3 rows promoted into the freshness block);
+#:       the r6 batch waits for rotation #11. All 50 verified this round
+#:       at sf0.001 + sf0.01 + TZ=Asia/Tokyo + foreign-cwd before
+#:       shipping.
 GRADED_PREFIX = [
-    # r12-new: the q21 materialized-view contract (VERDICT r11 #2)
-    "q21_preagg_colocation",
-    # the 9 r11-new ops (VERDICT r11 #1 lead block)
-    "u9_label_prop",
-    "u9_kcore",
-    "u9_edge_support",
-    "t13_grouped_topk_merge",
-    "sample_weighted_kpg",
-    "w21_interval_coverage",
-    "d3_chunk_dedup_report",
-    "a67_cohens_kappa",
-    "a68_mutual_information",
-    # the u6 text-stats block
-    "u6_token_count_bpe",
-    "u6_vocab_coverage",
-    "u6_vocab_oov",
-    "u6_token_entropy",
-    "u6_chunk_documents",
-    "u6_intra_doc_repetition",
-    "u6_pseudonymize",
-    "u6_bpe_pairs",
-    "u6_repeated_ngrams",
-    "u6_kwic_snippets",
-    "u6_shingle_novelty",
-    # the ANN contract entries
-    "u7_knn_ivf",
-    "u7_kmeans_ivf",
-    "u7_ivf_int8_topk",
-    "u7_pq_adc_topk",
-    "u7_text_search_hashed",
-    # the llm_* curation set
-    "llm_dsir_select",
-    "llm_mixture_plan",
-    "llm_curriculum_order",
-    "llm_shuffle_pack",
-    "llm_hard_negatives",
-    "llm_l_diversity",
-    "llm_corpus_drift",
-    "llm_quantile_normalize",
-    # dedup / near-dup / span family
-    "d3_embedding_dup_exact",
-    "d3_jaccard_prefix",
-    "d3_cross_source_dup_report",
-    "d3_shared_span_regions",
-    "d3_shared_span_incremental",
-    "d3_containment_capped",
-    # multimodal (VERDICT r11 #5)
-    "multimodal_frame_sample",
-    # sampling
-    "sample_stratified_mix_hash",
-    "sample_weighted_es",
-    # aggregates / stats / transforms / ETL
-    "a29_conversion_latency",
-    "a33_aqp_sample_estimate",
-    "a34_skew_report",
-    "a35_mv_rollup_rewrite",
-    "a47_benford_deviation",
-    "t6_incremental_topk",
-    "etl_table_integrity_diff",
+    # r13-new: the q21 incremental-MV maintenance rung (VERDICT r12 #4)
+    "q21_preagg_refresh",
+    # the 5 r12-new widening ops (never driver-graded)
+    "t14_topk_dense_ties",
+    "st7_session_gaps",
+    "sample_reservoir_merge",
+    "t15_decile_profile",
+    "u9_bfs_levels",
+    # the 5 held-back leftovers — closes the never-graded pool to the
+    # two declared-terminal rows-only entries
+    "a10b_grouping_sets",
+    "a19_bitwise_agg",
+    "a22_listagg",
+    "a37_winsorize",
+    "a43_grouped_mad",
+    # LLM-mandate freshness rows (VERDICT r12 #5), oldest grades first
+    "d3_dup_clusters",
+    "d3_ngram_jaccard",
+    "llm_leakage_safe_split",
+    "u7_bm25_topk",
+    "d3_shared_span_pairs",
+    "u7_knn_bruteforce",
+    "u8_decontaminate",
+    "u10_tfidf_topterms",
+    "multimodal_features",
+    "u6_gopher_rules",
+    # longest-unrotated greens: latest grade r3
+    "a10_cube",
+    "d1_union",
+    "d4_except",
+    "doc_sentiment_pivot",
+    "f11_regex_extract_all",
+    "f7_f8_round_arith",
+    "f9b_variant_extract",
+    "j4_full_outer",
+    "j4_theta_join",
+    "t2_sorted_distinct",
+    # latest grade r4
+    "a10_rollup",
+    "a1_group_count",
+    "a2_group_count_2key",
+    "a8_distinct",
+    "d4_intersect",
+    "f5_year_extract",
+    "f9_from_json_struct",
+    "j4_semi_join",
+    "p3_regex_flag",
+    "w2_lag_delta",
+    # latest grade r5
+    "a16_stats_moments",
+    "a24_salted_hot_key_agg",
+    "a25_incremental_agg",
+    "etl_scd2_dim",
+    "f15_datetime_family",
+    "q10_returned_revenue",
+    "q9_product_profit",
+    "t6_gapfill_monthly",
+    "w5_rank_family",
 ]
