@@ -6983,6 +6983,149 @@ def a49_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a69_kruskal_wallis",
+    "A ⊕ (Kruskal–Wallis rank test across k groups)",
+    """
+    WITH pts AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             count(*) FILTER (WHERE event_type = 'click') AS c1,
+             count(*) FILTER (WHERE event_type = 'error') AS c2,
+             count(*) FILTER (WHERE event_type = 'purchase') AS c3,
+             count(*) FILTER (WHERE event_type = 'signup') AS c4,
+             count(*) FILTER (WHERE event_type = 'view') AS c5,
+             count(*) AS c
+      FROM events
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT c1, c2, c3, c4, c5, c,
+             sum(c) OVER (ORDER BY v) - c AS cum_prev
+      FROM pts
+    ),
+    s AS (
+      SELECT
+        CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        CAST(sum(c3) AS BIGINT) AS n3, CAST(sum(c4) AS BIGINT) AS n4,
+        CAST(sum(c5) AS BIGINT) AS n5, CAST(sum(c) AS BIGINT) AS n,
+        CAST(sum(c1 * (2 * cum_prev + c + 1)) AS BIGINT) AS r2_1,
+        CAST(sum(c2 * (2 * cum_prev + c + 1)) AS BIGINT) AS r2_2,
+        CAST(sum(c3 * (2 * cum_prev + c + 1)) AS BIGINT) AS r2_3,
+        CAST(sum(c4 * (2 * cum_prev + c + 1)) AS BIGINT) AS r2_4,
+        CAST(sum(c5 * (2 * cum_prev + c + 1)) AS BIGINT) AS r2_5,
+        CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+      FROM cum
+    )
+    SELECT n1, n2, n3, n4, n5, r2_1, r2_2, r2_3, r2_4, r2_5,
+      round(12.0 / (n * (n + 1.0)) * (
+          CASE WHEN n1 = 0 THEN 0.0 ELSE
+          n1 * (r2_1 / (2.0 * n1) - (n + 1.0) / 2.0)
+             * (r2_1 / (2.0 * n1) - (n + 1.0) / 2.0) END
+        + CASE WHEN n2 = 0 THEN 0.0 ELSE
+          n2 * (r2_2 / (2.0 * n2) - (n + 1.0) / 2.0)
+             * (r2_2 / (2.0 * n2) - (n + 1.0) / 2.0) END
+        + CASE WHEN n3 = 0 THEN 0.0 ELSE
+          n3 * (r2_3 / (2.0 * n3) - (n + 1.0) / 2.0)
+             * (r2_3 / (2.0 * n3) - (n + 1.0) / 2.0) END
+        + CASE WHEN n4 = 0 THEN 0.0 ELSE
+          n4 * (r2_4 / (2.0 * n4) - (n + 1.0) / 2.0)
+             * (r2_4 / (2.0 * n4) - (n + 1.0) / 2.0) END
+        + CASE WHEN n5 = 0 THEN 0.0 ELSE
+          n5 * (r2_5 / (2.0 * n5) - (n + 1.0) / 2.0)
+             * (r2_5 / (2.0 * n5) - (n + 1.0) / 2.0) END
+      ), 6) AS h,
+      round(12.0 / (n * (n + 1.0)) * (
+          CASE WHEN n1 = 0 THEN 0.0 ELSE
+          n1 * (r2_1 / (2.0 * n1) - (n + 1.0) / 2.0)
+             * (r2_1 / (2.0 * n1) - (n + 1.0) / 2.0) END
+        + CASE WHEN n2 = 0 THEN 0.0 ELSE
+          n2 * (r2_2 / (2.0 * n2) - (n + 1.0) / 2.0)
+             * (r2_2 / (2.0 * n2) - (n + 1.0) / 2.0) END
+        + CASE WHEN n3 = 0 THEN 0.0 ELSE
+          n3 * (r2_3 / (2.0 * n3) - (n + 1.0) / 2.0)
+             * (r2_3 / (2.0 * n3) - (n + 1.0) / 2.0) END
+        + CASE WHEN n4 = 0 THEN 0.0 ELSE
+          n4 * (r2_4 / (2.0 * n4) - (n + 1.0) / 2.0)
+             * (r2_4 / (2.0 * n4) - (n + 1.0) / 2.0) END
+        + CASE WHEN n5 = 0 THEN 0.0 ELSE
+          n5 * (r2_5 / (2.0 * n5) - (n + 1.0) / 2.0)
+             * (r2_5 / (2.0 * n5) - (n + 1.0) / 2.0) END
+      ) / (1.0 - tie_sum / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie_corrected
+    FROM s
+    """,
+    doc="Kruskal–Wallis H across the five event types' value "
+    "distributions — the NONPARAMETRIC k-group location test beside "
+    "a65's parametric ANOVA F (KW is the k-group generalization of "
+    "a49's Mann–Whitney; rank-based, so it needs no normality and "
+    "shrugs off the heavy tails that break F). Exact-integer core via "
+    "the a41/a49 doubled-rank trick: quantize to cents, collapse to "
+    "per-distinct-value counts, tie-averaged doubled midrank "
+    "2·cum_prev + c + 1 (always an integer), per-group doubled "
+    "rank-sums r2_g = Σ c_gv·(2·cum_prev+c+1) and the tie term "
+    "Σ(c³−c) as BIGINTs (gradeable bit-exact). H and the "
+    "tie-corrected H/C (C = 1 − Σ(c³−c)/(N³−N)) are ONE written-down "
+    "float expression tree evaluated identically by both engines, in "
+    "NORMALIZED double space — r̄_g = r2_g/(2n_g) before any square, "
+    "and N³ in double — because both r2_g² and N³ overflow BIGINT at "
+    "probe scale (the a66 power-sum lesson). Scale shape: one "
+    "aggregation shuffle to the distinct-cents domain, one running sum "
+    "over that bounded domain frame (the a46/a49 exception class), one "
+    "1-row fold — fully partial-aggregatable, no join.",
+)
+def a69_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    pts = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"c{i+1}")
+            for i, t in enumerate(types)
+        ],
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        *[f"c{i+1}" for i in range(5)],
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("cum_prev"),
+    )
+    dbl = 2 * F.col("cum_prev") + F.col("c") + 1
+    s = cum.agg(
+        *[F.sum(f"c{i+1}").cast("long").alias(f"n{i+1}") for i in range(5)],
+        F.sum("c").cast("long").alias("n"),
+        *[
+            F.sum(F.col(f"c{i+1}") * dbl).cast("long").alias(f"r2_{i+1}")
+            for i in range(5)
+        ],
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    n = F.col("n")
+    half = (n + 1.0) / 2.0
+
+    def dev2(i: int):
+        ng = F.col(f"n{i}")
+        rbar = F.col(f"r2_{i}") / (2.0 * ng)
+        # an absent group contributes 0, not NULL (0/0 would poison the
+        # whole sum — same CASE guard in the oracle)
+        return F.when(ng == 0, F.lit(0.0)).otherwise(
+            ng * (rbar - half) * (rbar - half)
+        )
+
+    h_expr = (12.0 / (n * (n + 1.0))) * sum(dev2(i) for i in range(1, 6))
+    tie_c = 1.0 - F.col("tie_sum") / (n.cast("double") * n * n - n)
+    return s.select(
+        *[f"n{i}" for i in range(1, 6)],
+        *[f"r2_{i}" for i in range(1, 6)],
+        F.round(h_expr, 6).alias("h"),
+        F.round(h_expr / tie_c, 6).alias("h_tie_corrected"),
+    )
+
+
+@register(
     "a50_survival_km",
     "A ⊕ (Kaplan–Meier dropout risk table)",
     """

@@ -1180,3 +1180,35 @@ def test_kcore_peel_matches_fixpoint_on_small_graph(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_kruskal_wallis_hand_computed(spark, tmp_path):
+    """a69 on a constructed events fixture matches the textbook formula:
+    A=[1,2,3] (click) vs B=[2,3,4] (view) → ranks 1, 2.5, 2.5, 4.5,
+    4.5, 6; R_A=8, R_B=13; H = 12/(6·7)·(64+169)/3 − 21 = 1.190476;
+    ties 2×(2³−2)=12 → C = 1 − 12/210; H/C = 1.262626. Also pins the
+    empty-group guard: three of the five type slots are absent and must
+    contribute zero, not NULL."""
+    import datetime
+
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    rows = [
+        (i, datetime.datetime(2000, 1, 1), 1, t, float(v), "{}")
+        for i, (t, v) in enumerate(
+            [("click", 1), ("click", 2), ("click", 3),
+             ("view", 2), ("view", 3), ("view", 4)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = catalog_all()["a69_kruskal_wallis"].builder(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert (r["n1"], r["n5"]) == (3, 3)
+    assert (r["n2"], r["n3"], r["n4"]) == (0, 0, 0)
+    assert (r["r2_1"], r["r2_5"]) == (16, 26)  # doubled rank-sums
+    assert r["h"] == 1.190476
+    assert r["h_tie_corrected"] == 1.262626

@@ -156,6 +156,9 @@ EXPECTED_GLOBAL_WINDOW = {
     # Mann–Whitney's tie-averaged ranks run over the same
     # distinct-cents domain frame.
     "a49_mann_whitney",
+    # Kruskal–Wallis runs the identical doubled-midrank cumsum over the
+    # distinct-cents domain frame (k-group generalization of a49, r13).
+    "a69_kruskal_wallis",
     # KM risk-table cumsum runs over the tenure-MONTH domain frame
     # (bounded by the calendar, not the row count).
     "a50_survival_km",
