@@ -454,9 +454,21 @@ def refresh_q21_preagg(
         spark, sf_dir, num_buckets=num_buckets
     )
     _, ord_t = ensure_bucketed_pair(spark, sf_dir, num_buckets=num_buckets)
+    # Every delta row belongs to an order placed on/after the cut BY
+    # CONSTRUCTION of the delta batch, so the orders side is pre-sliced
+    # on the same predicate — an exact filter that keeps the join's
+    # orders leg proportional to the recent-order slice instead of the
+    # whole history (at warehouse scale this is the orders table's own
+    # date-partition pruning).
     ord_f = (
         spark.table(ord_t)
-        .filter(F.col("o_orderstatus") == "F")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (
+                F.col("o_orderdate")
+                >= F.lit(Q21_DELTA_ORDER_CUT).cast("date")
+            )
+        )
         .select("o_orderkey", "o_orderdate")
     )
     delta_li = spark.read.parquet(delta_path)
