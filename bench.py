@@ -239,6 +239,19 @@ def bench_interleaved(
 
     from praw_etl_student_dropout_spark.plans import catalog_all
 
+    def _loadavg() -> float | None:
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except (OSError, ValueError):
+            return None
+
+    # Host-load contamination check (round-13, VERDICT r12 #2): a busy
+    # host inflates EVERY slot uniformly (~+15% at loadavg 5-7, measured
+    # r12), so the pre/post 1-minute load averages are recorded with the
+    # reading. A ratio regression whose loadavg_start is well above the
+    # idle protocol's <0.5 threshold is the host talking, not the plans.
+    load_start = _loadavg()
     headline = headline or HEADLINE
     sf_dir = sf_dir or SF_DIR
     registry = catalog_all()
@@ -349,6 +362,8 @@ def bench_interleaved(
         "spark_vs_duckdb_ratio": ratio,
         "noise_band": noise_band,
         "r9_comparable_slots_ratio": r9_ratio,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
         "methodology": f"interleaved per-query, 1 warmup + {n_timed} timed per engine, min per query",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -396,6 +411,7 @@ if __name__ == "__main__":
             "duckdb_comparable_total", "spark_comparable_total",
             "spark_vs_duckdb_ratio", "noise_band",
             "r9_comparable_slots_ratio", "concurrent_wall_clock",
+            "loadavg_start", "loadavg_end",
         )
     }
     sys.stderr.flush()
