@@ -157,3 +157,42 @@ def changelog_compact(
             *[F.col(f"__last.{c}").alias(c) for c in order + payload],
         )
     )
+
+
+def snapshot_asof(log, key: str, order: list[str], op_col: str = "op"):
+    """Point-in-time state reconstruction from a CDC changelog — the
+    time-travel read every lakehouse exposes (Delta/Iceberg
+    ``VERSION AS OF``), expressed over a raw change stream: the caller
+    pre-filters the log to rows at-or-before the as-of cut, and the
+    state is, per key, the LAST row in ``order`` — present with that
+    row's full payload unless the last op is a delete.
+
+    Same single-shuffle shape and ordering contract as
+    :func:`changelog_compact` (one ``max_by`` against the order-columns
+    struct; payload columns ride the carried struct and may be any
+    type): where compaction answers "what do I REPLAY downstream",
+    the snapshot answers "what does the table CONTAIN at T" — a key
+    whose history is I…D is dropped by both, but a key seen only as U
+    is emitted here (it exists at T) while compaction nets it U for the
+    replayer. Ties at identical ``order`` positions resolve with the
+    same op rank (I<U<D): a tied delete wins, so the snapshot is
+    tombstone-conservative.
+    """
+    from pyspark.sql import functions as F
+
+    payload = [c for c in log.columns if c not in (key, op_col) and c not in order]
+    op_rank = (
+        F.when(F.col(op_col) == "I", 0)
+        .when(F.col(op_col) == "U", 1)
+        .when(F.col(op_col) == "D", 2)
+        .otherwise(3)
+    )
+    order_key = F.struct(*[F.col(c) for c in order], op_rank.alias("__op_rank"))
+    carried = F.struct(
+        F.col(op_col).alias("__op"),
+        *[F.col(c) for c in order + payload],
+    )
+    last = log.groupBy(key).agg(F.max_by(carried, order_key).alias("__last"))
+    return last.filter(F.col("__last.__op") != "D").select(
+        key, *[F.col(f"__last.{c}").alias(c) for c in order + payload]
+    )

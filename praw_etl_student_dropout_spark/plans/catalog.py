@@ -6092,6 +6092,165 @@ def etl_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_snapshot_asof",
+    "ETL ⊕ (time-travel read: table state AS OF a timestamp from a CDC changelog)",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC,
+          CASE op WHEN 'I' THEN 0 WHEN 'U' THEN 1
+                  WHEN 'D' THEN 2 ELSE 3 END DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, ts, CAST(event_id AS BIGINT) AS event_id,
+           CAST(value AS DOUBLE) AS value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="Point-in-time state reconstruction — the lakehouse "
+    "`VERSION AS OF` / time-travel read, expressed over a raw change "
+    "stream (operators/etl.snapshot_asof): filter the changelog to "
+    "rows at-or-before the cut, take the LAST row per key by the "
+    "(ts, event_id) total order via one max_by against the carried "
+    "payload struct, drop keys whose last op is a delete. The "
+    "complement of etl_changelog_compact: compaction answers what to "
+    "REPLAY downstream, this answers what the table CONTAINS at T — a "
+    "key seen only as U exists here, and a trailing tombstone hides "
+    "the key entirely. Same op-rank tie contract (I<U<D: a tied "
+    "delete wins — tombstone-conservative). Scale shape: the as-of "
+    "filter is a pushed parquet predicate (min/max pruning skips "
+    "whole row groups of newer data), then ONE key shuffle with "
+    "min_by/max_by partials — no per-key history buffered, no window "
+    "over raw events; the op mapping (signup→I, error→D, else U) is "
+    "the deterministic CDC-feed stand-in etl_changelog_compact "
+    "established.",
+)
+def etl_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.etl import snapshot_asof
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    log = ev.filter(
+        F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    return snapshot_asof(log, "user_id", ["ts", "event_id"]).select(
+        "user_id",
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+@register(
+    "a70_weighted_quantiles",
+    "A12 ⊕ (weighted quantiles over the distinct-value domain)",
+    """
+    WITH pts AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, sum(w) OVER (ORDER BY v) AS cumw FROM pts
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM pts)
+    SELECT q, CAST(min(v) AS BIGINT) AS value_cents
+    FROM cum, tot, (VALUES (25), (50), (75), (90), (99)) AS qs(q)
+    WHERE cumw * 100 >= q * total
+    GROUP BY q
+    """,
+    doc="Weighted p25/p50/p75/p90/p99 of the line price, weighted by "
+    "quantity — 'the price a unit of VOLUME sees', the warehouse "
+    "complement to a12's row-weighted percentiles (a cheap 1-cent line "
+    "of qty 50 should pull the volume median 50× harder than a row). "
+    "Definition: the q-quantile is the smallest value whose cumulative "
+    "weight reaches q% of total weight — evaluated entirely in exact "
+    "integers (cents values, floor'd integer quantities, the threshold "
+    "as cumw·100 ≥ q·total with BIGINT products), so there is no "
+    "interpolation-mode or float-order exposure anywhere. Scale shape "
+    "— a TWO-LEVEL histogram CDF select, because the extendedprice "
+    "cents domain is rows-scale (≈ lineitem cardinality), so neither a "
+    "single-task domain window (the a12 anti-pattern) nor a full "
+    "distributed prefix sum (global_rank-style: measured 2× worse at "
+    "32× — the fork persist materializes the whole domain) is the "
+    "right plan: (1) one aggregation shuffle to DOLLAR buckets — "
+    "bounded by the PRICE RANGE (~110k cells), not the row count, the "
+    "a46/a49 domain-frame exception — and a cumsum over that bounded "
+    "frame locates each quantile's target bucket; (2) the raw rows are "
+    "then broadcast-semi-joined to the ≤5 target buckets and only "
+    "those tiny slices (~10² rows each) get a within-bucket running "
+    "sum. No persist, no rows-scale window, never percentile()'s "
+    "whole-group heap buffer (the §9a OOM edge). Selection is "
+    "tie-layout-safe by the values-at-threshold argument: only WHICH "
+    "values satisfy the cumulative test matters, and any within-value "
+    "prefix reaching the threshold implies the value's full cumulative "
+    "weight does too.",
+)
+def a70_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    rows = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.floor(F.col("l_quantity")).cast("long").alias("w"),
+    )
+    # level 1: dollar-bucket CDF (bounded by the price range)
+    buckets = rows.groupBy((F.col("v") / 10000).cast("long").alias("b")).agg(
+        F.sum("w").cast("long").alias("wb")
+    )
+    bw = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cumb = buckets.select(
+        "b", "wb", F.sum("wb").over(bw).cast("long").alias("cum_b")
+    )
+    tot = buckets.agg(F.sum("wb").cast("long").alias("total"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in (25, 50, 75, 90, 99)])).alias("q")
+    )
+    # target bucket per q: the first bucket whose cumulative weight
+    # reaches the threshold; carry the exclusive offset into it
+    targets = (
+        cumb.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(qs))
+        .filter(F.col("cum_b") * 100 >= F.col("q") * F.col("total"))
+        .groupBy("q", "total")
+        .agg(
+            F.min_by(F.col("b"), F.col("b")).alias("b"),
+            F.min_by(F.col("cum_b") - F.col("wb"), F.col("b")).alias("offset_b"),
+        )
+    )
+    # level 2: within-bucket running sum over the ≤5 tiny target slices
+    sel = rows.join(
+        F.broadcast(targets),
+        (F.col("v") / 10000).cast("long") == F.col("b"),
+    )
+    vw = (
+        Window.partitionBy("q")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hit = sel.withColumn(
+        "cumw", (F.col("offset_b") + F.sum("w").over(vw)).cast("long")
+    ).filter(F.col("cumw") * 100 >= F.col("q") * F.col("total"))
+    return hit.groupBy("q").agg(F.min("v").cast("long").alias("value_cents"))
+
+
+@register(
     "etl_table_integrity_diff",
     "ETL ⊕ (bucket-hash replica verification)",
     """

@@ -1212,3 +1212,55 @@ def test_kruskal_wallis_hand_computed(spark, tmp_path):
     assert (r["r2_1"], r["r2_5"]) == (16, 26)  # doubled rank-sums
     assert r["h"] == 1.190476
     assert r["h_tie_corrected"] == 1.262626
+
+
+def test_snapshot_asof_semantics(spark):
+    """snapshot_asof on a hand-built changelog: last-op-wins state, a
+    trailing tombstone hides the key, a key seen only as U exists, and
+    a D tied with U at the same order position wins (I<U<D rank)."""
+    from praw_etl_student_dropout_spark.operators.etl import snapshot_asof
+
+    log = spark.createDataFrame(
+        [
+            # key 1: I then U -> present with the U payload
+            (1, 10, "I", "a"), (1, 20, "U", "b"),
+            # key 2: I then D -> absent
+            (2, 10, "I", "x"), (2, 30, "D", "y"),
+            # key 3: U only -> present (unlike compaction's replay view)
+            (3, 15, "U", "c"),
+            # key 4: D and U TIED at the same position -> delete wins
+            (4, 10, "I", "p"), (4, 40, "U", "q"), (4, 40, "D", "r"),
+        ],
+        ["k", "seq", "op", "payload"],
+    )
+    got = {r.k: r.payload for r in snapshot_asof(log, "k", ["seq"]).collect()}
+    assert got == {1: "b", 3: "c"}
+    # layout independence
+    again = {
+        r.k: r.payload
+        for r in snapshot_asof(log.repartition(7), "k", ["seq"]).collect()
+    }
+    assert again == got
+
+
+def test_weighted_quantiles_hand_computed(spark, tmp_path):
+    """a70 on a constructed lineitem: one cheap high-volume line (1.00
+    x98) dominates the weighted CDF, so p25-p90 are 100 cents while the
+    unweighted median would be 5000; p99 crosses into the 50.00 line."""
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    import datetime
+
+    ship = datetime.datetime(2000, 1, 1)
+    df = spark.createDataFrame(
+        [(1.00, 98.0, ship), (50.00, 1.0, ship), (100.00, 1.0, ship)],
+        ["l_extendedprice", "l_quantity", "l_shipdate"],
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r.q: r.value_cents
+        for r in catalog_all()["a70_weighted_quantiles"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {25: 100, 50: 100, 75: 100, 90: 100, 99: 5000}

@@ -72,6 +72,7 @@ EXPECTED_NESTED_LOOP = {
     "a17_cms_heavy_hitters",  # 1-row corpus-total N broadcast cross join (bound check)
     "a46_ks_two_sample",   # 1-row (n1,n2) totals broadcast cross join
     "a49_mann_whitney",    # same 1-row totals broadcast cross join
+    "a70_weighted_quantiles",  # 1-row total + 5-row quantile-spec cross joins on the bucket frame (r13)
     "a47_benford_deviation",  # 1-row digit-total broadcast cross join
     "a50_survival_km",   # 1-row horizon max + 1-row grand-total broadcast cross joins
     "a51_bootstrap_ci",  # 1-row full-sample mean broadcast cross join
@@ -159,6 +160,11 @@ EXPECTED_GLOBAL_WINDOW = {
     # Kruskal–Wallis runs the identical doubled-midrank cumsum over the
     # distinct-cents domain frame (k-group generalization of a49, r13).
     "a69_kruskal_wallis",
+    # weighted quantiles: the only global window is the DOLLAR-bucket
+    # CDF frame — bounded by the price range (~110k cells), not the row
+    # count (the a46/a49 domain-frame exception); the rows-scale cents
+    # domain never sees a window (two-level histogram select, r13).
+    "a70_weighted_quantiles",
     # KM risk-table cumsum runs over the tenure-MONTH domain frame
     # (bounded by the calendar, not the row count).
     "a50_survival_km",
