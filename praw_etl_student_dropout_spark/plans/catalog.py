@@ -5736,6 +5736,128 @@ def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q24_itemset_triples",
+    "J4+A ⊕ (frequent 3-itemsets, Apriori-pruned)",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey % 200 AS i FROM lineitem
+    ),
+    thr AS (
+      SELECT greatest(3, CAST(floor(count(DISTINCT k) / 5000.0) AS BIGINT))
+             AS minsup
+      FROM items
+    )
+    SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a
+    JOIN items b ON a.k = b.k AND a.i < b.i
+    JOIN items c ON c.k = a.k AND c.i > b.i
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= (SELECT minsup FROM thr)
+    """,
+    doc="Frequent triple-itemsets over order baskets at product-family "
+    "granularity (l_partkey % 200 — the category roll-up real basket "
+    "analysis mines at; raw part keys make triples vanishingly rare), "
+    "RELATIVE support ≥ max(3, 0.02% of baskets) — the Apriori level "
+    "beyond q23's pairs. The relative threshold is itself a scale "
+    "lesson: this entry's first draft used an absolute 3, and its own "
+    "32× probe hung — supports grow with the data, so a fixed cut "
+    "stops pruning and the candidate set explodes toward domain³. The ORACLE is "
+    "the direct three-way basket self-join; the ENGINE runs the "
+    "Apriori-pruned plan the oracle's HAVING makes value-identical by "
+    "the anti-monotone support property (every sub-pair of a frequent "
+    "triple is frequent): L2 = frequent pairs (one orderkey self-join "
+    "+ HAVING), C3 = L2 ⋈ L2 on the shared leading item (b<c) with "
+    "the (b,c)∈L2 semi-check, then ONE basket pass counts candidate "
+    "support — the candidate frames are support-thresholded and "
+    "therefore small enough to BROADCAST, so the third level never "
+    "shuffles the baskets again. At 100 TB this prune is the "
+    "difference between counting |C3| ≈ |L2|·k candidates and "
+    "exploding every basket's C(n,3) triples through a shuffle.",
+)
+def q24_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cache_registry import track
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # items is consumed by FOUR branches (both pair-join legs, the
+    # candidate probe, both semi probes) and l2 by three — without a
+    # tracked persist each branch re-runs the scan+distinct / the pair
+    # self-join from lineage (measured 21-31 s vs 2 s at sf0.01).
+    items = track(
+        li.select(
+            F.col("l_orderkey").alias("k"),
+            (F.col("l_partkey") % 200).alias("i"),
+        ).distinct()
+    )
+    # RELATIVE support threshold (0.02% of baskets, floor 3) as a 1-row
+    # broadcast — a FIXED count is a scale bug this entry's own 32×
+    # probe caught: supports grow with the data, so an absolute
+    # threshold stops pruning and C3 explodes toward the full item
+    # domain cubed.
+    thr = items.agg(
+        F.greatest(
+            F.lit(3).cast("long"),
+            F.floor(F.count_distinct(F.col("k")) / 5000.0).cast("long"),
+        ).alias("minsup")
+    )
+    # L2: frequent pairs via one orderkey-keyed self-join
+    a = items.select("k", F.col("i").alias("ia"))
+    b = items.select(F.col("k").alias("k2"), F.col("i").alias("ib"))
+    l2 = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("minsup"))
+        .select("ia", "ib")
+    )
+    l2 = track(l2)
+    # Count triples by extending each basket's OWN frequent pairs — the
+    # distributed Apriori counting shape: work stays proportional to
+    # baskets × frequent-pairs-per-basket. (A candidate-set×baskets
+    # join — C3 broadcast against every basket item — materialized
+    # |baskets|×|C3-per-item| rows and measured 27 s at sf0.01.)
+    # L2 is bounded by the item domain squared, so it broadcasts at any
+    # data scale.
+    pair_occ = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("ia") < F.col("ib")))
+        .select("k", "ia", "ib")
+        .join(F.broadcast(l2), ["ia", "ib"], "left_semi")
+    )
+    ext = (
+        pair_occ.join(
+            items.select(F.col("k").alias("k3"), F.col("i").alias("ic")),
+            (F.col("k") == F.col("k3")) & (F.col("ic") > F.col("ib")),
+        )
+        .select("k", "ia", "ib", "ic")
+        .join(
+            F.broadcast(l2.select(F.col("ia"), F.col("ib").alias("ic"))),
+            ["ia", "ic"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                l2.select(F.col("ia").alias("ib"), F.col("ib").alias("ic"))
+            ),
+            ["ib", "ic"],
+            "left_semi",
+        )
+    )
+    occ = ext.select(
+        F.col("ia").alias("item_a"),
+        F.col("ib").alias("item_b"),
+        F.col("ic").alias("item_c"),
+    )
+    return (
+        occ.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("n_orders") >= F.col("minsup"))
+        .select("item_a", "item_b", "item_c", "n_orders")
+    )
+
+
+@register(
     "a31_contribution_shares",
     "A10+W3 ⊕ (hierarchical contribution analysis)",
     """
@@ -6248,6 +6370,87 @@ def a70_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumw", (F.col("offset_b") + F.sum("w").over(vw)).cast("long")
     ).filter(F.col("cumw") * 100 >= F.col("q") * F.col("total"))
     return hit.groupBy("q").agg(F.min("v").cast("long").alias("value_cents"))
+
+
+@register(
+    "a71_psi_drift",
+    "A ⊕ (population stability index between two periods)",
+    """
+    WITH binned AS (
+      SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bin,
+             CAST(count(*) FILTER (o_orderdate < DATE '1998-01-01')
+                  AS BIGINT) AS n_ref,
+             CAST(count(*) FILTER (o_orderdate >= DATE '1998-01-01')
+                  AS BIGINT) AS n_cur
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur
+      FROM binned
+    ),
+    terms AS (
+      SELECT bin, n_ref, n_cur,
+             CASE WHEN n_ref = 0 OR n_cur = 0 THEN 0.0
+                  ELSE (n_cur * 1.0 / t_cur - n_ref * 1.0 / t_ref)
+                       * ln((n_cur * 1.0 / t_cur) / (n_ref * 1.0 / t_ref))
+             END AS term
+      FROM binned, tot
+    )
+    SELECT bin, n_ref, n_cur, round(term, 6) AS psi_term,
+           round(sum(term) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+    doc="Population Stability Index of the order-value distribution "
+    "between the pre-/post-1998 periods (the a66 split) — THE standard "
+    "ML-monitoring drift metric (credit-scoring lineage; rule of "
+    "thumb: <0.1 stable, >0.25 shifted), complementing "
+    "llm_corpus_drift's term-level JSD with the numeric-feature form: "
+    "PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref) over fixed "
+    "equal-width value bins. Counts are exact integers from ONE "
+    "conditional-aggregation pass (both periods in the same groupBy — "
+    "never two scans); the float algebra is one shared expression tree "
+    "with shares normalized before the log, and a bin empty on either "
+    "side contributes zero by declared convention (identical CASE both "
+    "engines — the a69 zero-guard discipline). Output: per-bin counts "
+    "+ term, with the total replicated per row via a sum over the "
+    "≤10-row bin frame (the a28 contingency-frame window exception). "
+    "Scale shape: one value-bin groupBy (bounded domain), a 1-row "
+    "totals broadcast, a 10-row window — fully partial-aggregatable.",
+)
+def a71_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    binned = orders.groupBy(
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000).cast("long"), F.lit(9)
+        ).alias("bin")
+    ).agg(
+        F.count(F.when(cut, 1)).cast("long").alias("n_ref"),
+        F.count(F.when(~cut, 1)).cast("long").alias("n_cur"),
+    )
+    tot = binned.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p_cur = F.col("n_cur") * 1.0 / F.col("t_cur")
+    p_ref = F.col("n_ref") * 1.0 / F.col("t_ref")
+    term = F.when(
+        (F.col("n_ref") == 0) | (F.col("n_cur") == 0), F.lit(0.0)
+    ).otherwise((p_cur - p_ref) * F.log(p_cur / p_ref))
+    terms = binned.crossJoin(F.broadcast(tot)).withColumn("term", term)
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("term"), 6).alias("psi_term"),
+        F.round(F.sum("term").over(w), 6).alias("psi_total"),
+    )
 
 
 @register(

@@ -73,6 +73,7 @@ EXPECTED_NESTED_LOOP = {
     "a46_ks_two_sample",   # 1-row (n1,n2) totals broadcast cross join
     "a49_mann_whitney",    # same 1-row totals broadcast cross join
     "a70_weighted_quantiles",  # 1-row total + 5-row quantile-spec cross joins on the bucket frame (r13)
+    "a71_psi_drift",           # 1-row period-totals broadcast cross join (r13)
     "a47_benford_deviation",  # 1-row digit-total broadcast cross join
     "a50_survival_km",   # 1-row horizon max + 1-row grand-total broadcast cross joins
     "a51_bootstrap_ci",  # 1-row full-sample mean broadcast cross join
@@ -127,6 +128,7 @@ EXPECTED_GLOBAL_WINDOW = {
     "j2_surrogate_key_swap", # dense_rank over DISTINCT dim keys (tiny by definition)
     "etl_star_schema",       # same surrogate-key windows (operators/etl.py:29,49)
     "a28_chi_square",        # sum() OVER () on the contingency-cell frame (types×2)
+    "a71_psi_drift",         # sum() OVER () on the ≤10-row value-bin frame (r13)
     "a31_contribution_shares",  # grand-total window on (region,nation) frame (≤25)
     # sample_centroids assigns centroid ids with row_number over the
     # post-limit(k) seed frame — ≤ num_centroids rows by construction
