@@ -74,6 +74,7 @@ EXPECTED_NESTED_LOOP = {
     "a49_mann_whitney",    # same 1-row totals broadcast cross join
     "a70_weighted_quantiles",  # 1-row total + 5-row quantile-spec cross joins on the bucket frame (r13)
     "a71_psi_drift",           # 1-row period-totals broadcast cross join (r13)
+    "q24_itemset_triples",     # 1-row relative-minsup scalar broadcast cross joins (r13)
     "a47_benford_deviation",  # 1-row digit-total broadcast cross join
     "a50_survival_km",   # 1-row horizon max + 1-row grand-total broadcast cross joins
     "a51_bootstrap_ci",  # 1-row full-sample mean broadcast cross join
