@@ -350,7 +350,7 @@ def kcore_peel(
         # the bounded path exchange-free through the degree aggregate
         return ends.coalesce(1) if bounded_domain else ends
 
-    for r in range(1, rounds + 1):
+    for _ in range(rounds):
         deg = _ends(e).groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("id")
         e = (
@@ -402,9 +402,14 @@ def bfs_levels(
       vertex at distance d first appears in R_d, so
       ``min(lvl) group by id`` over R_0..R_rounds IS the level
       assignment); no anti-join, no per-round checkpoint. Lazy
-      duplication is LINEAR (R_k is referenced once by R_{k+1} and once
-      by the final union), unlike the frontier form whose two dist
-      references double the replayed stage chain per uncut round —
+      duplication is O(rounds²) in total join evaluations — each R_k
+      subtree is replayed once inside R_{k+1}'s chain AND once by the
+      final union's level-k branch, with no exchange under coalesce(1)
+      to reuse — which is acceptable ONLY at this fixed small round
+      budget (measured cheaper than per-round cuts at rounds=4; raise
+      the budget and the frontier form wins back). Contrast the
+      frontier form, whose two per-round references double the
+      replayed stage chain per uncut round —
       round-13 A/B at the 32× probe: one-job min-hop 1.49-1.85 s vs
       per-round frontier 1.60-2.27 s vs two-rounds-per-job frontier
       2.36-3.47 s. Re-expanding settled vertices is free here: every

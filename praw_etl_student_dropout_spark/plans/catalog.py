@@ -7423,7 +7423,13 @@ def a49_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-distinct-value counts, tie-averaged doubled midrank "
     "2·cum_prev + c + 1 (always an integer), per-group doubled "
     "rank-sums r2_g = Σ c_gv·(2·cum_prev+c+1) and the tie term "
-    "Σ(c³−c) as BIGINTs (gradeable bit-exact). H and the "
+    "Σ(c³−c) as BIGINTs (gradeable bit-exact). BIGINT bound on the "
+    "tie term (r13 ADVICE): exact while Σ(c³−c) < 2⁶³, i.e. the "
+    "largest per-cents-value tie group c ≲ 2.1M rows even if it were "
+    "the ONLY group; past it Spark wraps silently where DuckDB "
+    "promotes to HUGEINT and errors on the BIGINT cast — at 10⁹+ rows "
+    "per tie value, coarsen the quantization or lift the tie term to "
+    "double on BOTH engines. H and the "
     "tie-corrected H/C (C = 1 − Σ(c³−c)/(N³−N)) are ONE written-down "
     "float expression tree evaluated identically by both engines, in "
     "NORMALIZED double space — r̄_g = r2_g/(2n_g) before any square, "

@@ -1264,3 +1264,70 @@ def test_weighted_quantiles_hand_computed(spark, tmp_path):
         .collect()
     }
     assert out == {25: 100, 50: 100, 75: 100, 90: 100, 99: 5000}
+
+
+def test_itemset_triples_hand_computed(spark, tmp_path):
+    """q24 on a constructed basket table: 4 baskets, minsup =
+    max(3, floor(4/5000)) = 3. Baskets 1-3 share {1,2,3} (support 3 =
+    frequent); basket 4's {1,2,4} leaves pairs (1,4),(2,4) at support 1
+    so Apriori prunes every triple containing 4. Also pins the
+    category roll-up (part 201 ≡ item 1 inside basket 1 collapses
+    under distinct) and duplicate-line dedup (basket 3 lists part 1
+    twice)."""
+    import datetime
+
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    ship = datetime.datetime(2000, 1, 1)
+    rows = [
+        (k, p, ship)
+        for k, p in [
+            (1, 1), (1, 2), (1, 3), (1, 201),
+            (2, 1), (2, 2), (2, 3),
+            (3, 1), (3, 2), (3, 3), (3, 1),
+            (4, 1), (4, 2), (4, 4),
+        ]
+    ]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey", "l_shipdate"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = [
+        tuple(r)
+        for r in catalog_all()["q24_itemset_triples"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    ]
+    assert out == [(1, 2, 3, 3)]
+
+
+def test_psi_drift_hand_computed(spark, tmp_path):
+    """a71 on a constructed orders table: ref = 3×bin0 + 1×bin1,
+    cur = 1×bin0 + 3×bin1 + 1×bin9 (price 600000 pins the least(...,9)
+    cap). Textbook PSI terms: bin0 (0.2−0.75)·ln(0.2/0.75)=0.726966,
+    bin1 (0.6−0.25)·ln(2.4)=0.306414, bin9 zero by the one-sided-bin
+    convention (n_ref=0); total 1.033380 replicated per row."""
+    import datetime
+
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    ref_d = datetime.date(1997, 6, 1)
+    cur_d = datetime.date(1998, 6, 1)
+    rows = [
+        (10000.0, ref_d), (10000.0, ref_d), (10000.0, ref_d),
+        (70000.0, ref_d),
+        (10000.0, cur_d),
+        (70000.0, cur_d), (70000.0, cur_d), (70000.0, cur_d),
+        (600000.0, cur_d),
+    ]
+    df = spark.createDataFrame(rows, ["o_totalprice", "o_orderdate"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = sorted(
+        tuple(r)
+        for r in catalog_all()["a71_psi_drift"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    assert out == [
+        (0, 3, 1, 0.726966, 1.03338),
+        (1, 1, 3, 0.306414, 1.03338),
+        (9, 0, 1, 0.0, 1.03338),
+    ]
