@@ -635,16 +635,29 @@ def j2_surrogate_key_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment, count(*) AS n_no_orders
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
     GROUP BY c_mktsegment
     """,
-    doc="Left-anti join — the distributed INSERT IGNORE; etl_pipeline.py:97,106,122.",
+    doc="Left-anti join — the distributed INSERT IGNORE; "
+    "etl_pipeline.py:97,106,122. Customers with NO orders since "
+    "2000-01-01 (lapsed accounts): the unfiltered form graded 0 rows at "
+    "every SF because all fixture customers have orders — a 0=0 match "
+    "proves agreement on emptiness, not anti-join semantics (r13 "
+    "VERDICT #3) — so the probe side is date-pruned to leave survivors "
+    "(14 of 150 customers at sf0.001, 135 of 1500 at sf0.01). The "
+    "filter also PRUNES the fact side before the anti join's shuffle, "
+    "the shape a real lapsed-customer query ships.",
 )
 def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders")
-    no_orders = anti_join_new_keys(
-        t["customer"], t["orders"].select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
+    no_orders = anti_join_new_keys(t["customer"], recent, ["c_custkey"])
     return no_orders.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_no_orders"))
 
 
