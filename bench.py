@@ -395,6 +395,38 @@ if __name__ == "__main__":
         result = bench_zipf()
     else:
         result = bench_interleaved()
+        # Contamination gate (r13 VERDICT #8): BENCH_r13 started at
+        # loadavg 9.34 and its ratio was only interpretable via the
+        # noise-band argument. If the host was busy when the timed runs
+        # began, WARN, wait (bounded) for the load to settle, and re-run
+        # once — the settled reading becomes the headline and the
+        # contaminated one is kept alongside for per-slot attribution.
+        start = result.get("loadavg_start")
+        if start is not None and start > 2.0:
+            print(
+                f"# WARN loadavg_start={start} > 2.0 — host busy; "
+                "waiting (<=240s) for decay, then one settled re-run",
+                file=sys.stderr,
+            )
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                try:
+                    with open("/proc/loadavg") as fh:
+                        if float(fh.read().split()[0]) < 1.5:
+                            break
+                except (OSError, ValueError):
+                    break
+                time.sleep(15)
+            contaminated = result
+            result = bench_interleaved()
+            result["contaminated_run"] = {
+                k: contaminated.get(k)
+                for k in (
+                    "value", "spark_vs_duckdb_ratio",
+                    "duckdb_comparable_total", "loadavg_start",
+                    "loadavg_end", "queries",
+                )
+            }
     # Full detail (per-engine query dicts, methodology) goes to a file;
     # stdout gets one COMPACT line as the absolute last output so a
     # bounded tail capture always sees a complete, parseable JSON object
@@ -411,7 +443,7 @@ if __name__ == "__main__":
             "duckdb_comparable_total", "spark_comparable_total",
             "spark_vs_duckdb_ratio", "noise_band",
             "r9_comparable_slots_ratio", "concurrent_wall_clock",
-            "loadavg_start", "loadavg_end",
+            "loadavg_start", "loadavg_end", "contaminated_run",
         )
     }
     sys.stderr.flush()

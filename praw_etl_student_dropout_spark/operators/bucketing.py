@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .joins import broadcast_if_dim
+
 
 def write_bucketed(
     df: DataFrame,
@@ -497,3 +499,267 @@ def refresh_q21_preagg(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return live_t
+
+
+#: Snapshot-layout spec (round-14, VERDICT r13 #6): the materialized
+#: events-CDC snapshot cut. Encoded into the scratch path and table name
+#: (the Q21_DELTA_TAG lesson): changing the cut must never re-register a
+#: layout built under the old one.
+EVENTS_SNAPSHOT_T0 = "2024-01-20 00:00:00"
+_SNAP_T0_TAG = "t" + EVENTS_SNAPSHOT_T0[:10].replace("-", "")
+
+
+def events_cdc_log(events: DataFrame) -> DataFrame:
+    """The deterministic CDC-feed stand-in shared by the whole changelog
+    family (etl_changelog_compact established it): signup→I, error→D,
+    else U, with (ts, event_id) as the total order and value as the
+    payload."""
+    from pyspark.sql import functions as F
+
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+
+
+def ensure_events_snapshot(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> str:
+    """Materialize (once per fixture dir) the events-CDC table state AS
+    OF ``EVENTS_SNAPSHOT_T0`` (operators/etl.snapshot_asof over
+    events_cdc_log), bucketed by user_id — the persisted half of the
+    snapshot-refresh rung (VERDICT r13 #6): etl_snapshot_refresh folds
+    only the (T0, T1] delta into this layout instead of rescanning the
+    full changelog, so advancing the snapshot costs O(delta), and the
+    merge join rides the bucket distribution instead of reshuffling the
+    snapshot. Same layout-safety contract as ensure_q21_preagg: path and
+    table name encode the bucket count AND the T0 cut; _SUCCESS +
+    baked-in bucket ids are re-verified before any re-registration.
+    """
+    from pathlib import Path
+
+    from ..sources.partitioned import _scratch_root
+    from ..sources.readers import load_tables
+    from .etl import snapshot_asof
+
+    from pyspark.sql import functions as F
+
+    tag = f"{Path(sf_dir).name}_b{num_buckets}".replace(".", "_").replace("-", "_")
+    table = f"bkt_events_snap_{_SNAP_T0_TAG}_{tag}"
+    path = (
+        _scratch_root()
+        / "bucketed"
+        / f"{Path(sf_dir).name}_b{num_buckets}"
+        / f"events_snap_{_SNAP_T0_TAG}"
+    )
+    if spark.catalog.tableExists(table):
+        if (path / "_SUCCESS").exists():
+            return table
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if (path / "_SUCCESS").exists() and _bucket_files_match(path, num_buckets):
+        ddl = spark.read.parquet(str(path)).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY (user_id) SORTED BY (user_id) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return table
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    log = events_cdc_log(ev).filter(
+        F.col("ts") <= F.lit(EVENTS_SNAPSHOT_T0).cast("timestamp")
+    )
+    snap = snapshot_asof(log, "user_id", ["ts", "event_id"])
+    write_bucketed(
+        snap,
+        table,
+        ["user_id"],
+        num_buckets=num_buckets,
+        sort_keys=["user_id"],
+        path=str(path),
+    )
+    return table
+
+
+def ensure_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture dir) the canonical nation trade-
+    graph edge list ``(ea < eb, vol)`` — the shared derivation under all
+    eight u9_* graph entries (VERDICT r13 #5: it cost ~1.0 s warm at the
+    32× probe and was recomputed per query; it is a deterministic
+    function of lineitem/orders/customer/supplier, so it is a layout,
+    not a per-query plan). ≤ nations² rows, written as one parquet file
+    under the ``part/`` scratch family (plain _SUCCESS validation — the
+    frame is too small for bucketing to mean anything). The derivation
+    itself keeps the round-12 lean shape: dims broadcast onto their
+    fact sides, the one data-proportional join riding the load-time
+    bucketed (lineitem, orders) layout, then a map-side-combined pair
+    census. The path encodes a derivation version: if the census
+    definition ever changes, v-bump so stale layouts can never grade
+    wrong values (the Q21_DELTA_TAG lesson)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..sources.partitioned import _scratch_root
+    from ..sources.readers import load_tables
+
+    tag = Path(sf_dir).name.replace(".", "_").replace("-", "_")
+    table = f"ntp_v1_{tag}"
+    path = _scratch_root() / "part" / Path(sf_dir).name / "nation_trade_pairs_v1"
+    if spark.catalog.tableExists(table):
+        if (path / "_SUCCESS").exists():
+            return table
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if (path / "_SUCCESS").exists():
+        ddl = spark.read.parquet(str(path)).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet LOCATION '{path}'"
+        )
+        return table
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    li_t, ord_t = ensure_bucketed_pair(spark, sf_dir)
+    li = (
+        spark.table(li_t)
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            broadcast_if_dim(
+                t["supplier"].select("s_suppkey", "s_nationkey"),
+                bounded=False,
+                why="SF-proportional dim; AQE decides",
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select("l_orderkey", "s_nationkey")
+    )
+    orders = (
+        spark.table(ord_t)
+        .select("o_orderkey", "o_custkey")
+        .join(
+            broadcast_if_dim(
+                t["customer"].select("c_custkey", "c_nationkey"),
+                bounded=False,
+                why="SF-proportional dim; AQE decides",
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("o_orderkey", "c_nationkey")
+    )
+    pairs = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("ea"),
+            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
+        )
+        .agg(F.count(F.lit(1)).alias("vol"))
+        .coalesce(1)
+    )
+    pairs.write.mode("overwrite").option("path", str(path)).saveAsTable(table)
+    return table
+
+
+#: IVF index spec (round-14, VERDICT r13 #4): centroid count and the
+#: base/delta split modulus, encoded into every path and table name —
+#: changing either must never re-register layouts built under the old
+#: spec (the Q21_DELTA_TAG lesson). vec_id % IVF_DELTA_MOD == 0 rows are
+#: the "arrived after the index build" stand-in (the doc_id % 97 split
+#: pattern); the index is built on the other 90%.
+IVF_NUM_CENTROIDS = 16
+IVF_DELTA_MOD = 10
+_IVF_TAG = f"v1_k{IVF_NUM_CENTROIDS}_d{IVF_DELTA_MOD}"
+
+
+def ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> tuple[str, str]:
+    """Materialize (once per fixture dir) the persisted IVF index the
+    u7 family queries against (VERDICT r13 #4): until round 13 every
+    IVF entry recomputed centroids + assignments per run — at 100 TB
+    the index is a MAINTAINED LAYOUT, not a per-query derivation.
+
+    Two tables, returned as ``(centroids, assignments)``:
+
+    - centroids (``part/`` family, k rows): deterministic hash-spread
+      seed set (operators/similarity.sample_centroids) over the BASE
+      corpus — vec_id % IVF_DELTA_MOD != 0; the held-out tenth is the
+      post-build arrivals stand-in that u7_ivf_persisted routes to
+      these centroids at read time (the append-buffer every real ANN
+      deployment keeps between compactions).
+    - assignments (``bucketed/`` family): (vec_id, embedding,
+      centroid_id) for the base corpus, bucketed AND sorted by
+      centroid_id, one file per bucket — the probe equi-join on
+      centroid_id rides this distribution, so a query touches only the
+      nprobe lists' buckets and never reshuffles the corpus.
+
+    Same layout-safety contract as ensure_q21_preagg: paths and table
+    names encode the spec tag and bucket count; _SUCCESS + baked-in
+    bucket ids are re-verified before any re-registration.
+    """
+    from pathlib import Path
+
+    from ..sources.partitioned import _scratch_root
+    from ..sources.readers import load_tables
+    from .similarity import assign_centroids, sample_centroids
+
+    fixture = Path(sf_dir).name
+    tag = f"{fixture}_b{num_buckets}".replace(".", "_").replace("-", "_")
+    cent_table = f"ivf_centroids_{_IVF_TAG}_{tag}"
+    asg_table = f"bkt_ivf_assign_{_IVF_TAG}_{tag}"
+    cent_path = _scratch_root() / "part" / fixture / f"ivf_centroids_{_IVF_TAG}"
+    asg_path = (
+        _scratch_root() / "bucketed" / f"{fixture}_b{num_buckets}" / f"ivf_assign_{_IVF_TAG}"
+    )
+
+    cent_ok = spark.catalog.tableExists(cent_table) and (
+        cent_path / "_SUCCESS"
+    ).exists()
+    asg_ok = spark.catalog.tableExists(asg_table) and (
+        asg_path / "_SUCCESS"
+    ).exists()
+    if cent_ok and asg_ok:
+        return cent_table, asg_table
+    for tbl in (cent_table, asg_table):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    if (cent_path / "_SUCCESS").exists():
+        ddl = spark.read.parquet(str(cent_path)).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {cent_table} ({ddl}) USING parquet "
+            f"LOCATION '{cent_path}'"
+        )
+    else:
+        base = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].filter(
+            F.col("vec_id") % IVF_DELTA_MOD != 0
+        )
+        sample_centroids(base, IVF_NUM_CENTROIDS).coalesce(1).write.mode(
+            "overwrite"
+        ).option("path", str(cent_path)).saveAsTable(cent_table)
+
+    if (asg_path / "_SUCCESS").exists() and _bucket_files_match(
+        asg_path, num_buckets
+    ):
+        ddl = spark.read.parquet(str(asg_path)).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {asg_table} ({ddl}) USING parquet "
+            f"CLUSTERED BY (centroid_id) SORTED BY (centroid_id) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{asg_path}'"
+        )
+    else:
+        base = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].filter(
+            F.col("vec_id") % IVF_DELTA_MOD != 0
+        )
+        assigned = assign_centroids(base, spark.table(cent_table))
+        write_bucketed(
+            assigned,
+            asg_table,
+            ["centroid_id"],
+            num_buckets=num_buckets,
+            sort_keys=["centroid_id"],
+            path=str(asg_path),
+        )
+    return cent_table, asg_table

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import clean_text, doc_fingerprint, tokens
+from .joins import broadcast_if_dim
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
@@ -105,7 +106,7 @@ def shingle_index(
         .filter(F.col("_df") > max_doc_freq)
         .select("shingle")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh.join(broadcast_if_dim(hot, bounded=False, why="hot-set cardinality grows with the corpus; AQE decides"), "shingle", "left_anti")
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -330,7 +331,7 @@ def _minhash_core(
     if max_bucket_size is not None:
         report = _hot_bucket_report(banded_idx, max_bucket_size)
         hot = report.select("band", "band_sig")
-        banded = banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
+        banded = banded.join(broadcast_if_dim(hot, bounded=False, why="hot-set cardinality grows with the corpus; AQE decides"), ["band", "band_sig"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     cands = (
@@ -559,7 +560,7 @@ def minhash_md5_pairs(
             .filter(F.col("bucket_size") > max_bucket_size)
             .select("band", "band_key")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+        banded = banded.join(broadcast_if_dim(hot, bounded=False, why="hot-set cardinality grows with the corpus; AQE decides"), ["band", "band_key"], "left_anti")
     left, right = banded.alias("l"), banded.alias("r")
     cands = (
         left.join(
@@ -977,7 +978,7 @@ def embedding_dup_pairs(
             .filter(F.col("bucket_size") > max_bucket_size)
             .select("band", "band_sig")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
+        banded = banded.join(broadcast_if_dim(hot, bounded=False, why="hot-set cardinality grows with the corpus; AQE decides"), ["band", "band_sig"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
@@ -1123,7 +1124,7 @@ def embedding_dup_md5_pairs(
             .filter(F.col("bucket_size") > max_bucket_size)
             .select("band", "band_sig")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "band_sig"], "left_anti")
+        banded = banded.join(broadcast_if_dim(hot, bounded=False, why="hot-set cardinality grows with the corpus; AQE decides"), ["band", "band_sig"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
@@ -1373,7 +1374,7 @@ def shared_span_pairs(
             .filter(F.col("_df") > max_doc_freq)
             .select("fp")
         )
-        sel = sel.join(F.broadcast(hot), "fp", "left_anti")
+        sel = sel.join(broadcast_if_dim(hot, bounded=False, why="hot-set cardinality grows with the corpus; AQE decides"), "fp", "left_anti")
     a = sel.select(F.col(id_col).alias("doc_a"), F.col("fp").alias("fp_a"))
     b = sel.select(F.col(id_col).alias("doc_b"), F.col("fp").alias("fp_b"))
     return (
@@ -1419,7 +1420,7 @@ def shared_span_regions(
             .filter(F.col("_df") > max_doc_freq)
             .select("fp")
         )
-        sel = sel.join(F.broadcast(hot), "fp", "left_anti")
+        sel = sel.join(broadcast_if_dim(hot, bounded=False, why="hot-set cardinality grows with the corpus; AQE decides"), "fp", "left_anti")
     a = sel.select(
         F.col(id_col).alias("doc_a"), F.col("fp").alias("fp_a"), F.col("pos").alias("pos_a")
     )
@@ -1477,7 +1478,7 @@ def shared_span_pairs_incremental(
             .filter(F.col("_df") > max_doc_freq)
             .select("fp")
         )
-        corpus_prints = corpus_prints.join(F.broadcast(hot), "fp", "left_anti")
+        corpus_prints = corpus_prints.join(broadcast_if_dim(hot, bounded=False, why="hot-set cardinality grows with the corpus; AQE decides"), "fp", "left_anti")
     n = new_prints.select(F.col(id_col).alias("new_id"), F.col("fp").alias("fp_n"))
     c = corpus_prints.select(
         F.col(id_col).alias("corpus_id"), F.col("fp").alias("fp_c")

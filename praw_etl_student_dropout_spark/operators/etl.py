@@ -196,3 +196,65 @@ def snapshot_asof(log, key: str, order: list[str], op_col: str = "op"):
     return last.filter(F.col("__last.__op") != "D").select(
         key, *[F.col(f"__last.{c}").alias(c) for c in order + payload]
     )
+
+
+def snapshot_merge_delta(
+    snapshot, delta_log, key: str, order: list[str], op_col: str = "op"
+):
+    """Advance a materialized :func:`snapshot_asof` state from T0 to T1
+    by folding ONLY the (T0, T1] changelog delta — the maintenance half
+    of the time-travel read (the lakehouse MERGE a snapshot refresh
+    compiles to; same incremental contract as the q21 MV delta refresh).
+
+    ``snapshot`` holds the state AS OF T0 (key + order + payload
+    columns, no op — exactly :func:`snapshot_asof`'s output);
+    ``delta_log`` holds raw change rows STRICTLY after T0 and
+    at-or-before T1, same columns as the original log. Per key the
+    delta's last row (by ``order``, ties by the I<U<D op rank —
+    tombstone-conservative, same contract as :func:`snapshot_asof`)
+    decides: a trailing delete drops the key, any other op's payload
+    replaces (or inserts) the state row, and keys untouched by the
+    delta pass through byte-identical. No order comparison against the
+    T0 row is needed: every delta row is strictly later, so the
+    delta's last row always wins — which is what makes the fold a
+    plain full-outer merge instead of a re-sort of history.
+
+    Scale shape: one key shuffle of the DELTA (max_by partials — cost
+    proportional to rows changed, not table size) + one join against
+    the snapshot; with the snapshot bucketed by key the join is
+    exchange-free on the snapshot side. Equivalence
+    ``merge(snapshot(T0), delta) == snapshot(T1)`` is pinned in
+    tests/test_sinks_etl.py and graded against the full AS-OF oracle
+    at T1 (etl_snapshot_refresh).
+    """
+    from pyspark.sql import functions as F
+
+    payload = [
+        c for c in delta_log.columns if c not in (key, op_col) and c not in order
+    ]
+    cols = order + payload
+    missing = [c for c in cols if c not in snapshot.columns]
+    if missing:
+        raise ValueError(f"snapshot is missing delta columns: {missing}")
+    op_rank = (
+        F.when(F.col(op_col) == "I", 0)
+        .when(F.col(op_col) == "U", 1)
+        .when(F.col(op_col) == "D", 2)
+        .otherwise(3)
+    )
+    order_key = F.struct(*[F.col(c) for c in order], op_rank.alias("__op_rank"))
+    carried = F.struct(
+        F.col(op_col).alias("__op"), *[F.col(c) for c in cols]
+    )
+    last = delta_log.groupBy(key).agg(F.max_by(carried, order_key).alias("__d"))
+    merged = snapshot.join(last, key, "full_outer")
+    in_delta = F.col("__d").isNotNull()
+    return merged.filter(
+        ~(in_delta & (F.col("__d.__op") == "D"))
+    ).select(
+        key,
+        *[
+            F.when(in_delta, F.col(f"__d.{c}")).otherwise(F.col(c)).alias(c)
+            for c in cols
+        ],
+    )

@@ -21,6 +21,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def broadcast_if_dim(df: DataFrame, *, bounded: bool, why: str) -> DataFrame:
+    """Size-guarded broadcast hint — the single policy choke-point for
+    build-side hints (r13 VERDICT #1).
+
+    An explicit ``F.broadcast`` hint OVERRIDES
+    ``spark.sql.autoBroadcastJoinThreshold``: Spark will attempt the
+    broadcast at ANY size and OOM the driver instead of demoting to a
+    shuffle join. That is safe only when the frame's row count is
+    BOUNDED — independent of scale factor: nation/region (fixed
+    domains), scalar aggregates (1 row), post-``limit(k)`` frames,
+    bounded-domain group-bys (event_type, year, bin). Tables that grow
+    with the data (customer, part, supplier, orders, lineitem,
+    documents, embeddings, events) must NOT be force-hinted: at the
+    100 TB mandate customer is ~10⁹ rows and the hint turns a plan
+    choice into a crash. For those, pass ``bounded=False`` — the frame
+    is returned unhinted and AQE's runtime size check decides (at
+    fixture SFs it re-derives the same BroadcastHashJoin from the
+    10 MB threshold; at scale it demotes to shuffle, which is the
+    point).
+
+    ``why`` documents the call-site judgment (it is not used at
+    runtime); ``tools/plan_audit.py`` enforces the policy on every
+    catalog entry's optimized plan, so a raw ``F.broadcast`` on a
+    scaling base anywhere in the catalog fails the audit.
+    """
+    del why  # documentation-only
+    return F.broadcast(df) if bounded else df
+
+
 def star_join(
     fact: DataFrame,
     dims: list[tuple[DataFrame, list[str] | F.Column]],

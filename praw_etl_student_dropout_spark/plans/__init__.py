@@ -189,63 +189,81 @@ def catalog_all():
 #:       the r6 batch waits for rotation #11. All 50 verified this round
 #:       at sf0.001 + sf0.01 + TZ=Asia/Tokyo + foreign-cwd before
 #:       shipping.
+#:   r14 (rotation #11 — pure freshness, VERDICT r13 #2: the hard-signal
+#:       pool is empty, so slots cycle oldest-latest-grade first):
+#:       slots 1-3 are the r14-new maintenance rungs (etl_snapshot_refresh
+#:       — VERDICT r13 #6, u7_ivf_persisted — #4, q25_association_rules —
+#:       #7; the slot-1 same-round precedent q21_preagg_colocation/
+#:       q21_preagg_refresh set in r12/r13). Slots 4-8: the r13-new five,
+#:       first driver grades (a69_kruskal_wallis, a70_weighted_quantiles,
+#:       a71_psi_drift, q24_itemset_triples, etl_snapshot_asof). Then the
+#:       r6 vintage ×9 and the r7 vintage ×8 complete-batch, and 23 of
+#:       the r8 vintage ×45 (the other 22 wait for rotation #12), chosen
+#:       to re-grade the rows this round's broadcast-hint conversion
+#:       touched (j3_anti_join — also re-pointed at a non-empty result
+#:       per VERDICT r13 #3 — j2, q5, q8) and to keep ≥1 freshness row
+#:       per LLM family (VERDICT r12 #5): dedup d3_exact_dedup +
+#:       d3_minhash_md5, ANN u7_ivf_persisted, graph u9_clustering_coeff
+#:       (r9 — oldest graph grade, also hint-converted), multimodal
+#:       multimodal_meta (r9 — its oldest member), curation
+#:       llm_curation_funnel/llm_corpus_build/llm_quality_classifier.
+#:       All 50 verified this round at sf0.001 + sf0.01 + TZ=Asia/Tokyo
+#:       + foreign-cwd before shipping.
 GRADED_PREFIX = [
-    # r13-new: the q21 incremental-MV maintenance rung (VERDICT r12 #4)
-    "q21_preagg_refresh",
-    # the 5 r12-new widening ops (never driver-graded)
-    "t14_topk_dense_ties",
-    "st7_session_gaps",
-    "sample_reservoir_merge",
-    "t15_decile_profile",
-    "u9_bfs_levels",
-    # the 5 held-back leftovers — closes the never-graded pool to the
-    # two declared-terminal rows-only entries
-    "a10b_grouping_sets",
-    "a19_bitwise_agg",
-    "a22_listagg",
-    "a37_winsorize",
-    "a43_grouped_mad",
-    # LLM-mandate freshness rows (VERDICT r12 #5), oldest grades first
-    "d3_dup_clusters",
-    "d3_ngram_jaccard",
-    "llm_leakage_safe_split",
-    "u7_bm25_topk",
-    "d3_shared_span_pairs",
-    "u7_knn_bruteforce",
-    "u8_decontaminate",
-    "u10_tfidf_topterms",
-    "multimodal_features",
-    "u6_gopher_rules",
-    # longest-unrotated greens: latest grade r3
-    "a10_cube",
-    "d1_union",
-    "d4_except",
-    "doc_sentiment_pivot",
-    "f11_regex_extract_all",
-    "f7_f8_round_arith",
-    "f9b_variant_extract",
-    "j4_full_outer",
-    "j4_theta_join",
-    "t2_sorted_distinct",
-    # latest grade r4
-    "a10_rollup",
-    "a1_group_count",
-    "a2_group_count_2key",
-    "a8_distinct",
-    "d4_intersect",
-    "f5_year_extract",
-    "f9_from_json_struct",
-    "j4_semi_join",
-    "p3_regex_flag",
-    "w2_lag_delta",
-    # latest grade r5
-    "a16_stats_moments",
-    "a24_salted_hot_key_agg",
-    "a25_incremental_agg",
-    "etl_scd2_dim",
-    "f15_datetime_family",
-    "q10_returned_revenue",
-    "q9_product_profit",
-    "t6_gapfill_monthly",
-    "w5_rank_family",
+    # r14-new maintenance rungs (VERDICT r13 #6 / #4 / #7)
+    "etl_snapshot_refresh",
+    "u7_ivf_persisted",
+    "q25_association_rules",
+    # the r13-new five — first driver grades
+    "a69_kruskal_wallis",
+    "a70_weighted_quantiles",
+    "a71_psi_drift",
+    "q24_itemset_triples",
+    "etl_snapshot_asof",
+    # r6 vintage (complete batch of 9)
+    "a12_percentiles",
+    "etl_changelog_compact",
+    "q13_order_distribution",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "sql_recursive_hierarchy",
+    "st3_tumbling_window",
+    "st6_attribution_batch",
+    "u11_unigram_logprob",
+    # r7 vintage (complete batch of 8)
+    "a40_kmv_setops",
+    "d3b_fuzzy_blocked",
+    "d3c_entity_resolution",
+    "j10_bloom_semi_reduction",
+    "llm_mixture_temperature",
+    "llm_quality_classifier",
+    "q21_waiting_supplier",
+    "u11_trigram_backoff",
+    # oldest graph + multimodal freshness (latest grade r9)
+    "u9_clustering_coeff",
+    "multimodal_meta",
+    # r8 vintage (23 of 45; broadcast-conversion re-grades first)
+    "j3_anti_join",
+    "j2_surrogate_key_swap",
+    "q5_region_volume",
+    "q8_market_share",
+    "j11_salted_skew_join",
+    "j5_asof_join",
+    "j6_range_join",
+    "d3_exact_dedup",
+    "d3_minhash_md5",
+    "llm_corpus_build",
+    "llm_curation_funnel",
+    "u6_lang_id",
+    "u6_quality_score",
+    "u6_text_stats",
+    "u2_sentiment_pandas_udf",
+    "u5_grouped_udaf",
+    "st4_session_window",
+    "t8_resample_interp",
+    "a14_event_funnel",
+    "a4_q1_pricing_summary",
+    "f9_json_extract",
+    "w13_rolling_median",
+    "sql_interface_star",
 ]

@@ -36,7 +36,12 @@ from ..operators.aggregations import (
     mode_of,
 )
 from ..operators.etl import build_dim, build_fact
-from ..operators.joins import anti_join_new_keys, join_on_keys, theta_join
+from ..operators.joins import (
+    anti_join_new_keys,
+    broadcast_if_dim,
+    join_on_keys,
+    theta_join,
+)
 from ..operators.setops import dedup_by_key, except_keys, intersect_keys, union_all
 from ..operators.windows import global_top_k, running_agg, top_k_per_group, with_lag
 from ..sources.readers import load_tables
@@ -1243,7 +1248,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = (
         t["lineitem"]
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast_if_dim(sup, bounded=False, why="supplier slice, SF-proportional"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey", "n_name")
     )
     ords = (
@@ -2210,7 +2215,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_9"))
     joined = (
         t["lineitem"]
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -2308,7 +2313,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_dim(t["part"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(
                 F.sum(
@@ -2366,7 +2371,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_dim(t["part"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.round(F.sum(rev), 2).alias("revenue"),
@@ -2769,10 +2774,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            broadcast_if_dim(t["part"].filter(F.col("p_type") == "ECONOMY"), bounded=False, why="constant-share filter, still SF-proportional"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -2832,10 +2837,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            broadcast_if_dim(t["part"].filter(F.col("p_name").like("%red%")), bounded=False, why="constant-share filter, still SF-proportional"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -2936,7 +2941,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     vals = t["lineitem"].join(
-        F.broadcast(nation_suppliers), F.col("s_suppkey") == F.col("l_suppkey")
+        broadcast_if_dim(nation_suppliers, bounded=False, why="supplier slice, SF-proportional"), F.col("s_suppkey") == F.col("l_suppkey")
     ).select(
         "l_partkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
@@ -2983,9 +2988,9 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     complaints = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_dim(parts, bounded=False, why="part slice, SF-proportional"), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(complaints),
+            broadcast_if_dim(complaints, bounded=False, why="supplier slice, SF-proportional"),
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_anti",
         )
@@ -3033,7 +3038,7 @@ def q21_plan(li: DataFrame, ord_f: DataFrame, nation_sup: DataFrame) -> DataFram
         & (F.col("n_late_supp") == 1)
     )
     named = sole.join(
-        F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey")
+        broadcast_if_dim(nation_sup, bounded=False, why="supplier slice, SF-proportional"), F.col("s_suppkey") == F.col("l_suppkey")
     )
     return named.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
 
@@ -3182,8 +3187,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(sliced), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast_if_dim(sliced, bounded=False, why="part slice, SF-proportional"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             mins,
             (F.col("m_partkey") == F.col("l_partkey"))
@@ -3230,7 +3235,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+            broadcast_if_dim(t["part"].filter(F.col("p_name").like("%red%")), bounded=False, why="constant-share filter, still SF-proportional"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey")
@@ -4259,7 +4264,7 @@ def a21_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a22_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "orders", "customer")
     joined = t["orders"].join(
-        F.broadcast(t["customer"]),
+        broadcast_if_dim(t["customer"], bounded=False, why="SF-proportional dim; AQE decides"),
         t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
     )
     return joined.groupBy("o_orderpriority").agg(
@@ -5789,6 +5794,16 @@ def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exploding every basket's C(n,3) triples through a shuffle.",
 )
 def q24_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _basket_itemsets(spark, sf_dir)[2]
+
+
+def _basket_itemsets(spark: SparkSession, sf_dir: str):
+    """Shared Apriori machinery for q24 (frequent triples) and q25
+    (association rules): returns ``(items, thr, l3)`` — the distinct
+    (basket, category-item) frame, the 1-row relative-minsup frame, and
+    the thresholded triple counts (item_a, item_b, item_c, n_orders).
+    Plan-shape rationale and probe history live on the q24 docstring.
+    """
     from .cache_registry import track
 
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
@@ -5861,12 +5876,130 @@ def q24_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ib").alias("item_b"),
         F.col("ic").alias("item_c"),
     )
-    return (
+    l3 = (
         occ.groupBy("item_a", "item_b", "item_c")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .crossJoin(F.broadcast(thr))
         .filter(F.col("n_orders") >= F.col("minsup"))
         .select("item_a", "item_b", "item_c", "n_orders")
+    )
+    return items, thr, l3
+
+
+@register(
+    "q25_association_rules",
+    "Q24 ⊕ (association rules with support/confidence/lift)",
+    """
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS k, l_partkey % 200 AS i FROM lineitem
+    ),
+    thr AS MATERIALIZED (
+      SELECT greatest(3, CAST(floor(count(DISTINCT k) / 5000.0) AS BIGINT))
+             AS minsup,
+             CAST(count(DISTINCT k) AS BIGINT) AS n_baskets
+      FROM items
+    ),
+    l3 AS MATERIALIZED (
+      SELECT a.i AS ia, b.i AS ib, c.i AS ic,
+             CAST(count(*) AS BIGINT) AS n3
+      FROM items a
+      JOIN items b ON a.k = b.k AND a.i < b.i
+      JOIN items c ON c.k = a.k AND c.i > b.i
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= (SELECT minsup FROM thr)
+    ),
+    l2 AS (
+      SELECT a.i AS x, b.i AS y, CAST(count(*) AS BIGINT) AS n2
+      FROM items a JOIN items b ON a.k = b.k AND a.i < b.i
+      GROUP BY 1, 2
+    ),
+    l1 AS (SELECT i, CAST(count(*) AS BIGINT) AS n1 FROM items GROUP BY 1),
+    rules AS (
+      SELECT ia AS ante_a, ib AS ante_b, ic AS conseq, n3 FROM l3
+      UNION ALL SELECT ia, ic, ib, n3 FROM l3
+      UNION ALL SELECT ib, ic, ia, n3 FROM l3
+    )
+    SELECT r.ante_a, r.ante_b, r.conseq,
+           r.n3 AS n_abc, l2.n2 AS n_ante, l1.n1 AS n_conseq,
+           round(r.n3 * 1.0 / l2.n2, 6) AS confidence,
+           round(CAST(r.n3 * t.n_baskets AS DOUBLE) / (l2.n2 * l1.n1), 6)
+             AS lift
+    FROM rules r
+    JOIN l2 ON l2.x = r.ante_a AND l2.y = r.ante_b
+    JOIN l1 ON l1.i = r.conseq
+    CROSS JOIN thr t
+    """,
+    doc="Association rules over q24's frequent triples (VERDICT r13 "
+    "#7) — the operator every basket pipeline actually ships: each "
+    "frequent triple {a,b,c} yields its three pair→item rules "
+    "(a,b)→c, (a,c)→b, (b,c)→a with confidence = supp(abc)/supp(ante) "
+    "and lift = confidence / (supp(conseq)/N). Reuses the shared "
+    "Apriori machinery (_basket_itemsets: same tracked items frame, "
+    "same relative minsup), then everything downstream is "
+    "DOMAIN-bounded: pair supports (≤ C(200,2) rows — the category "
+    "roll-up caps the item domain at 200) and item supports (≤ 200) "
+    "broadcast onto the unpivoted rule frame, so no basket is "
+    "rescanned and nothing data-proportional shuffles after L3. "
+    "Antecedent pairs inherit (x < y) canonical order from the triple "
+    "(ia<ib<ic), so every rule finds its support in one equi-join. "
+    "All three stats are EXACT integer ratios rounded once: "
+    "confidence = n3/n2 and lift = (n3·N)/(n2·n1), each ONE double "
+    "division of exact BIGINTs (bit-identical across engines; "
+    "products < 2⁶³ through the 32× probe and far beyond — n3·N tops "
+    "out near 10¹⁸ only past ~10⁹ baskets with maximal supports, "
+    "where the category roll-up would be re-cut anyway).",
+)
+def q25_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .cache_registry import track
+
+    items, thr, l3 = _basket_itemsets(spark, sf_dir)
+    # l3 feeds the three unpivoted rule branches — one tracked persist
+    # instead of three replays of the whole Apriori chain
+    l3 = track(l3)
+    a = items.select("k", F.col("i").alias("x"))
+    b = items.select(F.col("k").alias("k2"), F.col("i").alias("y"))
+    l2c = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_ante"))
+    )
+    l1c = items.groupBy("i").agg(F.count(F.lit(1)).alias("n_conseq"))
+    nb = items.agg(F.count_distinct(F.col("k")).alias("n_baskets"))
+    branches = [
+        l3.select(
+            F.col(p[0]).alias("ante_a"),
+            F.col(p[1]).alias("ante_b"),
+            F.col(p[2]).alias("conseq"),
+            F.col("n_orders").alias("n_abc"),
+        )
+        for p in (
+            ("item_a", "item_b", "item_c"),
+            ("item_a", "item_c", "item_b"),
+            ("item_b", "item_c", "item_a"),
+        )
+    ]
+    rules = branches[0].unionByName(branches[1]).unionByName(branches[2])
+    out = (
+        rules.join(
+            F.broadcast(l2c),
+            (F.col("ante_a") == F.col("x")) & (F.col("ante_b") == F.col("y")),
+        )
+        .join(F.broadcast(l1c), F.col("conseq") == F.col("i"))
+        .crossJoin(F.broadcast(nb))
+    )
+    return out.select(
+        "ante_a",
+        "ante_b",
+        "conseq",
+        "n_abc",
+        "n_ante",
+        "n_conseq",
+        F.round(F.col("n_abc") * 1.0 / F.col("n_ante"), 6).alias("confidence"),
+        F.round(
+            (F.col("n_abc") * F.col("n_baskets")).cast("double")
+            / (F.col("n_ante") * F.col("n_conseq")),
+            6,
+        ).alias("lift"),
     )
 
 
@@ -5906,7 +6039,7 @@ def a31_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "orders", "customer", "nation", "region")
     rev = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_dim(t["customer"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -6285,6 +6418,73 @@ def etl_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return snapshot_asof(log, "user_id", ["ts", "event_id"]).select(
+        "user_id",
+        "ts",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+@register(
+    "etl_snapshot_refresh",
+    "ETL ⊕ (incremental snapshot refresh: advance T0 state by the (T0, T1] delta)",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC,
+          CASE op WHEN 'I' THEN 0 WHEN 'U' THEN 1
+                  WHEN 'D' THEN 2 ELSE 3 END DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, ts, CAST(event_id AS BIGINT) AS event_id,
+           CAST(value AS DOUBLE) AS value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="The maintenance half of etl_snapshot_asof (VERDICT r13 #6): "
+    "the T0 snapshot is a PERSISTED layout "
+    "(operators/bucketing.ensure_events_snapshot — bucketed by "
+    "user_id, T0 and bucket count encoded in the path) and advancing "
+    "it to T1 folds ONLY the (T0, T1] changelog delta "
+    "(operators/etl.snapshot_merge_delta): per key the delta's last "
+    "row — (ts, event_id) order, I<U<D tie rank, same "
+    "tombstone-conservative contract as snapshot_asof — deletes, "
+    "replaces, or inserts the state row; untouched keys pass through "
+    "from the snapshot scan. No order comparison against T0 rows is "
+    "needed (every delta row is strictly later), so the fold is one "
+    "delta-sized max_by shuffle + one join that rides the snapshot's "
+    "bucket layout — cost ∝ rows changed (17% of events in (T0, T1] "
+    "at every SF), never ∝ table size, the MV2 merge pattern applied "
+    "to the CDC family. The ORACLE is the full AS-OF SQL at T1 over "
+    "the raw changelog, so every grade proves "
+    "merge(snapshot(T0), delta) == snapshot(T1) value-exactly.",
+)
+def etl_snapshot_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bucketing import (
+        EVENTS_SNAPSHOT_T0,
+        ensure_events_snapshot,
+        events_cdc_log,
+    )
+    from ..operators.etl import snapshot_merge_delta
+
+    t1 = "2024-01-25 00:00:00"
+    snap0 = spark.table(ensure_events_snapshot(spark, sf_dir))
+    ev = _t(spark, sf_dir, "events")["events"]
+    delta = events_cdc_log(ev).filter(
+        (F.col("ts") > F.lit(EVENTS_SNAPSHOT_T0).cast("timestamp"))
+        & (F.col("ts") <= F.lit(t1).cast("timestamp"))
+    )
+    return snapshot_merge_delta(
+        snap0, delta, "user_id", ["ts", "event_id"]
+    ).select(
         "user_id",
         "ts",
         F.col("event_id").cast("long").alias("event_id"),
@@ -6908,7 +7108,7 @@ def a45_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         t["lineitem"]
         .join(
-            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            broadcast_if_dim(t["supplier"].select("s_suppkey", "s_nationkey"), bounded=False, why="SF-proportional dim; AQE decides"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .groupBy("s_nationkey", "l_suppkey")
@@ -9756,7 +9956,7 @@ def q21_preagg_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_late_supp") == 1)
     )
     named = sole.join(
-        F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey")
+        broadcast_if_dim(nation_sup, bounded=False, why="supplier slice, SF-proportional"), F.col("s_suppkey") == F.col("l_suppkey")
     )
     return named.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
 
@@ -9841,7 +10041,7 @@ def q21_preagg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_late_supp") == 1)
     )
     named = sole.join(
-        F.broadcast(nation_sup), F.col("s_suppkey") == F.col("l_suppkey")
+        broadcast_if_dim(nation_sup, bounded=False, why="supplier slice, SF-proportional"), F.col("s_suppkey") == F.col("l_suppkey")
     )
     return named.groupBy("s_name").agg(F.sum("late_rows").alias("numwait"))
 

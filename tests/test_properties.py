@@ -1331,3 +1331,91 @@ def test_psi_drift_hand_computed(spark, tmp_path):
         (1, 1, 3, 0.306414, 1.03338),
         (9, 0, 1, 0.0, 1.03338),
     ]
+
+
+def test_snapshot_merge_delta_equals_full_asof(spark):
+    """snapshot_merge_delta on a hand-built changelog split at T0=25:
+    merge(snapshot_asof(<=T0), delta) == snapshot_asof(full) across
+    every transition class — update in delta, delete in delta,
+    insert-after-T0, untouched key, and a key tombstoned before T0 then
+    re-inserted by the delta."""
+    from praw_etl_student_dropout_spark.operators.etl import (
+        snapshot_asof,
+        snapshot_merge_delta,
+    )
+
+    rows = [
+        # key 1: I@10 then delta U@30 -> delta payload
+        (1, 10, "I", "a0"), (1, 30, "U", "a1"),
+        # key 2: I@10 then delta D@40 -> gone
+        (2, 10, "I", "b0"), (2, 40, "D", "b1"),
+        # key 3: only in delta (I@35) -> inserted
+        (3, 35, "I", "c0"),
+        # key 4: untouched by delta -> T0 row passes through
+        (4, 20, "U", "d0"),
+        # key 5: tombstoned before T0 (D@15), re-inserted by delta
+        (5, 5, "I", "e0"), (5, 15, "D", "e1"), (5, 45, "I", "e2"),
+        # key 6: two delta rows, later one wins
+        (6, 12, "I", "f0"), (6, 30, "U", "f1"), (6, 50, "U", "f2"),
+    ]
+    log = spark.createDataFrame(rows, ["k", "seq", "op", "payload"])
+    t0 = 25
+    snap0 = snapshot_asof(log.filter(F.col("seq") <= t0), "k", ["seq"])
+    delta = log.filter(F.col("seq") > t0)
+    merged = {
+        r.k: (r.seq, r.payload)
+        for r in snapshot_merge_delta(snap0, delta, "k", ["seq"]).collect()
+    }
+    full = {
+        r.k: (r.seq, r.payload)
+        for r in snapshot_asof(log, "k", ["seq"]).collect()
+    }
+    assert merged == full
+    assert merged == {
+        1: (30, "a1"), 3: (35, "c0"), 4: (20, "d0"),
+        5: (45, "e2"), 6: (50, "f2"),
+    }
+    # empty delta: the snapshot passes through unchanged
+    empty = spark.createDataFrame([], log.schema)
+    again = {
+        r.k: (r.seq, r.payload)
+        for r in snapshot_merge_delta(snap0, empty, "k", ["seq"]).collect()
+    }
+    assert again == {
+        r.k: (r.seq, r.payload) for r in snap0.collect()
+    }
+
+
+def test_association_rules_hand_computed(spark, tmp_path):
+    """q25 on the q24 fixture: the single frequent triple {1,2,3}
+    (n3=3) yields exactly its three rules; supports n2(1,2)=4,
+    n2(1,3)=n2(2,3)=3, n1(1)=n1(2)=4, n1(3)=3, N=4 baskets —
+    (1,2)->3: conf 3/4, lift (3·4)/(4·3)=1.0; (1,3)->2: conf 1.0,
+    lift (3·4)/(3·4)=1.0; (2,3)->1: conf 1.0, lift 1.0."""
+    import datetime
+
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    ship = datetime.datetime(2000, 1, 1)
+    rows = [
+        (k, p, ship)
+        for k, p in [
+            (1, 1), (1, 2), (1, 3), (1, 201),
+            (2, 1), (2, 2), (2, 3),
+            (3, 1), (3, 2), (3, 3), (3, 1),
+            (4, 1), (4, 2), (4, 4),
+        ]
+    ]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey", "l_shipdate"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = sorted(
+        tuple(r)
+        for r in catalog_all()["q25_association_rules"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    assert out == [
+        (1, 2, 3, 3, 4, 3, 0.75, 1.0),
+        (1, 3, 2, 3, 3, 4, 1.0, 1.0),
+        (2, 3, 1, 3, 3, 4, 1.0, 1.0),
+    ]

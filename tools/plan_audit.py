@@ -42,6 +42,7 @@ EXPECTED_NESTED_LOOP = {
     "u7_radius_search",  # broadcast query crossJoin, the brute-force scoring shape (r8)
     "llm_hard_negatives",  # broadcast query crossJoin, the brute-force scoring shape (r7)
     "u7_knn_ivf",
+    "u7_ivf_persisted",
     "u7_kmeans_ivf",
     "u7_text_search_hashed",
     "u7_pq_adc_topk",
@@ -75,6 +76,7 @@ EXPECTED_NESTED_LOOP = {
     "a70_weighted_quantiles",  # 1-row total + 5-row quantile-spec cross joins on the bucket frame (r13)
     "a71_psi_drift",           # 1-row period-totals broadcast cross join (r13)
     "q24_itemset_triples",     # 1-row relative-minsup scalar broadcast cross joins (r13)
+    "q25_association_rules",   # same 1-row minsup/n-baskets scalar cross joins (r14)
     "a47_benford_deviation",  # 1-row digit-total broadcast cross join
     "a50_survival_km",   # 1-row horizon max + 1-row grand-total broadcast cross joins
     "a51_bootstrap_ci",  # 1-row full-sample mean broadcast cross join
@@ -136,6 +138,7 @@ EXPECTED_GLOBAL_WINDOW = {
     # (similarity.py), the codebook-sized exception the pack-offsets
     # entries above also are.
     "u7_knn_ivf",
+    "u7_ivf_persisted",
     "u7_kmeans_ivf",
     "u7_ivfpq_topk",
     "u7_ivf_int8_topk",
@@ -198,6 +201,182 @@ EXPECTED_GLOBAL_WINDOW = {
     # a28/a61 contingency shape).
     "a68_mutual_information",
 }
+
+
+# Entries whose broadcast-HINTED join side is bounded for a reason the
+# logical-plan walk cannot see (a grouped aggregate whose grouping key is
+# a fixed domain, a semi-join against a bounded set, ...). Every entry
+# here must say WHY the hinted frame cannot grow with the scale factor;
+# anything else that hint-broadcasts a subtree scanning a scaling base
+# (customer/part/supplier/orders/lineitem/events/documents/embeddings)
+# fails the audit — r13 VERDICT #1: an explicit hint overrides the
+# 10 MB threshold, so at 100 TB it crashes instead of demoting to a
+# shuffle join. Use operators/joins.py::broadcast_if_dim at call sites.
+EXPECTED_BROADCAST_HINT: dict[str, str] = {
+    # -- fixed-domain grouped aggregates (the walk can't see the key's
+    #    cardinality; each of these grows with the DOMAIN, not the data)
+    "j7_dpp_busiest_year": "per-year counts frame — calendar-bounded year domain",
+    "j2_surrogate_key_swap": "distinct c_mktsegment dim — 5-value segment domain",
+    "etl_star_schema": "build_dim distinct frames on source/lang/date domains",
+    "a26_mad_robust": "per-l_returnflag median frame — 3-value flag domain",
+    "a37_winsorize": "per-l_returnflag quantile frame — 3-value flag domain",
+    "a43_grouped_mad": "per-l_returnflag median frame — 3-value flag domain",
+    "a55_seasonal_decompose": "per-day-of-week seasonal frame — 7 rows",
+    "t11_skyline_pareto": "running-max frame on the distinct-price domain",
+    "a70_weighted_quantiles": "dollar-bucket CDF frame — value-range bounded",
+    "llm_perplexity_buckets": "per-source threshold frame — source domain",
+    "llm_quantile_normalize": "(source, n_chars)-domain CDF frame",
+    "llm_corpus_build": "per-source mixture-rate frame — source domain",
+    # -- structurally bounded frames
+    "q25_association_rules": "pair/item support frames — bounded by the "
+    "200-category item domain (<= C(200,2) and <= 200 rows)",
+    "a17_cms_heavy_hitters": "CMS sketch frame — width x depth constants",
+    "a30_rfm_segments": "distributed-rank offsets frame — <= #partitions rows "
+    "per stratum (the pack_sequences machinery)",
+    "u7_bm25_topk": "per-term df frame filtered to the FIXED query term list",
+    "u7_hybrid_rrf": "same query-term-bounded df frames in both legs",
+    # -- ANN query batches and codebooks: queries are id-bounded
+    #    (vec_id < k literal — constant rows at any SF); centroid /
+    #    codebook frames are k-bounded by construction. The hint is
+    #    REQUIRED here: these feed non-equi crossJoins where losing the
+    #    broadcast means CartesianProduct, not a shuffle join.
+    "u7_knn_bruteforce": "query batch vec_id < 8",
+    "u7_radius_search": "query batch vec_id < 6",
+    "u7_int8_ann": "quantized query batch vec_id < k",
+    "u7_mmr_rerank": "query batch + candidate frame (post-limit)",
+    "u7_text_search_hashed": "hashed query vector — one synthetic row",
+    "llm_hard_negatives": "query batch vec_id < 4",
+    "u7_knn_ivf": "query batch + k-bounded centroid codebook",
+    "u7_ivf_persisted": "query batch + persisted k-bounded codebook (r14)",
+    "u7_kmeans_ivf": "query batch + k-bounded refined codebook",
+    "u7_pq_adc_topk": "query batch + m x 2^b PQ codebook",
+    "u7_ivfpq_topk": "query batch + centroid + PQ codebooks (k-bounded)",
+    "u7_ivf_int8_topk": "query batch + centroid codebook (k-bounded)",
+}
+
+
+_REL_MARKERS = {
+    "customer": "c_custkey#",
+    "orders": "o_orderkey#",
+    "lineitem": "l_orderkey#",
+    "part": "p_partkey#",
+    "supplier": "s_suppkey#",
+    "nation": "n_nationkey#",
+    "region": "r_regionkey#",
+    "documents": "doc_id#",
+    "embeddings": "vec_id#",
+    "events": "event_id#",
+}
+_BOUNDED_TABLES = {"nation", "region"}
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """Split a logical-plan string into (depth, node-text) rows.
+
+    Plan lines indent children with 3-char groups drawn from
+    ``':  '``, ``'   '``, ``':- '``, ``'+- '``; depth = group count."""
+    nodes = []
+    for raw in plan.splitlines():
+        if not raw.strip():
+            continue
+        i = 0
+        while raw[i : i + 3] in (":  ", "   ", ":- ", "+- "):
+            i += 3
+        nodes.append((i // 3, raw[i:]))
+    return nodes
+
+
+def _children(nodes: list[tuple[int, str]], idx: int) -> list[int]:
+    d = nodes[idx][0]
+    out = []
+    for j in range(idx + 1, len(nodes)):
+        if nodes[j][0] <= d:
+            break
+        if nodes[j][0] == d + 1:
+            out.append(j)
+    return out
+
+
+def _is_global_agg(text: str) -> bool:
+    """True for ``Aggregate [aggexprs]`` (no grouping → 1 output row),
+    False for ``Aggregate [groupcols], [exprs]``."""
+    s = text[len("Aggregate ") :]
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                first = s[: i + 1]
+                rest = s[i + 1 : i + 2]
+                return first == "[]" or rest != ","
+    return False
+
+
+def _classify_relation(text: str) -> str | None:
+    for table, marker in _REL_MARKERS.items():
+        if marker in text:
+            return table
+    return None
+
+
+def _subtree_bounded(nodes, idx) -> tuple[bool, set[str]]:
+    """(bounded, scaling-tables-scanned) for the subtree rooted at idx.
+
+    bounded = row count independent of scale factor, provable from the
+    plan alone: bounded-table scans, literal frames, global (1-row)
+    aggregates, GlobalLimit, and any composition of bounded inputs.
+    Grouped aggregates are NOT assumed bounded (grouping on custkey
+    scales; grouping on event_type doesn't — the plan can't tell), so
+    domain-key group-bys need an EXPECTED_BROADCAST_HINT adjudication.
+    Unknown relations (scratch layouts, checkpointed RDDs) are not
+    flagged — the rule targets the named fixture bases."""
+    depth, text = nodes[idx]
+    if text.startswith("Relation"):
+        table = _classify_relation(text)
+        if table is None or table in _BOUNDED_TABLES:
+            return True, set()
+        return False, {table}
+    if text.startswith(("LocalRelation", "OneRowRelation", "Range ")):
+        return True, set()
+    if text.startswith("GlobalLimit"):
+        return True, set()
+    # A completely column-pruned global aggregate prints BARE
+    # ("Aggregate" with no expression lists — 1 row, 0 columns); a
+    # grouped aggregate always prints its grouping bracket, so bare ⇒
+    # global ⇒ bounded.
+    if text == "Aggregate" or (
+        text.startswith("Aggregate ") and _is_global_agg(text)
+    ):
+        return True, set()
+    kids = _children(nodes, idx)
+    if not kids:  # leaf we don't recognize (ExistingRDD, scratch scan)
+        return True, set()
+    results = [_subtree_bounded(nodes, k) for k in kids]
+    if all(r[0] for r in results):
+        return True, set()
+    return False, set().union(*(r[1] for r in results))
+
+
+def broadcast_hint_violations(logical: str) -> list[str]:
+    """Joins whose broadcast-HINTED side scans a scaling base without a
+    plan-provable bound. Returns ``side:tables`` strings, empty = clean."""
+    nodes = _parse_tree(logical)
+    out = []
+    for idx, (_, text) in enumerate(nodes):
+        if not text.startswith("Join "):
+            continue
+        kids = _children(nodes, idx)
+        if "leftHint=(strategy=broadcast" in text and kids:
+            ok, tabs = _subtree_bounded(nodes, kids[0])
+            if not ok:
+                out.append("left:" + ",".join(sorted(tabs)))
+        if "rightHint=(strategy=broadcast" in text and len(kids) >= 2:
+            ok, tabs = _subtree_bounded(nodes, kids[1])
+            if not ok:
+                out.append("right:" + ",".join(sorted(tabs)))
+    return out
 
 
 # Frames of shape [<bounded lower>, unboundedFollowing] make WindowExec
@@ -269,13 +448,9 @@ def main() -> int:
     print(f"{'query':32s} {'exch':>4} {'bhj':>4} {'smj':>4} {'bnlj':>4} {'py':>3} {'gwin':>4} (+fwin flag)")
     for name in wanted:
         try:
-            plan = (
-                reg[name]
-                .builder(spark, SF_DIR)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            qe = reg[name].builder(spark, SF_DIR)._jdf.queryExecution()
+            plan = qe.executedPlan().toString()
+            logical = qe.optimizedPlan().toString()
         except Exception as e:
             print(f"{name:32s} PLAN-ERROR {str(e)[:120]}")
             problems.append(f"{name}: plan error")
@@ -298,6 +473,9 @@ def main() -> int:
             flags.append("UNEXPECTED-GLOBAL-WINDOW")
         if a["fwin"]:
             flags.append("FWD-UNBOUNDED-RESCAN")
+        viol = broadcast_hint_violations(logical)
+        if viol and name not in EXPECTED_BROADCAST_HINT:
+            flags.append("FORCED-BROADCAST-SCALING(" + ";".join(viol) + ")")
         print(
             f"{name:32s} {a['exchanges']:>4} {a['bhj']:>4} {a['smj']:>4} "
             f"{a['bnlj']:>4} {a['python']:>3} {a['gwin']:>4}  {' '.join(flags)}"
