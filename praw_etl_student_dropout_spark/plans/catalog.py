@@ -5908,12 +5908,12 @@ def _basket_itemsets(spark: SparkSession, sf_dir: str):
       GROUP BY 1, 2, 3
       HAVING count(*) >= (SELECT minsup FROM thr)
     ),
-    l2 AS (
+    l2 AS MATERIALIZED (
       SELECT a.i AS x, b.i AS y, CAST(count(*) AS BIGINT) AS n2
       FROM items a JOIN items b ON a.k = b.k AND a.i < b.i
       GROUP BY 1, 2
     ),
-    l1 AS (SELECT i, CAST(count(*) AS BIGINT) AS n1 FROM items GROUP BY 1),
+    l1 AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS n1 FROM items GROUP BY 1),
     rules AS (
       SELECT ia AS ante_a, ib AS ante_b, ic AS conseq, n3 FROM l3
       UNION ALL SELECT ia, ic, ib, n3 FROM l3

@@ -3088,7 +3088,7 @@ def d3_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u9_triangle_count",
     "U ⊕ (graph analytics: triangle counting)",
     """
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS ea,
                       greatest(s.s_nationkey, c.c_nationkey) AS eb
       FROM lineitem l
@@ -4381,7 +4381,7 @@ def u6_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u9_clustering_coeff",
     "U ⊕ (graph analytics: local clustering coefficient)",
     """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
              greatest(s.s_nationkey, c.c_nationkey) AS eb,
              count(*) AS vol
@@ -4393,15 +4393,15 @@ def u6_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     ptot AS (SELECT sum(vol) AS total, count(*) AS n_pairs FROM pairs),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT ea, eb FROM pairs, ptot WHERE vol * n_pairs > total
     ),
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT ea AS v, eb AS u FROM e0
       UNION ALL SELECT eb, ea FROM e0
     ),
-    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
-    tri AS (
+    deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    tri AS MATERIALIZED (
       SELECT w.v, CAST(count(*) AS BIGINT) AS t
       FROM (
         SELECT a.v, a.u AS x, b.u AS y
@@ -4486,7 +4486,7 @@ def u9_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u9_link_prediction",
     "U ⊕ (graph analytics: Adamic-Adar link prediction)",
     """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
              greatest(s.s_nationkey, c.c_nationkey) AS eb,
              count(*) AS vol
@@ -4506,11 +4506,11 @@ def u9_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT eb, ea FROM e0
     ),
     deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
-    wedge AS (
+    wedge AS MATERIALIZED (
       SELECT a.v AS c, a.u AS x, b.u AS y
       FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT w.x, w.y, w.c FROM wedge w
       LEFT JOIN e0 ON e0.ea = w.x AND e0.eb = w.y
       WHERE e0.ea IS NULL
@@ -4595,7 +4595,7 @@ def u9_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u9_degree_assortativity",
     "U ⊕ (graph analytics: degree assortativity)",
     """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
              greatest(s.s_nationkey, c.c_nationkey) AS eb,
              count(*) AS vol
@@ -4615,7 +4615,7 @@ def u9_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT eb, ea FROM e0
     ),
     deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
-    ends AS (
+    ends AS MATERIALIZED (
       SELECT dv.d AS x, du.d AS y
       FROM sym
       JOIN deg dv ON dv.v = sym.v
@@ -4978,7 +4978,7 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u9_cn_jaccard",
     "U ⊕ (graph analytics: common-neighbor Jaccard link scores)",
     """
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT least(s.s_nationkey, c.c_nationkey) AS ea,
              greatest(s.s_nationkey, c.c_nationkey) AS eb,
              count(*) AS vol
@@ -5000,11 +5000,11 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS MATERIALIZED (
       SELECT v, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1
     ),
-    wedge AS (
+    wedge AS MATERIALIZED (
       SELECT a.v AS c, a.u AS x, b.u AS y
       FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT w.x, w.y, count(*) AS cn FROM wedge w
       LEFT JOIN e0 ON e0.ea = w.x AND e0.eb = w.y
       WHERE e0.ea IS NULL
@@ -5518,7 +5518,7 @@ def d3_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym AS MATERIALIZED (
       SELECT ea AS v, eb AS u FROM e0 UNION ALL SELECT eb, ea FROM e0
     ),
-    support AS (
+    support AS MATERIALIZED (
       SELECT e.ea, e.eb, count(*) AS sup
       FROM e0 e
       JOIN sym sa ON sa.v = e.ea
