@@ -1840,19 +1840,13 @@ def _pagerank_oracle_sql(iters: int) -> str:
     "the edge list per round; the graph never leaves the executors.",
 )
 def u9_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bucketing import ensure_nation_trade_directed
     from ..operators.clusters import pagerank
 
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("vol"))
-    )
+    # rides the materialized DIRECTED trade census (r14): before this
+    # the SF-proportional fact join replayed under the 12 rounds —
+    # 11.0 s at the 32× probe, vs sub-second on the layout
+    pairs = spark.table(ensure_nation_trade_directed(spark, sf_dir))
     ptot = pairs.agg(
         F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
     )
@@ -3113,15 +3107,12 @@ def d3_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u9_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clusters import triangle_count
 
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    edges = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
-        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
-    )
-    return triangle_count(edges)
+    # rides the materialized trade-pair census (r14: the derivation is
+    # a layout, not a per-query plan) — the layout is already canonical
+    # ea < eb distinct, so triangle_count's canonicalization is a no-op
+    # over ≤ nations² rows
+    edges = _nation_trade_pairs(spark, sf_dir)
+    return triangle_count(edges, "ea", "eb")
 
 
 @register(
@@ -4430,19 +4421,9 @@ def u6_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "state. Exact integer wedge counts; one rounded division.",
 )
 def u9_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.least("s_nationkey", "c_nationkey").alias("ea"),
-            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
-        )
-        .agg(F.count(F.lit(1)).alias("vol"))
-    )
+    # rides the materialized trade-pair census (r14) — identical
+    # derivation, persisted once per fixture dir
+    pairs = _nation_trade_pairs(spark, sf_dir)
     ptot = pairs.agg(
         F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
     )
@@ -4535,19 +4516,9 @@ def u9_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u9_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cache_registry import track
 
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.least("s_nationkey", "c_nationkey").alias("ea"),
-            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
-        )
-        .agg(F.count(F.lit(1)).alias("vol"))
-    )
+    # rides the materialized trade-pair census (r14) — identical
+    # derivation, persisted once per fixture dir
+    pairs = _nation_trade_pairs(spark, sf_dir)
     ptot = pairs.agg(
         F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
     )
@@ -4644,19 +4615,9 @@ def u9_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at 6. Scale shape: edge-domain joins only.",
 )
 def u9_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.least("s_nationkey", "c_nationkey").alias("ea"),
-            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
-        )
-        .agg(F.count(F.lit(1)).alias("vol"))
-    )
+    # rides the materialized trade-pair census (r14) — identical
+    # derivation, persisted once per fixture dir
+    pairs = _nation_trade_pairs(spark, sf_dir)
     ptot = pairs.agg(
         F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
     )
@@ -5546,19 +5507,9 @@ def d3_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u9_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cache_registry import track
 
-    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(broadcast_if_dim(t["supplier"], bounded=False, why="SF-proportional dim; AQE decides"), F.col("s_suppkey") == F.col("l_suppkey"))
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.least("s_nationkey", "c_nationkey").alias("ea"),
-            F.greatest("s_nationkey", "c_nationkey").alias("eb"),
-        )
-        .agg(F.count(F.lit(1)).alias("vol"))
-    )
+    # rides the materialized trade-pair census (r14) — identical
+    # derivation, persisted once per fixture dir
+    pairs = _nation_trade_pairs(spark, sf_dir)
     ptot = pairs.agg(
         F.sum("vol").alias("total"), F.count(F.lit(1)).alias("n_pairs")
     )
