@@ -586,6 +586,70 @@ def ensure_events_snapshot(
     return table
 
 
+#: SCD2-history-layout spec (round-14): the materialized type-2 version
+#: history cut. Own constant (not EVENTS_SNAPSHOT_T0) so the two CDC
+#: families' cuts can move independently; encoded into the scratch path
+#: and table name (the Q21_DELTA_TAG lesson).
+SCD2_T0 = "2024-01-20 00:00:00"
+_SCD2_T0_TAG = "t" + SCD2_T0[:10].replace("-", "")
+
+
+def ensure_scd2_history(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> str:
+    """Materialize (once per fixture dir) the SCD2 version history AS
+    OF ``SCD2_T0`` (operators/etl.scd2_history over events), bucketed
+    by user_id — the persisted half of the SCD2 apply rung:
+    etl_scd2_apply folds only the (T0, T1] event delta into this
+    layout, so advancing the history costs O(delta) and the touched-key
+    joins ride the bucket distribution. Same layout-safety contract as
+    ensure_events_snapshot: path and table name encode the bucket count
+    AND the T0 cut; _SUCCESS + baked-in bucket ids are re-verified
+    before any re-registration.
+    """
+    from pathlib import Path
+
+    from ..sources.partitioned import _scratch_root
+    from ..sources.readers import load_tables
+    from .etl import scd2_history
+
+    from pyspark.sql import functions as F
+
+    tag = f"{Path(sf_dir).name}_b{num_buckets}".replace(".", "_").replace("-", "_")
+    table = f"bkt_scd2_hist_{_SCD2_T0_TAG}_{tag}"
+    path = (
+        _scratch_root()
+        / "bucketed"
+        / f"{Path(sf_dir).name}_b{num_buckets}"
+        / f"scd2_hist_{_SCD2_T0_TAG}"
+    )
+    if spark.catalog.tableExists(table):
+        if (path / "_SUCCESS").exists():
+            return table
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if (path / "_SUCCESS").exists() and _bucket_files_match(path, num_buckets):
+        ddl = spark.read.parquet(str(path)).schema.toDDL()
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY (user_id) SORTED BY (user_id) "
+            f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return table
+    ev = load_tables(spark, sf_dir, ["events"])["events"].filter(
+        F.col("ts") <= F.lit(SCD2_T0).cast("timestamp")
+    )
+    hist = scd2_history(ev, "user_id", "event_type", ["ts", "event_id"])
+    write_bucketed(
+        hist,
+        table,
+        ["user_id"],
+        num_buckets=num_buckets,
+        sort_keys=["user_id"],
+        path=str(path),
+    )
+    return table
+
+
 def ensure_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per fixture dir) the canonical nation trade-
     graph edge list ``(ea < eb, vol)`` — the shared derivation under all

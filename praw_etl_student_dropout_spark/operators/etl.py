@@ -258,3 +258,136 @@ def snapshot_merge_delta(
             for c in cols
         ],
     )
+
+
+def scd2_history(log: DataFrame, key: str, type_col: str, order: list[str]) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each key's
+    ``type_col`` history into ``[valid_from, valid_to)`` version
+    intervals — change points via null-safe ``lag`` comparison, version
+    ids via running sum, interval close via ``lead`` (the open current
+    version keeps ``valid_to`` NULL). Everything partitions by ``key``:
+    one shuffle serves both window passes and the group-by, and per-key
+    state is one key's history, never the table. Extracted from the
+    etl_scd2_dim entry in r14 so the same build serves the per-query
+    plan AND the persisted-history layout the apply rung folds into.
+
+    Returns ``(key, version, type_col, valid_from, valid_to, n_rows)``
+    with ``valid_from`` taken from ``order[0]``.
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    marked = log.select(
+        key,
+        type_col,
+        *order,
+        F.when(~F.col(type_col).eqNullSafe(F.lag(type_col).over(w)), 1)
+        .otherwise(0)
+        .alias("__chg"),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = marked.select(
+        key, type_col, *order, F.sum("__chg").over(cum).alias("version")
+    )
+    collapsed = versioned.groupBy(key, "version", type_col).agg(
+        F.min(order[0]).alias("valid_from"), F.count(F.lit(1)).alias("n_rows")
+    )
+    wv = Window.partitionBy(key).orderBy("version")
+    return collapsed.select(
+        key,
+        "version",
+        type_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_rows",
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    delta: DataFrame,
+    key: str,
+    type_col: str,
+    order: list[str],
+) -> DataFrame:
+    """Advance a materialized :func:`scd2_history` from T0 to T1 by
+    folding ONLY the (T0, T1] event delta — the SCD2 counterpart of
+    :func:`snapshot_merge_delta`, closing the round-14 maintenance-rung
+    set (MV pre-agg, CDC snapshot, IVF index, SCD2 history).
+
+    Per delta key: the OPEN version (``valid_to`` NULL) seeds the
+    change detection — the first delta row compares against the open
+    version's ``type_col`` (null-safe, so a brand-new key opens version
+    1 exactly like a fresh build), later rows against their ``lag``;
+    version ids continue from the open version's number. Delta runs
+    collapse per (key, version, type); the open version joins the
+    collapse as a pseudo-row so a continuing run merges into it
+    (``valid_from`` keeps the open row's, ``n_rows`` adds), and one
+    per-key ``lead`` re-closes intervals. Keys untouched by the delta
+    — every closed version AND untouched open versions — pass through
+    WITHOUT a shuffle: the only exchanged data is the delta plus the
+    touched open rows, so cost ∝ rows changed, never history size.
+    No order comparison against closed history is needed: every delta
+    row is strictly later than T0, so runs never interleave.
+
+    Equivalence ``apply(history(T0), delta) == history(T1)`` is pinned
+    in tests and graded against the full SCD2 oracle at T1
+    (etl_scd2_apply).
+    """
+    open_rows = history.filter(F.col("valid_to").isNull())
+    closed = history.filter(F.col("valid_to").isNotNull())
+    d_keys = delta.select(key).distinct()
+    # SF-proportional key set — no broadcast hint, AQE decides; with the
+    # history bucketed by key both joins ride the layout distribution
+    open_touched = open_rows.join(d_keys, key, "left_semi")
+    open_untouched = open_rows.join(d_keys, key, "left_anti")
+    seed = open_touched.select(
+        key,
+        F.col("version").alias("__v0"),
+        F.col(type_col).alias("__t0"),
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd = (
+        delta.select(key, type_col, *order)
+        .join(seed, key, "left")
+        .select(
+            key,
+            type_col,
+            *order,
+            F.when(
+                ~F.col(type_col).eqNullSafe(
+                    F.coalesce(F.lag(type_col).over(w), F.col("__t0"))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("__chg"),
+            F.col("__v0"),
+        )
+        .select(
+            key,
+            type_col,
+            *order,
+            (F.coalesce(F.col("__v0"), F.lit(0)) + F.sum("__chg").over(cum)).alias(
+                "version"
+            ),
+        )
+    )
+    dcol = dd.groupBy(key, "version", type_col).agg(
+        F.min(order[0]).alias("valid_from"), F.count(F.lit(1)).alias("n_rows")
+    )
+    pseudo = open_touched.select(key, "version", type_col, "valid_from", "n_rows")
+    merged = (
+        pseudo.unionByName(dcol)
+        .groupBy(key, "version", type_col)
+        .agg(F.min("valid_from").alias("valid_from"), F.sum("n_rows").alias("n_rows"))
+    )
+    wv = Window.partitionBy(key).orderBy("version")
+    re_closed = merged.select(
+        key,
+        "version",
+        type_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_rows",
+    )
+    return closed.unionByName(open_untouched).unionByName(re_closed)

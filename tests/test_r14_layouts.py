@@ -121,3 +121,94 @@ def test_events_snapshot_layout_matches_asof(spark, sf_dir):
     assert got == want and len(got) > 0
     # T0 is encoded in the table name (spec-tag contract)
     assert "t20240120" in table
+
+
+def test_scd2_apply_equals_rebuild_and_hand_computed(spark, tmp_path):
+    """scd2_apply on a constructed log: history(T0) + delta folds to
+    exactly scd2_history over the full log, including the three seam
+    cases — a continuing run (user A's open 'x' version gains rows and
+    then changes), a brand-new key (user B opens version 1), and an
+    untouched key (user C passes through byte-identical)."""
+    import datetime as dt
+
+    from praw_etl_student_dropout_spark.operators.etl import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    def ts(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    #            user  type  ts      id
+    rows_t0 = [
+        ("A", "x", ts(1), 1),
+        ("A", "x", ts(2), 2),
+        ("A", "y", ts(3), 3),
+        ("C", "x", ts(4), 4),
+    ]
+    rows_delta = [
+        ("A", "y", ts(21), 5),  # continues A's open 'y' version
+        ("A", "z", ts(22), 6),  # then opens version 3
+        ("B", "q", ts(23), 7),  # brand-new key -> version 1
+    ]
+    cols = ["user_id", "event_type", "ts", "event_id"]
+    log0 = spark.createDataFrame(rows_t0, cols)
+    delta = spark.createDataFrame(rows_delta, cols)
+    full = spark.createDataFrame(rows_t0 + rows_delta, cols)
+
+    hist0 = scd2_history(log0, "user_id", "event_type", ["ts", "event_id"])
+    applied = scd2_apply(
+        hist0, delta, "user_id", "event_type", ["ts", "event_id"]
+    )
+    rebuilt = scd2_history(full, "user_id", "event_type", ["ts", "event_id"])
+
+    key = lambda r: (r["user_id"], r["version"])
+    got = {key(r): r.asDict() for r in applied.collect()}
+    want = {key(r): r.asDict() for r in rebuilt.collect()}
+    assert got == want
+
+    # hand-computed spot checks
+    a2 = got[("A", 2)]  # the continued 'y' run: rows 3 and 5
+    assert a2["event_type"] == "y"
+    assert a2["n_rows"] == 2
+    assert a2["valid_from"] == ts(3)
+    assert a2["valid_to"] == ts(22)
+    assert got[("A", 3)]["valid_to"] is None
+    assert got[("B", 1)] == {
+        "user_id": "B", "version": 1, "event_type": "q",
+        "valid_from": ts(23), "valid_to": None, "n_rows": 1,
+    }
+    assert got[("C", 1)]["valid_to"] is None  # untouched pass-through
+
+
+def test_scd2_history_layout_idempotent(spark, sf_dir):
+    """ensure_scd2_history: warm re-call returns the same table without
+    touching bytes; the registered table equals the inline build at T0."""
+    from praw_etl_student_dropout_spark.operators.bucketing import (
+        SCD2_T0,
+        _SCD2_T0_TAG,
+        ensure_scd2_history,
+    )
+    from praw_etl_student_dropout_spark.operators.etl import scd2_history
+    from praw_etl_student_dropout_spark.sources.partitioned import _scratch_root
+    from praw_etl_student_dropout_spark.sources.readers import load_tables
+
+    table = ensure_scd2_history(spark, sf_dir)
+    assert _SCD2_T0_TAG in table
+    path = (
+        _scratch_root()
+        / "bucketed"
+        / f"{Path(sf_dir).name}_b8"
+        / f"scd2_hist_{_SCD2_T0_TAG}"
+    )
+    before = _mtimes(path)
+    assert ensure_scd2_history(spark, sf_dir) == table
+    assert _mtimes(path) == before
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].filter(
+        F.col("ts") <= F.lit(SCD2_T0).cast("timestamp")
+    )
+    inline = scd2_history(ev, "user_id", "event_type", ["ts", "event_id"])
+    a = {tuple(r) for r in spark.table(table).collect()}
+    b = {tuple(r) for r in inline.collect()}
+    assert a == b
