@@ -6524,6 +6524,139 @@ def etl_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a72_approx_percentile_contract",
+    "A12 ⊕ (approx_percentile sketch contract: exact anchor + rank-error bound)",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(v, 0.50), 4) AS exact_p50,
+           round(quantile_cont(v, 0.90), 4) AS exact_p90,
+           round(quantile_cont(v, 0.99), 4) AS exact_p99,
+           TRUE AS rank_ok_p50,
+           TRUE AS rank_ok_p90,
+           TRUE AS rank_ok_p99
+    FROM v GROUP BY l_returnflag
+    """,
+    doc="The A11-HLL contract pattern applied to approx_percentile — "
+    "Spark's mergeable quantile sketch, THE production quantile path "
+    "at 100 TB (a12's exact percentile() buffers whole groups on one "
+    "heap; the sketch is bounded-memory and partial-mergeable). The "
+    "sketch estimate stays engine-internal; the grade value-matches "
+    "the EXACT p50/p90/p99 both engines compute over integer cents "
+    "(linear interpolation on exact integers, rounded once at 4 dp — the engines' interpolation expression trees differ by ULPs; the a12 "
+    "lineage) and pins the sketch's rank-error contract per row: "
+    "the returned value's occupied rank interval [count(<a)+1, "
+    "count(<=a)] must intersect q·n ± (n/accuracy + 1), accuracy "
+    "1000. The EXACT leg is rank-select over the distinct-cents "
+    "histogram (the a70 two-level-CDF lesson: the bounded PRICE "
+    "domain sizes the window, never percentile()'s per-group heap), "
+    "so the whole entry survives groups that would OOM the a12 "
+    "form. Three scans, each one shuffle: histogram, sketch+count, "
+    "rank recheck of the sketch's own output.",
+)
+def a72_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    QS = [0.50, 0.90, 0.99]
+    ACC = 1000
+    li = _t(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    # sketch + count: one grouped pass (the production plan shape)
+    ap = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "v", F.array(*[F.lit(q) for q in QS]), F.lit(ACC)
+        ).alias("ap"),
+    )
+    ap_flat = ap.select(
+        "l_returnflag",
+        "n",
+        *[F.col("ap")[i].alias(f"a{i}") for i in range(len(QS))],
+    )
+    # exact leg: rank-select over the distinct-cents histogram — the
+    # window frame is the bounded price DOMAIN, never the row count
+    counts = li.groupBy("l_returnflag", "v").agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.partitionBy("l_returnflag").orderBy("v")
+    hist = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("c").over(wd).alias("cum"),
+        (F.sum("c").over(wd) - F.col("c")).alias("prev"),
+    ).join(
+        broadcast_if_dim(
+            ap_flat.select("l_returnflag", "n"),
+            bounded=True,
+            why="one row per return flag (3-value domain)",
+        ),
+        "l_returnflag",
+    )
+    exacts = []
+    for i, q in enumerate(QS):
+        p = F.lit(q) * (F.col("n") - 1)  # 0-based continuous rank
+        rlo = F.floor(p) + 1
+        rhi = F.ceil(p) + 1
+        lo_v = F.max(
+            F.when((F.col("prev") < rlo) & (rlo <= F.col("cum")), F.col("v"))
+        )
+        hi_v = F.max(
+            F.when((F.col("prev") < rhi) & (rhi <= F.col("cum")), F.col("v"))
+        )
+        frac = p - F.floor(p)
+        exacts.append(
+            F.round(lo_v + (hi_v - lo_v) * F.max(frac), 4).alias(
+                f"exact_p{int(q * 100)}"
+            )
+        )
+    exact = hist.groupBy("l_returnflag").agg(*exacts)
+    # rank recheck of the sketch's own output: occupied rank interval
+    # of each returned value vs the q·n ± n/ACC guarantee
+    rk = (
+        li.join(
+            broadcast_if_dim(
+                ap_flat, bounded=True, why="one row per return flag"
+            ),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.sum(F.when(F.col("v") < F.col(f"a{i}"), 1).otherwise(0)).alias(f"lo{i}")
+                for i in range(len(QS))
+            ],
+            *[
+                F.sum(F.when(F.col("v") <= F.col(f"a{i}"), 1).otherwise(0)).alias(f"hi{i}")
+                for i in range(len(QS))
+            ],
+        )
+    )
+    checks = []
+    for i, q in enumerate(QS):
+        t = F.lit(q) * F.col("n")
+        err = F.col("n") / F.lit(ACC) + 1
+        checks.append(
+            (
+                (F.col(f"lo{i}") + 1 <= t + err) & (F.col(f"hi{i}") >= t - err)
+            ).alias(f"rank_ok_p{int(q * 100)}")
+        )
+    return (
+        ap_flat.join(exact, "l_returnflag")
+        .join(rk, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            *[F.col(f"exact_p{int(q * 100)}") for q in QS],
+            *checks,
+        )
+    )
+
+
+@register(
     "a70_weighted_quantiles",
     "A12 ⊕ (weighted quantiles over the distinct-value domain)",
     """

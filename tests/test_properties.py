@@ -1419,3 +1419,25 @@ def test_association_rules_hand_computed(spark, tmp_path):
         (1, 3, 2, 3, 3, 4, 1.0, 1.0),
         (2, 3, 1, 3, 3, 4, 1.0, 1.0),
     ]
+
+
+def test_approx_percentile_contract_hand_computed(spark, tmp_path):
+    """a72 on a constructed lineitem: flag 'A' holds prices 0.01..1.00
+    (cents 1..100). quantile_cont targets: p50 = 50.5, p90 = 90.1,
+    p99 = 99.01 (0-based rank p = q·99 interpolated). With accuracy
+    1000 on 100 rows the sketch is exact, so every rank check holds."""
+    rows = [("A", i / 100.0) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["l_returnflag", "l_extendedprice"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from praw_etl_student_dropout_spark.plans import catalog_all
+
+    [r] = (
+        catalog_all()["a72_approx_percentile_contract"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    )
+    assert r["l_returnflag"] == "A" and r["n"] == 100
+    assert r["exact_p50"] == 50.5
+    assert r["exact_p90"] == 90.1
+    assert r["exact_p99"] == 99.01
+    assert r["rank_ok_p50"] and r["rank_ok_p90"] and r["rank_ok_p99"]

@@ -224,6 +224,8 @@ EXPECTED_BROADCAST_HINT: dict[str, str] = {
     "a55_seasonal_decompose": "per-day-of-week seasonal frame — 7 rows",
     "t11_skyline_pareto": "running-max frame on the distinct-price domain",
     "a70_weighted_quantiles": "dollar-bucket CDF frame — value-range bounded",
+    "a72_approx_percentile_contract": "per-l_returnflag sketch/count frames — "
+    "3-value flag domain",
     "llm_perplexity_buckets": "per-source threshold frame — source domain",
     "llm_quantile_normalize": "(source, n_chars)-domain CDF frame",
     "llm_corpus_build": "per-source mixture-rate frame — source domain",
