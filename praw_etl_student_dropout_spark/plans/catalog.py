@@ -1907,9 +1907,9 @@ def d3c_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _entity_resolution_sql() -> str:
     return f"""
-    WITH RECURSIVE scored AS ({_linkage_sql()}),
-    m AS (SELECT id_a, id_b FROM scored WHERE match_class = 'match'),
-    edges AS (
+    WITH RECURSIVE scored AS MATERIALIZED ({_linkage_sql()}),
+    m AS MATERIALIZED (SELECT id_a, id_b FROM scored WHERE match_class = 'match'),
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM m
       UNION
       SELECT id_b, id_a FROM m
@@ -1919,8 +1919,8 @@ def _entity_resolution_sql() -> str:
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
-    comp AS (SELECT a AS id, least(a, min(b)) AS entity_id FROM reach GROUP BY a),
-    members AS (
+    comp AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS entity_id FROM reach GROUP BY a),
+    members AS MATERIALIZED (
       SELECT comp.entity_id, c.c_custkey, c.c_acctbal,
              row_number() OVER (PARTITION BY comp.entity_id
                                 ORDER BY c.c_acctbal DESC, c.c_custkey ASC)
@@ -1951,7 +1951,7 @@ REGISTRY["d3c_entity_resolution"] = __import__("dataclasses").replace(
            cume_dist() OVER w AS cdist
     FROM orders
     WHERE o_orderkey < 3000
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS MATERIALIZED (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     """,
     doc="Ranking-family completion: ntile buckets, percent_rank, "
     "cume_dist. The (price, orderkey) order is total, and both rank "

@@ -1616,8 +1616,8 @@ def _ngram_pairs_sql(threshold: float) -> str:
     "d3_dup_clusters",
     "D3+iterative",
     f"""
-    WITH RECURSIVE pairs AS ({_ngram_pairs_sql(0.3)}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_ngram_pairs_sql(0.3)}),
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
@@ -1983,8 +1983,8 @@ def d3_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_leakage_safe_split",
     "D3+iterative+U6 ⊕ (cluster-keyed train/val/test split)",
     f"""
-    WITH RECURSIVE pairs AS ({_ngram_pairs_sql(0.3)}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_ngram_pairs_sql(0.3)}),
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
@@ -2001,7 +2001,7 @@ def d3_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp
       FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
     ),
-    b AS (
+    b AS MATERIALIZED (
       SELECT comp,
              CAST(concat('0x', substring(md5(CAST(comp AS VARCHAR)), 1, 6))
                   AS BIGINT) % 10 AS bucket
@@ -2223,7 +2223,7 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d3_cross_source_dup_report",
     "D3+A2 ⊕ (corpus provenance audit)",
     f"""
-    WITH pairs AS ({_ngram_pairs_sql(0.3)})
+    WITH pairs AS MATERIALIZED ({_ngram_pairs_sql(0.3)})
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
            CAST(count(*) AS BIGINT) AS n_pairs
@@ -2267,8 +2267,8 @@ def d3_cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d3_source_priority_dedup",
     "D3+iterative+W1 ⊕ (provenance-ranked survivor selection)",
     f"""
-    WITH RECURSIVE pairs AS ({_ngram_pairs_sql(0.3)}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_ngram_pairs_sql(0.3)}),
+    edges AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION
       SELECT id_b, id_a FROM pairs
@@ -2285,7 +2285,7 @@ def d3_cross_source_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, d.source, coalesce(l.comp, d.doc_id) AS comp
       FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
       SELECT doc_id, source, comp,
              row_number() OVER (PARTITION BY comp
                                 ORDER BY source ASC, doc_id ASC) AS rk
@@ -2635,12 +2635,12 @@ def u7_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ws
       FROM fps
     ),
-    sel AS (
+    sel AS MATERIALIZED (
       SELECT DISTINCT doc_id, (ws).f AS fp FROM win
       WHERE pos <= greatest(m - 4 + 1, 1)
     ),
     hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 50),
-    sel2 AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
+    sel2 AS MATERIALIZED (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS n_shared_fps
     FROM sel2 a JOIN sel2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -2695,13 +2695,13 @@ def d3_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ws
       FROM fps
     ),
-    sel AS (
+    sel AS MATERIALIZED (
       SELECT doc_id, (ws).f AS fp, min((ws).p) AS pos FROM win
       WHERE pos <= greatest(m - 4 + 1, 1)
       GROUP BY doc_id, (ws).f
     ),
     hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 50),
-    sel2 AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
+    sel2 AS MATERIALIZED (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS n_shared_fps,
            CAST(min(a.pos) AS BIGINT) AS a_start,
@@ -2756,12 +2756,12 @@ def d3_shared_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ws
       FROM fps
     ),
-    sel AS (
+    sel AS MATERIALIZED (
       SELECT DISTINCT doc_id, (ws).f AS fp FROM win
       WHERE pos <= greatest(m - 4 + 1, 1)
     ),
     newb AS (SELECT doc_id AS new_id, fp FROM sel WHERE doc_id % 11 = 0),
-    corp AS (SELECT doc_id AS corpus_id, fp FROM sel WHERE doc_id % 11 != 0),
+    corp AS MATERIALIZED (SELECT doc_id AS corpus_id, fp FROM sel WHERE doc_id % 11 != 0),
     hot AS (SELECT fp FROM corp GROUP BY fp HAVING count(*) > 50),
     corp2 AS (SELECT * FROM corp WHERE fp NOT IN (SELECT fp FROM hot))
     SELECT new_id, corpus_id, count(*) AS n_shared_fps
