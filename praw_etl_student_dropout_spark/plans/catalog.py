@@ -1951,7 +1951,7 @@ REGISTRY["d3c_entity_resolution"] = __import__("dataclasses").replace(
            cume_dist() OVER w AS cdist
     FROM orders
     WHERE o_orderkey < 3000
-    WINDOW w AS MATERIALIZED (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     """,
     doc="Ranking-family completion: ntile buckets, percent_rank, "
     "cume_dist. The (price, orderkey) order is total, and both rank "
