@@ -1168,12 +1168,26 @@ def a12_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject for the limit.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _spread
+
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    # Round-14 (guide §2.5/§3.1): the single-row-group fixture scan made
+    # Catalyst broadcast the column-pruned 600k-row lineitem (its 3-col
+    # estimate squeaks under 10 MB) and build that hash relation in ONE
+    # task. Spreading the fact stream (no-op when the scan has enough
+    # splits) both parallelizes the probe work and gives AQE a real
+    # post-shuffle size, so it builds on the genuinely smaller
+    # customer⋈orders side. 0.910 -> 0.784 s at sf0.1-local[32], values
+    # identical (probe in OPTIMIZATION_r14.md).
+    li = _spread(
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+    )
     joined = (
         t["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
         joined.groupBy(
@@ -1246,6 +1260,11 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_nationkey")
     )
+    # Round-14 probe (guide §2.5): spreading the two fact streams before
+    # their broadcast probes was MEASURED SLOWER (q5 0.55-0.58 s current
+    # vs 0.78-0.97 s spread, same-session interleaved min-of-5) — unlike
+    # q3, no pathological build side exists here, so the extra exchange
+    # is pure cost. Left as-is; evidence in OPTIMIZATION_r14.md.
     li = (
         t["lineitem"]
         .join(broadcast_if_dim(sup, bounded=False, why="supplier slice, SF-proportional"), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -2771,6 +2790,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     asia = t["region"].filter(F.col("r_name") == "ASIA")
+    # Round-14 probe (guide §2.5): spreading the lineitem stream before
+    # the broadcast-probe chain was MEASURED SLOWER (0.36-0.45 s current
+    # vs 0.51-0.62 s spread, same-session interleaved min-of-5) — the
+    # stream side is already the right side here and the extra exchange
+    # is pure cost. Left as-is; evidence in OPTIMIZATION_r14.md.
     joined = (
         t["lineitem"]
         .join(

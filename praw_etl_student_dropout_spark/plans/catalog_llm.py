@@ -1538,13 +1538,23 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import doc_fingerprint, lang_id, quality_score
 
+    from ..operators.dedup import _spread
+
     docs = _t(spark, sf_dir, "documents")["documents"]
     # One pass computes every per-doc signal (the reference's insight
     # block re-scans its frame five times, etl_pipeline.py:194-198 — the
     # anti-pattern this funnel exists to replace). Stage membership
     # becomes boolean flags; the only extra exchanges are the
     # fingerprint window (dedup survivor) and the contamination join.
-    flags = docs.select(
+    # Round-14 (guide §2.5): the single-row-group fixture scan is one
+    # task, so lang_id + quality_score + fingerprint — the three heavy
+    # regex/tokenize expressions — ran on one core. _spread
+    # hash-repartitions (doc_id, text) before the flags project only
+    # when scan parallelism is deficient (no-op on a real multi-split
+    # corpus); the contamination branch already spreads inside
+    # shingle_index. 1.506 -> 1.112 s at sf0.1-local[32], values
+    # identical (tools/r14_spread_probe.py).
+    flags = _spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         (lang_id(F.col("text")) == "en").alias("is_en"),
         (quality_score(F.col("text")) >= 0.71).alias("is_q"),

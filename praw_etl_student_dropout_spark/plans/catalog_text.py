@@ -114,9 +114,16 @@ def _lang_sql() -> str:
     "deterministic argmax — distribution of guesses.",
 )
 def u6_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _spread
+
     docs = _t(spark, sf_dir, "documents")["documents"]
+    # Round-14 (guide §2.5): the single-row-group fixture scan runs the
+    # lang_id stopword-hit expressions on one core; spread first (no-op
+    # when the scan already has enough splits). 0.485 -> 0.325 s at
+    # sf0.1-local[32], values identical.
     return (
-        docs.select(lang_id(F.col("text")).alias("lang_guess"))
+        _spread(docs.select("doc_id", "text"), "doc_id")
+        .select(lang_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -611,10 +618,12 @@ def u6_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "libm implementations cannot reorder ranks. Scale shape: per-doc "
     "term counts are computed ROW-LOCALLY (term_counts: sorted-run "
     "lengths inside bound transforms — no explode+groupBy, so the raw "
-    "token stream never shuffles); df comes from an INDEPENDENT "
-    "array_distinct scan (round-6: cheaper than persisting and "
-    "re-reading the tf table under cache-fair timing, and no cache "
-    "ownership needed), map-side combined to vocabulary size and "
+    "token stream never shuffles); df comes from a SECOND tokenize of "
+    "the same spread (doc_id,text) exchange — ReuseExchange "
+    "materializes the scan once (round-6 chose re-tokenize over a "
+    "persisted tf table under cache-fair timing; round-14's shared "
+    "spread removed the duplicate parquet scan too), "
+    "map-side combined to vocabulary size and "
     "skew-safe on hot terms — a df-via-window would buffer an entire "
     "stopword partition; AQE broadcasts the vocab-sized df side back "
     "onto tf, and WindowGroupLimit prunes to 3 rows per doc before "
@@ -628,7 +637,20 @@ def u10_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.text import term_counts
 
-    docs = _t(spark, sf_dir, "documents")["documents"]
+    from ..operators.dedup import _spread
+
+    # Round-14 (guide §2.5, unsplittable input): the fixture table is one
+    # parquet row group = a single scan task, so both tokenize passes ran
+    # on one core. _spread hash-repartitions (doc_id, text) across the
+    # cores ONLY when the scan's partitioning is deficient (no-op on a
+    # real multi-split corpus), and because tf/df/n hang off the SAME
+    # spread subtree, ReuseExchange materializes the scan+shuffle once —
+    # the former duplicate parquet scan is gone. 0.975 -> 0.682 s at
+    # sf0.1-local[32], values identical (tools/r14_spread_probe.py).
+    docs = _spread(
+        _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text"),
+        "doc_id",
+    )
     toks_arr = F.array_remove(F.split(clean_text(F.col("text")), r"\s+"), "")
     # Round-6: tf and df are INDEPENDENT scans instead of one persisted
     # (doc,term,tf) table read twice. The df branch only needs each
