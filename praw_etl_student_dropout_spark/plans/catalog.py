@@ -3121,7 +3121,21 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name")
     )
-    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    # Round-14 (guide §2.4/§2.5): at fixture SF the filtered orders side
+    # broadcasts, so the join no longer establishes the orderkey
+    # partitioning the docstring's downstream relies on — the collapse
+    # paid hash(ok,sk) and the window hash(ok), two exchanges of a
+    # single-task stream. Spreading lineitem BY l_orderkey (gated no-op
+    # on multi-split inputs, where the SMJ provides hash(ok) anyway)
+    # restores the one-exchange chain: the broadcast join preserves the
+    # partitioning, and HashPartitioning(ok) satisfies the collapse's
+    # ClusteredDistribution(ok, sk) and the window. 0.86-0.95 s ->
+    # 0.63-0.80 s at sf0.1-local[32], values identical.
+    from ..operators.dedup import _spread
+
+    li = _spread(
+        t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate"), "l_orderkey"
+    )
     ord_f = t["orders"].filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )

@@ -590,3 +590,30 @@ def test_reservoir_merge_prefix_stable(spark, sf_dir, registry):
     assert [r.doc_id for r in sorted(got, key=lambda r: (r.coin, r.doc_id))] == [
         r.doc_id for r in full
     ]
+
+
+def test_u10_shares_one_spread_scan(spark, sf_dir, registry):
+    """Round-14: the tf and df tokenize branches must hang off ONE spread
+    (doc_id, text) exchange — AQE's stage reuse (ReusedExchange in the
+    runtime-final plan) replaces the former duplicate documents scan.
+    Losing the reuse silently doubles the corpus read+tokenize."""
+    df = registry["u10_tfidf_topterms"].builder(spark, sf_dir)
+    df.collect()  # AQE reuses stages at runtime; the final plan shows it
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan
+
+
+def test_q21_collapse_and_window_ride_spread_partitioning(spark, sf_dir, registry):
+    """Round-14: lineitem is spread BY l_orderkey, the broadcast orders
+    join preserves that partitioning, and both the (order, supplier)
+    collapse and the per-order windows reuse it — exactly one exchange
+    may hash-partition on l_orderkey-only or (l_orderkey, l_suppkey)
+    upstream of the supplier join. A second one means the shared
+    exchange regressed to the pre-r14 two-exchange chain."""
+    plan = plan_of(registry["q21_waiting_supplier"].builder(spark, sf_dir))
+    n_orderkey_exchanges = sum(
+        ("hashpartitioning(l_orderkey" in line)
+        for line in plan.splitlines()
+        if "Exchange" in line
+    )
+    assert n_orderkey_exchanges == 1
