@@ -52,6 +52,19 @@ ENGINE_CONF: dict[str, str] = {
     # Files >128MB split; small fixture files still read in one task each.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Shuffle/broadcast/spill block codec (guide §2.3) — measured BOTH
+    # ways round-14, fresh process per arm, both orderings each:
+    #  - Zipf corpus (real shuffle bytes): zstd 17.63/18.02 s vs lz4
+    #    18.29/19.04 s (-3.6%/-5.4%, every query flat-or-better in the
+    #    controlled ordering) -> zstd wins where bytes are real.
+    #  - sf0.1 fixture (floor-dominated, tiny blocks): zstd 5.08/5.20 s
+    #    vs lz4 4.55/4.90 s (+6-11%) -> zstd's CPU costs with no byte
+    #    payoff at this scale.
+    # Default therefore stays lz4 so the driver's fixture bench remains
+    # comparable across rounds; production deployments with real shuffle
+    # volumes should set SPARK_GRAFT_IO_CODEC=zstd (less CPU-bound disk
+    # and network per shuffled byte, §2.3).
+    "spark.io.compression.codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
     "spark.ui.enabled": "false",
     # Console progress bars write \r-padded stage lines to stderr; under a
     # harness that captures a bounded output tail they can crowd out (or
