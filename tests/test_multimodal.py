@@ -132,3 +132,21 @@ def test_binary_file_source_roundtrip_and_scan_pruning(spark, tmp_path):
     )
     feats = extract_features(media)
     assert feats.count() == 1
+
+
+def test_python_boundary_is_pruned(spark, sf_dir):
+    """Round-14 (guide §4.1): the opaque mapInPandas functions must ship
+    ONLY the columns they read — extract_features the (media_id, kind,
+    payload) triple, sample_frames the (media_id, payload) pair. The
+    unused meta struct leaking back in silently re-widens the Arrow
+    transfer AND drags n_chars back into the parquet ReadSchema."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    media = documents_as_media(docs)
+
+    feat_plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
+    (mip_line,) = [l for l in feat_plan.splitlines() if "MapInPandas" in l]
+    assert "meta" not in mip_line and "payload" in mip_line
+
+    frame_plan = sample_frames(media)._jdf.queryExecution().executedPlan().toString()
+    (mip_line,) = [l for l in frame_plan.splitlines() if "MapInPandas" in l]
+    assert "meta" not in mip_line and "kind" not in mip_line
