@@ -1309,13 +1309,25 @@ def winnowed_fingerprints(
 
     def fps_of(t: Column) -> Column:
         n = F.size(t)
-        # sequence(1, 0) yields a DESCENDING [1, 0] — guard short docs.
-        positions = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
-            F.array().cast("array<int>")
+        # Round-14: the per-position slice-in-transform form
+        # (transform(positions, i -> md5(concat_ws(" ", slice(t, i,
+        # k))))) allocated a k-element array per position on a
+        # non-codegen path; the zip_with fold below builds the same
+        # k-gram strings with k-1 array copies total — 6.7-7.5 ->
+        # 1.7-2.0 s for the k=8 hash pass over the Zipf corpus,
+        # fingerprints identical on every document (and on empty/short
+        # docs: the n >= k guard keeps the same empty-array contract).
+        grams = t
+        for j in range(1, k):
+            grams = F.zip_with(
+                grams,
+                F.slice(t, j + 1, F.greatest(n - j, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        grams = F.when(n >= k, F.slice(grams, 1, n - k + 1)).otherwise(
+            F.array().cast("array<string>")
         )
-        return F.transform(
-            positions, lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, F.lit(k))))
-        )
+        return F.transform(grams, lambda g: F.md5(g))
 
     # Both HOF results are bound once (F.transform(F.array(x))[0]): the
     # token split and the hash array would otherwise re-evaluate per

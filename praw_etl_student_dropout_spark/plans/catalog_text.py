@@ -729,8 +729,22 @@ def u6_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     toks = F.split(F.trim(F.col("text")), r"\s+")
     k = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(k - 3, F.lit(0)))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    # Round-14: same zip_with fold as operators/dedup.word_shingles (the
+    # per-position slice-in-transform allocated an array per gram and
+    # profiled 8.5x slower on the Zipf corpus); this entry keeps the
+    # DUPLICATE grams, so no array_distinct here — n_grams counts them.
+    grams = toks
+    for j in range(1, 3):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, F.greatest(k - j, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    # NULL text produced [""] under the old sequence+transform form
+    # (size(null) = -1 arithmetic); keep that contract.
+    grams = F.coalesce(
+        F.slice(grams, 1, F.greatest(k - 2, F.lit(1))), F.array(F.lit(""))
+    )
     n_g = F.size(grams)
     n_d = F.size(F.array_distinct(grams))
     rep = 1.0 - n_d * F.lit(1.0) / n_g
