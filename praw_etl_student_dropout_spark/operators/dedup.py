@@ -1324,6 +1324,10 @@ def winnowed_fingerprints(
                 F.slice(t, j + 1, F.greatest(n - j, F.lit(0))),
                 lambda x, y: F.concat_ws(" ", x, y),
             )
+        # The whole fold sits INSIDE the n >= k branch: CASE WHEN
+        # short-circuits per row, so docs shorter than the span skip the
+        # k-1 zip_with passes entirely (the old sequence form's empty-
+        # positions fast path, restored).
         grams = F.when(n >= k, F.slice(grams, 1, n - k + 1)).otherwise(
             F.array().cast("array<string>")
         )
