@@ -26,6 +26,20 @@ def registry():
     return catalog_all()
 
 
+def _spread_fires(spark, sf_dir: str, table: str) -> bool:
+    """True when operators.dedup._spread's runtime gate is open for this
+    fixture table: the scan has fewer partitions than defaultParallelism.
+    The r14/r15 shared-exchange tests assert an invariant that only
+    exists where _spread can fire — under SPARK_GRAFT_CPUS=1 or a
+    multi-split fixture the repartition is a deliberate no-op and the
+    plans legitimately lose the shared exchange (ADVICE r14)."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    try:
+        return spark.sparkContext.defaultParallelism > df.rdd.getNumPartitions()
+    except Exception:
+        return False
+
+
 def test_flagship_all_joins_broadcast(spark, sf_dir, registry):
     plan = plan_of(registry["flagship_star_pivot"].builder(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") == 3
@@ -597,6 +611,8 @@ def test_u10_shares_one_spread_scan(spark, sf_dir, registry):
     (doc_id, text) exchange — AQE's stage reuse (ReusedExchange in the
     runtime-final plan) replaces the former duplicate documents scan.
     Losing the reuse silently doubles the corpus read+tokenize."""
+    if not _spread_fires(spark, sf_dir, "documents"):
+        pytest.skip("_spread gate closed: nothing to reuse (ADVICE r14)")
     df = registry["u10_tfidf_topterms"].builder(spark, sf_dir)
     df.collect()  # AQE reuses stages at runtime; the final plan shows it
     plan = plan_of(df)
@@ -610,6 +626,8 @@ def test_q21_collapse_and_window_ride_spread_partitioning(spark, sf_dir, registr
     may hash-partition on l_orderkey-only or (l_orderkey, l_suppkey)
     upstream of the supplier join. A second one means the shared
     exchange regressed to the pre-r14 two-exchange chain."""
+    if not _spread_fires(spark, sf_dir, "lineitem"):
+        pytest.skip("_spread gate closed: no shared exchange (ADVICE r14)")
     plan = plan_of(registry["q21_waiting_supplier"].builder(spark, sf_dir))
     n_orderkey_exchanges = sum(
         ("hashpartitioning(l_orderkey" in line)
@@ -617,3 +635,35 @@ def test_q21_collapse_and_window_ride_spread_partitioning(spark, sf_dir, registr
         if "Exchange" in line
     )
     assert n_orderkey_exchanges == 1
+
+
+def test_q3_runtime_demotes_fact_broadcast_at_scale(spark, registry):
+    """Round-15 (VERDICT r14 #1 evidence gap): q3's static plan shows
+    BuildRight over the spread lineitem (Catalyst's pruned-column
+    ESTIMATE squeaks under the 10 MB broadcast threshold); the claimed
+    scale protection is AQE's runtime re-decision from MEASURED stage
+    sizes. That demotion only fires where the fact's materialized spread
+    stage actually exceeds the threshold — sf0.1 is the smallest fixture
+    where it does (at sf0.001/sf0.01 the 3-column fact genuinely fits
+    and broadcasting it is correct, so the static pick survives). Pin
+    the mechanism there: the FINAL plan must build the broadcast on the
+    filtered customer⋈orders side and stream the fact. Committed dump:
+    plans/r15/q3_shipping_priority_before_runtime.txt."""
+    import os
+    import re
+
+    sf_big = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_big):
+        pytest.skip("sf0.1 fixture not available")
+    df = registry["q3_shipping_priority"].builder(spark, sf_big)
+    df.collect()  # materialize so the AQE plan is final
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    m = re.search(
+        r"BroadcastHashJoin \[o_orderkey[^\]]*\], \[l_orderkey[^\]]*\], Inner, "
+        r"(BuildLeft|BuildRight)",
+        final,
+    )
+    assert m is not None, "fact join missing from the final plan"
+    assert m.group(1) == "BuildLeft", "runtime plan broadcasts the lineitem fact"
