@@ -913,9 +913,22 @@ def d2_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is given, so Catalyst cannot prune through it — the query, not the
     # operator, decides what the survivor carries (7 of 16 cols ≈ half
     # the shuffle bytes here; at 100 TB the difference is the shuffle).
+    # Round-15 (guide §2.3, narrower types): l_linenumber is 1..7 and
+    # l_quantity an integer 1..50 BY THE DATA CONTRACT (TPC-H; the a12
+    # integer-valued-quantity precedent), at every scale factor — so both
+    # ride the agg-buffer struct as ints (same ordering, same survivor;
+    # the sum casts each value back to double, reproducing the original
+    # IEEE accumulation exactly). Columns that GROW with SF (orderkey,
+    # partkey, suppkey) stay long — narrowing them is not provably safe.
+    # Interleaved min-of-5 ×3 rounds: 0.84-0.97 -> 0.77-0.84 s at
+    # sf0.1-local[32]; shuffle 30.6 B/record before (4.5 MB total,
+    # tools/r15_shuffle_bytes probe), values identical.
     needed = li.select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-        "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("int").alias("l_quantity"),
+        "l_extendedprice", "l_returnflag",
     )
     first_lines = dedup_by_key(
         needed,
@@ -923,7 +936,8 @@ def d2_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
     )
     return first_lines.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
     )
 
 

@@ -667,3 +667,20 @@ def test_q3_runtime_demotes_fact_broadcast_at_scale(spark, registry):
     )
     assert m is not None, "fact join missing from the final plan"
     assert m.group(1) == "BuildLeft", "runtime plan broadcasts the lineitem fact"
+
+
+def test_d2_quantity_rides_shuffle_as_int(spark, sf_dir, registry):
+    """Round-15 (guide §2.3, narrower shuffle types): d2's survivor
+    struct carries l_quantity as INT through the min(struct) partial
+    aggregation — the TPC-H contract makes quantity an integer 1..50 at
+    every SF, so the narrowing is value-exact and the final sum casts
+    back to double (integers ≤50 are exact in IEEE double regardless of
+    accumulation order). Regressing to a double in the agg buffer
+    silently re-widens the heaviest shuffle payload in the bench's #3
+    slot. Committed dump: plans/r15/d2_dedup_by_key_after.txt."""
+    plan = plan_of(registry["d2_dedup_by_key"].builder(spark, sf_dir))
+    assert "cast(l_quantity" in plan and "as int)" in plan
+    # the survivor struct is min()'d BEFORE the returnflag rollup, so the
+    # narrowed int must appear inside the partial_min struct, not after it
+    partial = [ln for ln in plan.splitlines() if "partial_min(struct(" in ln]
+    assert partial, "d2 lost its partial min(struct) map-side aggregation"
