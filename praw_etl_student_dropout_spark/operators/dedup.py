@@ -560,7 +560,20 @@ def minhash_md5_pairs(
     cap mechanism itself, not a rows-only count).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_md5_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # Round-15 (guide §6, duplicate-scan elimination): the candidate
+    # self-join's planner-inserted isnotnull(id) made the join sides'
+    # subtree differ from the bucket census's, so the census re-scanned
+    # the corpus and recomputed the whole signature pipeline on its own
+    # spread exchange. Hoisting the filter (a no-op: the id is the
+    # corpus primary key, and null ids could never join anyway) gives
+    # every banded consumer ONE canonical subtree — the runtime-final
+    # plan drops from 2 corpus scans to 1 with the census riding the
+    # shared spread via AQE stage reuse. Flat at sf0.1 (min 1.131 vs
+    # 1.150 s over 12 alternating runs); at scale it halves the corpus
+    # reads this operator pays. Values identical (225 pairs, probe).
+    sigs = minhash_md5_signatures(
+        df.filter(F.col(id_col).isNotNull()), text_col, id_col, num_hashes, shingle_n
+    )
     band_keys = F.array(
         *[
             F.array_join(

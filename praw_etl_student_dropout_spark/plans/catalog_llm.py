@@ -1554,11 +1554,19 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus); the contamination branch already spreads inside
     # shingle_index. 1.506 -> 1.112 s at sf0.1-local[32], values
     # identical (tools/r14_spread_probe.py).
+    # Round-15 (guide §2.3, shuffle fewer bytes): the fingerprint only
+    # exists to PARTITION the survivor window — it never reaches the
+    # output — so it rides the exchange as the raw 16-byte md5 digest
+    # (unhex) instead of the 32-char hex string. unhex is injective on
+    # md5 output, so the window groups are identical; measured 16 B/doc
+    # off the survivor exchange (2 055 353 -> 1 979 342 total funnel
+    # shuffle bytes at sf0.1), stage counts byte-identical, time flat at
+    # the fixture floor (tools note: /tmp/r15_fp_binary.py probe).
     flags = _spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         (lang_id(F.col("text")) == "en").alias("is_en"),
         (quality_score(F.col("text")) >= 0.71).alias("is_q"),
-        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        F.unhex(doc_fingerprint(F.col("text"))).alias("fingerprint"),
     ).withColumn("is_q", F.col("is_en") & F.col("is_q"))
     # survivor = smallest doc_id among stage-3 rows sharing a fingerprint
     m = F.min(F.when(F.col("is_q"), F.col("doc_id"))).over(
@@ -3467,7 +3475,10 @@ def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         (lang_id(F.col("text")) == "en").alias("is_en"),
         (quality_score(F.col("text")) >= 0.71).alias("is_q"),
-        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        # internal-only window key: raw 16-byte digest, not the 32-char
+        # hex (same §2.3 narrowing as llm_curation_funnel; unhex is
+        # injective on md5 output so the survivor groups are identical)
+        F.unhex(doc_fingerprint(F.col("text"))).alias("fingerprint"),
     ).withColumn("is_q", F.col("is_en") & F.col("is_q"))
     m = F.min(F.when(F.col("is_q"), F.col("doc_id"))).over(
         Window.partitionBy("fingerprint")

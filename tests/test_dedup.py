@@ -668,3 +668,38 @@ def test_embedding_md5_eager_capped_releases_index(spark, sf_dir):
     assert after <= before, (
         "eager capped run leaked a cached intermediate (banded_idx)"
     )
+
+
+def test_minhash_md5_capped_single_corpus_scan(spark, sf_dir, tmp_path):
+    """Round-15 (guide §6): the capped md5 pipeline's bucket census must
+    ride the SAME spread exchange as the candidate self-join — the
+    hoisted isnotnull(id) gives every banded consumer one canonical
+    subtree, so the runtime-final plan reads the corpus ONCE. A second
+    FileScan means the census regressed to its own scan + signature
+    recompute (2x corpus I/O at scale).
+
+    The corpus is read from a test-unique COPY of the fixture: earlier
+    tests leave persisted shingle/index frames alive, and the
+    CacheManager's canonical-plan substitution of those fragments
+    changes this query's scan count in ways that have nothing to do
+    with the invariant under test (a clean driver/bench session has no
+    such caches)."""
+    import shutil
+
+    from praw_etl_student_dropout_spark.operators.dedup import minhash_md5_pairs
+
+    iso = tmp_path / "documents.parquet"
+    shutil.copy(f"{sf_dir}/documents.parquet", iso)
+    docs = spark.read.parquet(str(iso))
+    pairs = minhash_md5_pairs(
+        docs, "text", "doc_id", threshold=0.2, num_hashes=16, bands=8,
+        max_bucket_size=2,
+    )
+    pairs.collect()  # AQE reuse is a runtime decision
+    final = (
+        pairs._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("Scan parquet") == 1, (
+        "bucket census re-scans the corpus instead of reusing the spread"
+    )
