@@ -1561,7 +1561,7 @@ def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 output, so the window groups are identical; measured 16 B/doc
     # off the survivor exchange (2 055 353 -> 1 979 342 total funnel
     # shuffle bytes at sf0.1), stage counts byte-identical, time flat at
-    # the fixture floor (tools note: /tmp/r15_fp_binary.py probe).
+    # the fixture floor (tools/r15_fp_binary.py probe).
     flags = _spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         (lang_id(F.col("text")) == "en").alias("is_en"),
